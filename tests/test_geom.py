@@ -1,0 +1,218 @@
+"""Unit + property tests for the geometry kernels (no Spark needed)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jpspark.geom import cell, pip, rtree, wkb
+
+RNG = np.random.default_rng(42)
+
+
+# ---------------------------------------------------------------- cell index
+
+def test_cell_roundtrip_xy():
+    xs = RNG.integers(0, 1 << 12, size=500)
+    ys = RNG.integers(0, 1 << 12, size=500)
+    c = cell.from_xy(xs, ys, 12)
+    x2, y2, r2 = cell.to_xy(c)
+    assert np.array_equal(xs, x2) and np.array_equal(ys, y2)
+    assert np.all(r2 == 12)
+
+
+def test_cell_encode_in_bounds():
+    lon = RNG.uniform(122, 154, 1000)
+    lat = RNG.uniform(20, 46, 1000)
+    c = cell.encode(lon, lat, 10)
+    lon0, lat0, lon1, lat1 = cell.bounds(c)
+    assert np.all((lon >= lon0) & (lon < lon1))
+    assert np.all((lat >= lat0) & (lat < lat1))
+
+
+def test_cell_parent_children():
+    c = int(cell.encode(139.7, 35.7, 10)[()])
+    p = int(cell.parent(c, 8)[()])
+    assert int(cell.resolution(p)[()]) == 8
+    kids = cell.children(p).ravel()
+    assert len(kids) == 4
+    assert int(cell.parent(kids[0], 8)[()]) == p
+
+
+def test_cell_ring_disk():
+    c = int(cell.encode(139.7, 35.7, 10)[()])
+    assert list(cell.ring(c, 0)) == [c]
+    r1 = cell.ring(c, 1)
+    assert len(r1) == 8
+    d1 = cell.disk(c, 1)
+    assert len(d1) == 9
+    assert set(r1) | {c} == set(d1)
+
+
+def test_cover_bbox_covers_encoded_points():
+    lon = RNG.uniform(130, 140, 200)
+    lat = RNG.uniform(30, 40, 200)
+    cells = set(cell.cover_bbox(130, 30, 140, 40, 9))
+    enc = cell.encode(lon, lat, 9)
+    assert all(int(e) in cells for e in enc)
+
+
+def test_cell_half_open_edges():
+    # a point exactly on a cell edge belongs to the east/north cell
+    res = 4
+    w, h = cell.cell_size_deg(res)
+    lon_edge = cell.LON0 + 3 * w
+    c = cell.encode(lon_edge, 0.0, res)
+    x, _, _ = cell.to_xy(c)
+    assert int(x[()]) == 3
+
+
+# ---------------------------------------------------------------- WKB
+
+def test_wkb_point_multipoint_roundtrip():
+    pts = RNG.uniform(-10, 10, (7, 2))
+    buf = wkb.encode_multipoint(pts)
+    assert np.allclose(wkb.parse_multipoint(buf), pts)
+    one = wkb.encode_point(1.5, -2.5)
+    assert np.allclose(wkb.parse_multipoint(one)[0], [1.5, -2.5])
+
+
+def test_wkb_multipolygon_roundtrip():
+    ring1 = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)
+    hole = np.array([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]], dtype=float)
+    ring2 = np.array([[10, 10], [12, 10], [11, 13], [10, 10]], dtype=float)
+    buf = wkb.encode_multipolygon([[ring1, hole], [ring2]])
+    polys = wkb.parse_multipolygon(buf)
+    assert len(polys) == 2 and len(polys[0]) == 2
+    assert np.allclose(polys[0][1], hole)
+
+
+def test_wkb_promote_to_multi():
+    ring = np.array([[0, 0], [1, 0], [1, 1], [0, 0]], dtype=float)
+    poly = wkb.encode_polygon([ring])
+    multi = wkb.promote_to_multi(poly)
+    gtype, payload = wkb.parse(multi)
+    assert gtype == wkb.MULTIPOLYGON and len(payload) == 1
+    # idempotent on already-MULTI
+    assert wkb.promote_to_multi(multi) == multi
+    pt = wkb.encode_point(3.0, 4.0)
+    gt2, pl2 = wkb.parse(wkb.promote_to_multi(pt))
+    assert gt2 == wkb.MULTIPOINT and np.allclose(pl2[0], [3, 4])
+
+
+def test_wkb_area_bbox():
+    ring = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)
+    hole = np.array([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]], dtype=float)
+    buf = wkb.encode_multipolygon([[ring, hole]])
+    assert wkb.multipolygon_area(buf) == pytest.approx(16 - 1)
+    assert wkb.multipolygon_bbox(buf) == (0, 0, 4, 4)
+
+
+def test_merge_multipolygons_area_additive():
+    r1 = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], dtype=float)
+    r2 = np.array([[5, 5], [6, 5], [6, 7], [5, 7], [5, 5]], dtype=float)
+    merged = wkb.merge_multipolygons(
+        [wkb.encode_multipolygon([[r1]]), wkb.encode_multipolygon([[r2]])]
+    )
+    assert wkb.multipolygon_area(merged) == pytest.approx(4 + 2)
+    assert len(wkb.parse_multipolygon(merged)) == 2
+
+
+# ---------------------------------------------------------------- PIP
+
+SQUARE = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+
+
+def test_pip_square_interior_exterior():
+    px = np.array([5.0, -1.0, 15.0, 9.999])
+    py = np.array([5.0, 5.0, 5.0, 0.001])
+    assert list(pip.points_in_ring(px, py, SQUARE)) == [True, False, False, True]
+
+
+def test_pip_half_open_boundary():
+    # bottom/left in; top/right out (floor convention)
+    px = np.array([0.0, 5.0, 10.0, 5.0])
+    py = np.array([5.0, 0.0, 5.0, 10.0])
+    assert list(pip.points_in_ring(px, py, SQUARE)) == [True, True, False, False]
+
+
+def test_pip_holes():
+    hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]], dtype=float)
+    px = np.array([5.0, 2.0])
+    py = np.array([5.0, 2.0])
+    got = pip.points_in_polygon(px, py, [SQUARE, hole])
+    assert list(got) == [False, True]
+
+
+@st.composite
+def ring_and_points(draw):
+    # random simple star-shaped polygon around a center
+    n = draw(st.integers(5, 24))
+    angles = np.sort(RNG.uniform(0, 2 * np.pi, n))
+    radii = draw(
+        st.lists(st.floats(0.5, 5.0, allow_nan=False), min_size=n, max_size=n)
+    )
+    xs = np.cos(angles) * radii
+    ys = np.sin(angles) * radii
+    ring = np.column_stack([xs, ys])
+    ring = np.vstack([ring, ring[:1]])
+    m = draw(st.integers(1, 32))
+    px = RNG.uniform(-6, 6, m)
+    py = RNG.uniform(-6, 6, m)
+    return ring, px, py
+
+
+@settings(max_examples=60, deadline=None)
+@given(ring_and_points())
+def test_pip_vectorized_matches_scalar_oracle(data):
+    ring, px, py = data
+    fast = pip.points_in_ring(px, py, ring)
+    slow = np.array([pip.point_in_ring_scalar(x, y, ring) for x, y in zip(px, py)])
+    assert np.array_equal(fast, slow)
+
+
+def test_pip_blocked_matches():
+    ring, px, py = (
+        SQUARE,
+        RNG.uniform(-2, 12, 5000),
+        RNG.uniform(-2, 12, 5000),
+    )
+    assert np.array_equal(
+        pip.points_in_ring(px, py, ring),
+        pip.points_in_ring_blocked(px, py, ring, block=1024),
+    )
+
+
+# ---------------------------------------------------------------- R-tree
+
+def test_rtree_query_matches_brute_force():
+    n = 3000
+    x = RNG.uniform(0, 100, n)
+    y = RNG.uniform(0, 100, n)
+    wdt = RNG.uniform(0.1, 3, n)
+    hgt = RNG.uniform(0.1, 3, n)
+    boxes = np.column_stack([x, y, x + wdt, y + hgt])
+    ids = np.arange(n, dtype=np.int64) * 7
+    t = rtree.PackedRTree(boxes, ids)
+    for _ in range(25):
+        qx0, qy0 = RNG.uniform(0, 95, 2)
+        qx1, qy1 = qx0 + RNG.uniform(0, 10), qy0 + RNG.uniform(0, 10)
+        got = set(t.query(qx0, qy0, qx1, qy1).tolist())
+        brute = (boxes[:, 0] <= qx1) & (boxes[:, 2] >= qx0) & (boxes[:, 1] <= qy1) & (boxes[:, 3] >= qy0)
+        assert got == set(ids[brute].tolist())
+
+
+def test_rtree_serde_roundtrip():
+    boxes = RNG.uniform(0, 50, (500, 2))
+    boxes = np.column_stack([boxes, boxes + 1])
+    ids = np.arange(500, dtype=np.int64)
+    t = rtree.PackedRTree(boxes, ids)
+    t2 = rtree.PackedRTree.from_bytes(t.to_bytes())
+    assert set(t2.query(10, 10, 12, 12).tolist()) == set(t.query(10, 10, 12, 12).tolist())
+
+
+def test_rtree_empty():
+    t = rtree.PackedRTree(np.empty((0, 4)), np.empty(0, dtype=np.int64))
+    assert len(t.query(0, 0, 1, 1)) == 0
