@@ -1,0 +1,369 @@
+"""Deterministic synthetic fixtures (FIXTURES.md) — seed=42, PCG64.
+
+Generates the reference-shaped tables as pandas DataFrames (converted to
+Spark DataFrames by callers): ``images`` (the BASELINE.json input_hint
+payload table), ``admin_polygons`` (N03-like), ``landuse_mesh`` (L03-like),
+``facilities`` (P05-like), ``admini_boundary_cd`` (crosswalk,
+/root/reference/data/schema.sql:3-15), ``w09_raw`` (encoding micro-fixture
+mirroring test_data/shp/cp932.shp fields W09_001..W09_004).
+
+Geometry construction: a G×G grid over the Japan bbox with deterministically
+jittered interior vertices — atoms are irregular quads that tile the bbox
+exactly (non-overlapping interiors, no gaps), the analog of the reference's
+exactly-tiling admin layers. Municipalities own 1-3 atoms (multi-part
+"islands", mirroring -nlt PROMOTE_TO_MULTI semantics). One municipality
+("東京特区") owns the atom containing (139.7, 35.7); 40% of image points
+concentrate there (the hot-key skew cell from the north_star).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import numpy as np
+import pandas as pd
+
+from .codec import image as img
+from .codec.phash import phash64
+from .geom import pip, wkb
+
+SEED = 42
+BBOX = (122.0, 20.0, 154.0, 46.0)  # lon0, lat0, lon1, lat1 (Japan extent)
+HOT_LON, HOT_LAT = 139.7, 35.7
+
+PREFS = [
+    "北海道", "青森県", "岩手県", "宮城県", "秋田県", "山形県", "福島県",
+    "茨城県", "栃木県", "群馬県", "埼玉県", "千葉県", "東京都", "神奈川県",
+    "新潟県", "富山県", "石川県", "福井県", "山梨県", "長野県", "岐阜県",
+    "静岡県", "愛知県", "三重県", "滋賀県", "京都府", "大阪府", "兵庫県",
+    "奈良県", "和歌山県", "鳥取県", "島根県", "岡山県", "広島県", "山口県",
+    "徳島県", "香川県", "愛媛県", "高知県", "福岡県", "佐賀県", "長崎県",
+    "熊本県", "大分県", "宮崎県", "鹿児島県", "沖縄県",
+]
+COLORS = ["赤い", "青い", "緑の", "白い", "黒い", "金色の", "小さな", "大きな"]
+PLACES = ["神社", "城", "公園", "駅", "市場", "橋", "灯台", "温泉"]
+
+
+def _rng(salt: int = 0) -> np.random.Generator:
+    return np.random.Generator(np.random.PCG64(SEED + salt))
+
+
+# ------------------------------------------------------------------ polygons
+
+def _jittered_vertices(g: int, jitter: float = 0.30, salt: int = 1):
+    """(g+1)x(g+1) vertex grid; interior vertices jittered by <= jitter*cell."""
+    lon0, lat0, lon1, lat1 = BBOX
+    w, h = (lon1 - lon0) / g, (lat1 - lat0) / g
+    vx = lon0 + np.arange(g + 1)[None, :] * w * np.ones((g + 1, 1))
+    vy = lat0 + np.arange(g + 1)[:, None] * h * np.ones((1, g + 1))
+    rng = _rng(salt)
+    dx = rng.uniform(-jitter, jitter, (g + 1, g + 1)) * w
+    dy = rng.uniform(-jitter, jitter, (g + 1, g + 1)) * h
+    dx[0, :] = dx[-1, :] = 0.0
+    dx[:, 0] = dx[:, -1] = 0.0
+    dy[0, :] = dy[-1, :] = 0.0
+    dy[:, 0] = dy[:, -1] = 0.0
+    return vx + dx, vy + dy
+
+
+def _atom_ring(vx, vy, i: int, j: int) -> np.ndarray:
+    """CCW ring of grid atom (col i, row j). Closed (first == last)."""
+    return np.array(
+        [
+            [vx[j, i], vy[j, i]],
+            [vx[j, i + 1], vy[j, i + 1]],
+            [vx[j + 1, i + 1], vy[j + 1, i + 1]],
+            [vx[j + 1, i], vy[j + 1, i]],
+            [vx[j, i], vy[j, i]],
+        ]
+    )
+
+
+def admin_polygons(n_munis: int = 50, grid: int | None = None) -> pd.DataFrame:
+    """N03-like municipalities as WKB MULTIPOLYGONs that exactly tile BBOX."""
+    g = grid or int(np.ceil(np.sqrt(n_munis * 1.3)))
+    vx, vy = _jittered_vertices(g)
+    n_atoms = g * g
+    rng = _rng(2)
+    # the atom containing the hot point must belong to municipality 0
+    lon0, lat0, lon1, lat1 = BBOX
+    hot_i = int((HOT_LON - lon0) / (lon1 - lon0) * g)
+    hot_j = int((HOT_LAT - lat0) / (lat1 - lat0) * g)
+    hot_atom = hot_j * g + hot_i
+    order = rng.permutation(n_atoms)
+    order = np.concatenate([[hot_atom], order[order != hot_atom]])
+    owner = np.empty(n_atoms, dtype=np.int64)
+    owner[order[:n_munis]] = np.arange(n_munis)  # each muni gets one atom
+    extra = order[n_munis:]
+    owner[extra] = rng.integers(0, n_munis, len(extra))  # islands
+    rows = []
+    for m in range(n_munis):
+        atoms = np.nonzero(owner == m)[0]
+        polys = [[_atom_ring(vx, vy, int(a % g), int(a // g))] for a in atoms]
+        pref = PREFS[m * len(PREFS) // n_munis]
+        name = "東京特区" if m == 0 else f"{pref[:-1]}市{m}"
+        code = f"{(m + 1) * 20 + 101:05d}"
+        rows.append(
+            {
+                "ogc_fid": m + 1,
+                "都道府県名": pref,
+                "市区町村名": name,
+                "全国地方公共団体コード": code,
+                "geom": wkb.encode_multipolygon(polys),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def landuse_mesh(grid: int = 16) -> pd.DataFrame:
+    """L03-like regular mesh squares covering BBOX."""
+    lon0, lat0, lon1, lat1 = BBOX
+    w, h = (lon1 - lon0) / grid, (lat1 - lat0) / grid
+    kinds = ["0100", "0200", "0500", "0700"]
+    rng = _rng(3)
+    rows = []
+    fid = 1
+    for j in range(grid):
+        for i in range(grid):
+            x0, y0 = lon0 + i * w, lat0 + j * h
+            ring = np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]])
+            rows.append(
+                {
+                    "ogc_fid": fid,
+                    "3次メッシュコード": f"{j:02d}{i:02d}0000",
+                    "土地利用種別": kinds[int(rng.integers(0, len(kinds)))],
+                    "geom": wkb.encode_multipolygon([[ring]]),
+                }
+            )
+            fid += 1
+    return pd.DataFrame(rows)
+
+
+# ------------------------------------------------------------------ points
+
+def _skewed_points(n: int, polys: pd.DataFrame, hot_frac: float = 0.4, salt: int = 4):
+    """n (lon, lat) points: hot_frac inside municipality 0's first atom
+    (inscribed box, guaranteed interior), rest uniform over BBOX."""
+    rng = _rng(salt)
+    lon0, lat0, lon1, lat1 = BBOX
+    hot_rings = wkb.parse_multipolygon(polys.iloc[0]["geom"])[0]
+    ext = hot_rings[0]
+    cx, cy = ext[:-1, 0].mean(), ext[:-1, 1].mean()
+    rx = (ext[:-1, 0].max() - ext[:-1, 0].min()) * 0.18
+    ry = (ext[:-1, 1].max() - ext[:-1, 1].min()) * 0.18
+    n_hot = int(n * hot_frac)
+    lon = np.empty(n)
+    lat = np.empty(n)
+    lon[:n_hot] = rng.uniform(cx - rx, cx + rx, n_hot)
+    lat[:n_hot] = rng.uniform(cy - ry, cy + ry, n_hot)
+    lon[n_hot:] = rng.uniform(lon0, lon1, n - n_hot)
+    lat[n_hot:] = rng.uniform(lat0, lat1, n - n_hot)
+    perm = rng.permutation(n)
+    return lon[perm], lat[perm]
+
+
+def _mesh_code(lon: np.ndarray, lat: np.ndarray, grid: int = 64) -> np.ndarray:
+    lon0, lat0, lon1, lat1 = BBOX
+    gx = np.clip(((lon - lon0) / (lon1 - lon0) * grid).astype(int), 0, grid - 1)
+    gy = np.clip(((lat - lat0) / (lat1 - lat0) * grid).astype(int), 0, grid - 1)
+    return np.array([f"{y:04d}{x:04d}" for x, y in zip(gx, gy)])
+
+
+def _hash_u64(a: np.ndarray) -> np.ndarray:
+    """SplitMix64 — vectorized deterministic integer hash."""
+    z = a.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def pixel_pattern(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic per-row image: channel gradients + hashed noise."""
+    x = np.arange(w, dtype=np.float64)[None, :]
+    y = np.arange(h, dtype=np.float64)[:, None]
+    r = x / max(w - 1, 1) * 255.0 * np.ones((h, 1))
+    g = y / max(h - 1, 1) * 255.0 * np.ones((1, w))
+    b = np.full((h, w), (i * 37) % 256, dtype=np.float64)
+    idx = (np.arange(h * w, dtype=np.uint64) + np.uint64(i) * np.uint64(0x100000001))
+    noise = (_hash_u64(idx) % np.uint64(33)).astype(np.float64).reshape(h, w) - 16.0
+    px = np.stack([r, g, b], axis=-1) + noise[..., None]
+    return np.clip(px, 0, 255).astype(np.uint8)
+
+
+def images(n: int = 1000, polys: pd.DataFrame | None = None) -> pd.DataFrame:
+    """The payload table — exact input_hint schema + geotag columns."""
+    if polys is None:
+        polys = admin_polygons()
+    rng = _rng(5)
+    sizes = np.array([16, 32, 64])
+    ws = sizes[rng.integers(0, 3, n)]
+    hs = sizes[rng.integers(0, 3, n)]
+    fmts = np.array(img.FORMATS)[rng.integers(0, 4, n)]
+    lon, lat = _skewed_points(n, polys)
+    munis = polys["市区町村名"].to_numpy()
+    cap_idx = rng.integers(0, len(COLORS), n), rng.integers(0, len(PLACES), n), rng.integers(0, len(munis), n)
+    rows = []
+    for i in range(n):
+        px = pixel_pattern(i, int(ws[i]), int(hs[i]))
+        buf = img.encode(px, str(fmts[i]))
+        ph = int(phash64(img.decode(buf, str(fmts[i]))))
+        caption = f"{COLORS[cap_idx[0][i]]} {PLACES[cap_idx[1][i]]} in {munis[cap_idx[2][i]]} ＃{i}"
+        rows.append(
+            {
+                "image_id": f"img{i:012d}",
+                "bytes": buf,
+                "w": int(ws[i]),
+                "h": int(hs[i]),
+                "fmt": str(fmts[i]),
+                "caption": caption,
+                "phash": ph,
+                "mesh_code": None,  # filled vectorized below
+                "lon": float(lon[i]),
+                "lat": float(lat[i]),
+            }
+        )
+    df = pd.DataFrame(rows)
+    df["mesh_code"] = _mesh_code(lon, lat)
+    df["w"] = df["w"].astype(np.int32)
+    df["h"] = df["h"].astype(np.int32)
+    df["phash"] = df["phash"].astype(np.int64)
+    return df
+
+
+def facilities(n: int = 300, polys: pd.DataFrame | None = None) -> pd.DataFrame:
+    """P05-like point layer; each point inside an owning polygon (FK)."""
+    if polys is None:
+        polys = admin_polygons()
+    rng = _rng(6)
+    owner = rng.integers(0, len(polys), n)
+    rows = []
+    for i in range(n):
+        p = polys.iloc[int(owner[i])]
+        ext = wkb.parse_multipolygon(p["geom"])[0][0]
+        cx, cy = ext[:-1, 0].mean(), ext[:-1, 1].mean()
+        rx = (ext[:-1, 0].max() - ext[:-1, 0].min()) * 0.2
+        ry = (ext[:-1, 1].max() - ext[:-1, 1].min()) * 0.2
+        x = float(rng.uniform(cx - rx, cx + rx))
+        y = float(rng.uniform(cy - ry, cy + ry))
+        rows.append(
+            {
+                "ogc_fid": i + 1,
+                "行政区域コード": p["全国地方公共団体コード"],
+                "施設分類": str(rng.integers(1, 6)),
+                "名称": f"施設{i:04d}",
+                "所在地": f"{p['都道府県名']}{p['市区町村名']}{i}番地",
+                "lon": x,
+                "lat": y,
+                "geom": wkb.encode_multipoint(np.array([[x, y]])),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def admini_boundary_cd(polys: pd.DataFrame | None = None) -> pd.DataFrame:
+    """Crosswalk table — exact 11 columns of
+    /root/reference/data/schema.sql:3-15; first row pinned to the
+    reference's golden assert (01000/北海道/NULL/ホッカイドウ,
+    /root/reference/src/loader/admini_boundary.rs:233-237). Cells include
+    pre-NFKC full-width digits to exercise normalization F1."""
+    if polys is None:
+        polys = admin_polygons()
+    cols = [
+        "改正年月日", "改正事由", "改正前のコード", "改正前の名称",
+        "改正前の名称_ふりがな", "行政区域コード", "都道府県名（漢字）",
+        "市区町村名（漢字）", "政令市･郡･支庁･振興局等（漢字）",
+        "都道府県名（ふりがな）", "市区町村名（ふりがな）",
+    ]
+    rows = [
+        dict(zip(cols, [None, None, None, None, None, "01000", "北海道", None, None, "ホッカイドウ", None]))
+    ]
+    for _, p in polys.iterrows():
+        fullwidth_code = str(p["全国地方公共団体コード"]).translate(
+            str.maketrans("0123456789", "０１２３４５６７８９")
+        )
+        rows.append(
+            dict(
+                zip(
+                    cols,
+                    [
+                        "２０１４．４．５",  # full-width date, NFKC target
+                        "編入",
+                        fullwidth_code,
+                        p["市区町村名"],
+                        "シクチョウソン",
+                        p["全国地方公共団体コード"],
+                        p["都道府県名"],
+                        p["市区町村名"],
+                        None,
+                        "トドウフケン",
+                        "シクチョウソン",
+                    ],
+                )
+            )
+        )
+    return pd.DataFrame(rows)
+
+
+def w09_raw() -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Encoding micro-fixture: two 'source files' with W09_* columns as
+    encoded binary + declared encodings, overlapping but unequal column
+    sets (exercises F2 try-chain, P6 rename, U1 union-with-nulls)."""
+    a = pd.DataFrame(
+        {
+            "W09_001": ["湖沼A", "湖沼B"],
+            "W09_002": ["北海道", "青森県"],
+            "W09_003": ["１２３", "４５６"],
+        }
+    )
+    b = pd.DataFrame(
+        {
+            "W09_001": ["湖沼C"],
+            "W09_002": ["岩手県"],
+            "W09_004": ["追加属性"],
+        }
+    )
+    enc_a = a.map(lambda s: s.encode("cp932") if isinstance(s, str) else s)
+    enc_b = b.map(lambda s: s.encode("utf-8") if isinstance(s, str) else s)
+    enc_a.attrs["declared_encoding"] = "cp932"
+    enc_b.attrs["declared_encoding"] = None  # must be detected
+    return enc_a, enc_b
+
+
+# ------------------------------------------------------------------ oracles
+
+def pip_assign_oracle(
+    lon: np.ndarray, lat: np.ndarray, polys: pd.DataFrame, id_col: str = "全国地方公共団体コード"
+) -> np.ndarray:
+    """Pure-NumPy O(P*M) oracle: containing polygon id per point ('' if
+    none). Independent of the cell/R-tree machinery under test."""
+    out = np.full(len(lon), "", dtype=object)
+    unassigned = np.ones(len(lon), dtype=bool)
+    for _, row in polys.iterrows():
+        if not unassigned.any():
+            break
+        geo = wkb.parse_multipolygon(row["geom"])
+        idx = np.nonzero(unassigned)[0]
+        hit = pip.points_in_multipolygon(lon[idx], lat[idx], geo)
+        out[idx[hit]] = row[id_col]
+        unassigned[idx[hit]] = False
+    return out
+
+
+def knn_oracle(
+    qlon: np.ndarray, qlat: np.ndarray, tlon: np.ndarray, tlat: np.ndarray, tids: np.ndarray, k: int
+) -> pd.DataFrame:
+    """Brute-force kNN: (query_idx, rank, target_id, dist). Euclidean in
+    degrees; ties broken by target id (pinned convention)."""
+    rows = []
+    for qi in range(len(qlon)):
+        dx = tlon - qlon[qi]
+        dy = tlat - qlat[qi]
+        d = np.sqrt(dx * dx + dy * dy)
+        order = np.lexsort((tids, d))[:k]
+        for r, t in enumerate(order):
+            rows.append((qi, r + 1, int(tids[t]), float(d[t])))
+    return pd.DataFrame(rows, columns=["query_idx", "rank", "target_id", "dist"])
+
+
+def nfkc(s: str) -> str:
+    return unicodedata.normalize("NFKC", s)

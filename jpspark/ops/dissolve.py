@@ -1,0 +1,83 @@
+"""Dissolve: GROUP BY + geometry union (SURVEY A3).
+
+The reference runs ``SELECT grp, ..., ST_Union(geometry) FROM layer GROUP
+BY grp`` through ogr2ogr's SQLite dialect
+(/root/reference/scripts/ogr_groupby.sh:25-28) to merge e.g. the island
+polygons of one medical zone into one multipolygon. Non-grouped attributes
+take SQLite's first-row semantics -> ``first()``.
+
+Spark strategy: ``groupBy(keys).applyInPandas`` with a collect-union kernel
+(multipolygon part concatenation — point-set-identical to ST_Union for the
+exactly-tiling admin layers this is applied to). Two-phase safety: the
+kernel is associative (bytes concat), so for very large groups a salted
+pre-union (``salt_n``) bounds per-group memory — partial unions merge in a
+second pass, mirroring Catalyst's partial/final split for built-in aggs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..geom import wkb
+
+
+def _union_kernel(keys: tuple, pdf: pd.DataFrame, key_cols: list[str]) -> pd.DataFrame:
+    merged = wkb.merge_multipolygons([bytes(b) for b in pdf["geom"]])
+    x0, y0, x1, y1 = wkb.multipolygon_bbox(merged)
+    out = {c: [keys[i]] for i, c in enumerate(key_cols)}
+    out.update(
+        {
+            "n_parts": [len(wkb.parse_multipolygon(merged))],
+            "geom": [merged],
+            "area": [wkb.multipolygon_area(merged)],
+            "xmin": [x0],
+            "ymin": [y0],
+            "xmax": [x1],
+            "ymax": [y1],
+        }
+    )
+    return pd.DataFrame(out)
+
+
+def dissolve(df: DataFrame, keys: list[str], geom_col: str = "geom", salt_n: int = 0) -> DataFrame:
+    """GROUP BY keys + geometry union; returns keys + n_parts + geom +
+    area/bbox analytics columns."""
+    key_fields = [df.schema[k] for k in keys]
+    out_schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("n_parts", T.IntegerType()),
+            T.StructField("geom", T.BinaryType()),
+            T.StructField("area", T.DoubleType()),
+            T.StructField("xmin", T.DoubleType()),
+            T.StructField("ymin", T.DoubleType()),
+            T.StructField("xmax", T.DoubleType()),
+            T.StructField("ymax", T.DoubleType()),
+        ]
+    )
+    src = df.select(*keys, F.col(geom_col).alias("geom"))
+
+    if salt_n > 1:
+        # two-phase: salted partial unions, then final merge per key
+        salted = src.withColumn("_salt", F.spark_partition_id() % salt_n)
+
+        def partial(keys_, pdf):
+            return _union_kernel(keys_[:-1], pdf, keys)
+
+        partial_schema = T.StructType(key_fields + [T.StructField("geom", T.BinaryType())])
+
+        def partial_kernel(kv, pdf):
+            merged = wkb.merge_multipolygons([bytes(b) for b in pdf["geom"]])
+            return pd.DataFrame({**{c: [kv[i]] for i, c in enumerate(keys)}, "geom": [merged]})
+
+        src = (
+            salted.groupBy(*keys, "_salt")
+            .applyInPandas(lambda kv, pdf: partial_kernel(kv, pdf), partial_schema)
+        )
+
+    return src.groupBy(*keys).applyInPandas(
+        lambda kv, pdf: _union_kernel(kv, pdf, keys), out_schema
+    )

@@ -1,0 +1,218 @@
+"""Cell-local kNN join with boundary-ring expansion (SURVEY J5, north_rule).
+
+Exact k-nearest-neighbor of each query point against a target point set,
+using the cell index for locality:
+
+  explore disk(query_cell, r) for growing r; stop once the kth-nearest
+  distance found so far is <= r * min(cell_w, cell_h) — any target outside
+  the explored disk is at least that far away (cells outside a Chebyshev-
+  radius-r disk are separated from the query by >= r full cell widths) —
+  so the answer is provably exact.
+
+Physical strategy: the target side (facilities: ~1e5 rows of (id, lon,
+lat)) is grouped into a per-cell dict of coordinate arrays on the driver
+and broadcast; queries stream through ``mapInPandas`` — the 10^12-row side
+never shuffles. Queries are processed per-cell (all queries in one cell
+share candidate arrays), each expansion step a vectorized distance-matrix
+computation. Ties broken by target id (pinned; matches the pytest oracle
+and the DuckDB ORDER BY dist, id oracle).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..geom import cell
+
+DEFAULT_RES = 6
+
+
+class TargetIndex:
+    def __init__(self, ids: np.ndarray, lon: np.ndarray, lat: np.ndarray, res: int = DEFAULT_RES):
+        self.res = res
+        self.ids = np.asarray(ids, dtype=np.int64)
+        self.lon = np.asarray(lon, dtype=np.float64)
+        self.lat = np.asarray(lat, dtype=np.float64)
+        cells = cell.encode(self.lon, self.lat, res)
+        order = np.argsort(cells, kind="stable")
+        self.sorted_cells = cells[order]
+        self.order = order
+        self.starts = np.flatnonzero(np.r_[True, self.sorted_cells[1:] != self.sorted_cells[:-1]])
+        self.uniq = self.sorted_cells[self.starts]
+        self.ends = np.r_[self.starts[1:], len(self.sorted_cells)]
+        self.n_total = len(self.ids)
+
+    def members(self, c: int) -> np.ndarray:
+        """Target ordinals in cell c."""
+        i = np.searchsorted(self.uniq, c)
+        if i >= len(self.uniq) or self.uniq[i] != c:
+            return np.empty(0, dtype=np.int64)
+        return self.order[self.starts[i] : self.ends[i]]
+
+
+def _knn_for_cell(idx: TargetIndex, qc: int, qx: np.ndarray, qy: np.ndarray, k: int):
+    """Exact kNN for all queries sharing cell qc. Returns (tid, dist) arrays
+    of shape (Q, k'), k' = min(k, n_targets)."""
+    cw, ch = cell.cell_size_deg(idx.res)
+    guard = min(cw, ch)
+    cand = idx.members(qc)
+    seen = {int(qc)}
+    r = 0
+    kth = np.full(len(qx), np.inf)
+    best_t: np.ndarray | None = None
+    best_d: np.ndarray | None = None
+    while True:
+        r += 1
+        new_cells = [c for c in cell.ring(qc, r) if int(c) not in seen]
+        seen.update(int(c) for c in new_cells)
+        new = [idx.members(int(c)) for c in new_cells]
+        new = [m for m in new if len(m)]
+        if new:
+            cand = np.concatenate([cand] + new)
+        enough = len(cand) >= min(k, idx.n_total)
+        if enough:
+            dx = idx.lon[cand][None, :] - qx[:, None]
+            dy = idx.lat[cand][None, :] - qy[:, None]
+            # plain sqrt(dx^2+dy^2) (NOT hypot): bit-identical to the SQL
+            # oracle's formula so value-hash comparisons match exactly
+            d = np.sqrt(dx * dx + dy * dy)
+            kk = min(k, d.shape[1])
+            tids = idx.ids[cand]
+            best_t = np.empty((len(qx), kk), dtype=np.int64)
+            best_d = np.empty((len(qx), kk))
+            for qi in range(len(qx)):
+                row = d[qi]
+                sel = np.lexsort((tids, row))[:kk]
+                best_t[qi] = tids[sel]
+                best_d[qi] = row[sel]
+            kth = best_d[:, -1]
+        # exactness guarantee: everything outside explored disk(r) is
+        # at least r*guard away
+        if enough and np.all(kth <= r * guard):
+            return best_t, best_d
+        if len(seen) >= (1 << idx.res) ** 2 or (enough and r * guard > 720):
+            return best_t, best_d
+
+
+def knn_join_broadcast(
+    queries: DataFrame,
+    targets_pdf: pd.DataFrame,
+    k: int,
+    query_id_col: str = "image_id",
+    target_id_col: str = "ogc_fid",
+    lon: str = "lon",
+    lat: str = "lat",
+    res: int = DEFAULT_RES,
+) -> DataFrame:
+    """(query_id, rank, target_id, dist) — exact kNN, broadcast targets,
+    zero shuffle of the query side."""
+    spark = queries.sparkSession
+    idx = TargetIndex(
+        targets_pdf[target_id_col].to_numpy(),
+        targets_pdf[lon].to_numpy(),
+        targets_pdf[lat].to_numpy(),
+        res,
+    )
+    bc = spark.sparkContext.broadcast(idx)
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id_col].dataType),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("target_id", T.LongType()),
+            T.StructField("dist", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        index: TargetIndex = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qx = pdf[lon].to_numpy()
+            qy = pdf[lat].to_numpy()
+            qids = pdf[query_id_col].to_numpy()
+            cells = cell.encode(qx, qy, index.res)
+            order = np.argsort(cells, kind="stable")
+            sc = cells[order]
+            starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+            ends = np.r_[starts[1:], len(sc)]
+            out_q, out_r, out_t, out_d = [], [], [], []
+            for s, e in zip(starts, ends):
+                sel = order[s:e]
+                t, d = _knn_for_cell(index, int(sc[s]), qx[sel], qy[sel], k)
+                kk = t.shape[1]
+                out_q.append(np.repeat(qids[sel], kk))
+                out_r.append(np.tile(np.arange(1, kk + 1), len(sel)))
+                out_t.append(t.ravel())
+                out_d.append(d.ravel())
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "rank": np.concatenate(out_r).astype(np.int32),
+                    "target_id": np.concatenate(out_t),
+                    "dist": np.concatenate(out_d),
+                }
+            )
+
+    return queries.select(query_id_col, lon, lat).mapInPandas(kernel, out_schema)
+
+
+def knn_join_shuffle(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int,
+    query_id_col: str = "image_id",
+    target_id_col: str = "ogc_fid",
+    lon: str = "lon",
+    lat: str = "lat",
+    res: int = 4,
+    max_ring: int = 2,
+) -> DataFrame:
+    """Distributed kNN for non-broadcastable targets: targets replicated to
+    their disk(max_ring) neighbor cells, equi-join on cell, per-query top-k
+    via window. Exact iff every query's kth neighbor lies within max_ring
+    cells (choose res so the expected per-cell target count >> k); callers
+    needing a hard guarantee use the broadcast variant."""
+    tgt = targets.select(
+        F.col(target_id_col).alias("target_id"),
+        F.col(lon).alias("t_lon"),
+        F.col(lat).alias("t_lat"),
+    )
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def disk_udf(lons: pd.Series, lats: pd.Series) -> pd.Series:
+        cells = cell.encode(lons.to_numpy(), lats.to_numpy(), res)
+        return pd.Series([cell.disk(int(c), max_ring).tolist() for c in cells])
+
+    tgt = tgt.withColumn("cell_id", F.explode(disk_udf("t_lon", "t_lat")))
+
+    @F.pandas_udf(T.LongType())
+    def cell_udf(lons: pd.Series, lats: pd.Series) -> pd.Series:
+        return pd.Series(cell.encode(lons.to_numpy(), lats.to_numpy(), res))
+
+    qry = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(lon).alias("q_lon"), F.col(lat).alias("q_lat")
+    ).withColumn("cell_id", cell_udf("q_lon", "q_lat"))
+
+    from pyspark.sql import Window
+
+    joined = qry.join(tgt, "cell_id").withColumn(
+        "dist",
+        # plain multiply (not pow): bit-identical to the SQL oracle formula
+        F.sqrt(
+            (F.col("t_lon") - F.col("q_lon")) * (F.col("t_lon") - F.col("q_lon"))
+            + (F.col("t_lat") - F.col("q_lat")) * (F.col("t_lat") - F.col("q_lat"))
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "target_id")
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int"), "target_id", "dist")
+    )

@@ -1,0 +1,208 @@
+"""Distributed point-in-polygon spatial join (SURVEY J4).
+
+The reference loads layers into PostGIS precisely so users can run
+``ST_Contains`` joins (/root/reference/NOTES.md:96-133,
+/root/reference/README.md:3-5). This module is the distributed equivalent,
+decomposed as cell-equi-join + exact ray-cast refinement:
+
+  1. polygons -> covering cells at resolution R (bbox polyfill, conservative)
+  2. points   -> their cell at R
+  3. equi-join on cell_id
+  4. exact ray-casting PIP filter (vectorized per candidate polygon)
+
+Two physical strategies (SURVEY §4):
+
+* ``pip_join_broadcast`` — the polygon side (admin boundaries: ~1e5 rows,
+  ~100 MB WKB nationwide) is packed into a per-cell candidate index + an
+  STR R-tree, broadcast to executors, and the join becomes a single
+  ``mapInPandas`` pass over the point table: **zero shuffle of the 10^12-row
+  image side**. This is the plan you want at 100 TB — the big side streams
+  through map tasks, the small side rides the broadcast.
+
+* ``pip_join_shuffle`` — both sides distributed: polygons exploded onto
+  covering cells, hash-partitioned equi-join on ``cell_id`` (AQE skew-join
+  splits hot Tokyo/Osaka cells), exact PIP refinement in a grouped kernel.
+  Use when the polygon side itself is too large to broadcast.
+
+Skew note: the broadcast path has no join skew by construction (no shuffle).
+The shuffle path relies on AQE skew-join plus optional salting of the
+explode (``salt_cells``) so one hot cell's candidate pairs split across
+``n_salt`` reducers.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..geom import cell, pip, rtree, wkb
+
+DEFAULT_RES = 7
+
+
+class PolygonIndex:
+    """Driver-built, broadcastable index over a polygon table.
+
+    cell_id -> np.ndarray of polygon ordinals; ordinal -> (id, parsed rings,
+    bbox). Plus a packed R-tree over polygon bboxes for ad-hoc bbox queries.
+    """
+
+    def __init__(self, ids: list, geoms: list[bytes], res: int = DEFAULT_RES):
+        self.res = res
+        self.ids = np.asarray(ids, dtype=object)
+        self.geoms = [wkb.parse_multipolygon(g) for g in geoms]
+        boxes = np.array([wkb.multipolygon_bbox(g) for g in geoms]).reshape(-1, 4)
+        self.boxes = boxes
+        self.tree = rtree.PackedRTree(boxes, np.arange(len(ids), dtype=np.int64))
+        self.cell_map: dict[int, np.ndarray] = {}
+        tmp: dict[int, list[int]] = {}
+        for ordinal, (x0, y0, x1, y1) in enumerate(boxes):
+            for c in cell.cover_bbox(x0, y0, x1, y1, res):
+                tmp.setdefault(int(c), []).append(ordinal)
+        self.cell_map = {k: np.asarray(v, dtype=np.int64) for k, v in tmp.items()}
+
+    @classmethod
+    def from_pandas(cls, pdf: pd.DataFrame, id_col: str, geom_col: str = "geom", res: int = DEFAULT_RES):
+        return cls(pdf[id_col].tolist(), pdf[geom_col].tolist(), res)
+
+    def assign(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        """Vectorized per-cell assignment: containing polygon id per point
+        (None if outside all). Points are grouped by cell so each
+        (cell, candidate-polygon) pair is one vectorized PIP call."""
+        out = np.full(len(px), None, dtype=object)
+        cells = cell.encode(px, py, self.res)
+        order = np.argsort(cells, kind="stable")
+        sorted_cells = cells[order]
+        starts = np.flatnonzero(np.r_[True, sorted_cells[1:] != sorted_cells[:-1]])
+        ends = np.r_[starts[1:], len(sorted_cells)]
+        for s, e in zip(starts, ends):
+            cands = self.cell_map.get(int(sorted_cells[s]))
+            if cands is None:
+                continue
+            idx = order[s:e]
+            bx, by = px[idx], py[idx]
+            remaining = np.ones(len(idx), dtype=bool)
+            for ordinal in cands:
+                if not remaining.any():
+                    break
+                x0, y0, x1, y1 = self.boxes[ordinal]
+                live = np.nonzero(remaining)[0]
+                inbox = (bx[live] >= x0) & (bx[live] <= x1) & (by[live] >= y0) & (by[live] <= y1)
+                live = live[inbox]
+                if not len(live):
+                    continue
+                hit = pip.points_in_multipolygon(bx[live], by[live], self.geoms[ordinal])
+                got = live[hit]
+                out[idx[got]] = self.ids[ordinal]
+                remaining[got] = False
+        return out
+
+
+def pip_join_broadcast(
+    points: DataFrame,
+    polys_pdf: pd.DataFrame,
+    poly_id_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    res: int = DEFAULT_RES,
+    out_col: str = "poly_id",
+    keep_unmatched: bool = False,
+) -> DataFrame:
+    """Broadcast PIP join: annotate each point row with its containing
+    polygon's id. No shuffle of the point table; narrow plan."""
+    spark = points.sparkSession
+    index = PolygonIndex.from_pandas(polys_pdf, poly_id_col)
+    bc = spark.sparkContext.broadcast(index)
+    out_schema = T.StructType(points.schema.fields + [T.StructField(out_col, T.StringType())])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx: PolygonIndex = bc.value
+        for pdf in batches:
+            assigned = idx.assign(pdf[lon].to_numpy(), pdf[lat].to_numpy())
+            yield pdf.assign(**{out_col: pd.Series(assigned, index=pdf.index, dtype=object)})
+
+    result = points.mapInPandas(kernel, out_schema)
+    if not keep_unmatched:
+        result = result.filter(F.col(out_col).isNotNull())
+    return result
+
+
+def explode_polygons_to_cells(polys: DataFrame, geom_col: str = "geom", res: int = DEFAULT_RES) -> DataFrame:
+    """Polygon side of the shuffle strategy: one row per covering cell.
+    Cover is bbox-conservative; exact PIP later removes false positives."""
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def cover_udf(geom: pd.Series) -> pd.Series:
+        out = []
+        for g in geom:
+            x0, y0, x1, y1 = wkb.multipolygon_bbox(bytes(g))
+            out.append(cell.cover_bbox(x0, y0, x1, y1, res).tolist())
+        return pd.Series(out)
+
+    return polys.withColumn("cell_id", F.explode(cover_udf(F.col(geom_col))))
+
+
+def attach_cell(points: DataFrame, lon: str = "lon", lat: str = "lat", res: int = DEFAULT_RES) -> DataFrame:
+    @F.pandas_udf(T.LongType())
+    def cell_udf(lons: pd.Series, lats: pd.Series) -> pd.Series:
+        return pd.Series(cell.encode(lons.to_numpy(), lats.to_numpy(), res))
+
+    return points.withColumn("cell_id", cell_udf(F.col(lon), F.col(lat)))
+
+
+def pip_join_shuffle(
+    points: DataFrame,
+    polys: DataFrame,
+    poly_id_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    geom_col: str = "geom",
+    res: int = DEFAULT_RES,
+    point_id_col: str = "image_id",
+    salt_cells: int = 1,
+) -> DataFrame:
+    """Fully distributed PIP join for a non-broadcastable polygon side.
+
+    Plan: explode polys to cells (+ optional salt) -> equi-join on cell
+    (AQE skew-join handles residual hot cells) -> exact vectorized PIP
+    refinement batch-wise (no groupBy needed: each joined row carries its
+    polygon WKB; the kernel vectorizes per distinct polygon in the batch).
+    """
+    pts = attach_cell(points.select(point_id_col, lon, lat), lon, lat, res)
+    pol = explode_polygons_to_cells(polys.select(poly_id_col, geom_col), geom_col, res)
+    if salt_cells > 1:
+        pol = pol.withColumn("salt", F.explode(F.array([F.lit(i) for i in range(salt_cells)])))
+        pts = pts.withColumn("salt", (F.crc32(F.col(point_id_col).cast("string")) % salt_cells).cast("int"))
+        joined = pts.join(pol, ["cell_id", "salt"])
+    else:
+        joined = pts.join(pol, "cell_id")
+
+    out_schema = T.StructType(
+        [
+            T.StructField(point_id_col, points.schema[point_id_col].dataType),
+            T.StructField(lon, T.DoubleType()),
+            T.StructField(lat, T.DoubleType()),
+            T.StructField("poly_id", polys.schema[poly_id_col].dataType),
+        ]
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            px = pdf[lon].to_numpy()
+            py = pdf[lat].to_numpy()
+            for _, grp in pdf.groupby(poly_id_col, sort=False):
+                geo = wkb.parse_multipolygon(bytes(grp[geom_col].iloc[0]))
+                gi = grp.index.to_numpy()
+                pos = pdf.index.get_indexer(gi)
+                keep[pos] = pip.points_in_multipolygon(px[pos], py[pos], geo)
+            out = pdf.loc[keep, [point_id_col, lon, lat, poly_id_col]]
+            yield out.rename(columns={poly_id_col: "poly_id"})
+
+    return joined.mapInPandas(refine, out_schema)

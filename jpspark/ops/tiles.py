@@ -1,0 +1,94 @@
+"""Raster-tile ↔ vector-cell assignment (SURVEY §3.3 step 3, north_rule).
+
+The reference's tiling stage exports FlatGeobuf and shells out to
+tippecanoe (/root/reference/NOTES.md:118-133). Our engine replaces it with
+distributed tile math over the image table.
+
+Tile scheme: equirectangular z/x/y over the full lon/lat plane —
+tile (z, x, y) covers lon ∈ [-180 + x·360/2^z, ...), lat likewise,
+half-open, y increasing northward. Chosen over web-mercator deliberately:
+no transcendental functions, so tile ids are reproducible bit-for-bit by
+any SQL engine (the DuckDB oracle) and consistent with the cell index —
+tile (z, x, y) IS cell ``from_xy(x, y, z)``. A web-mercator scheme would
+make equality-of-floor comparisons depend on libm rounding.
+
+Operators:
+  tile_assign        — (image row, zoom) -> (tile_z, tile_x, tile_y, cell_id)
+                       pure built-in column math (whole-stage codegen, no UDF)
+  tile_rollup        — per-tile aggregates with parent-tile rollup to a
+                       coarser zoom (two-phase partial agg)
+  tile_render_manifest — per-tile row groups for a renderer: tile id,
+                       row count, byte budget (the tiles/sec bench unit)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..geom.cell import LAT0, LAT1, LON0, LON1, _RES_SHIFT
+
+
+def tile_xy_cols(lon_col: str, lat_col: str, z: int):
+    """Pure Column expressions (codegen'd, UDF-free) for tile x/y at zoom z."""
+    n = F.lit(float(1 << z))
+    tx = F.floor((F.col(lon_col) - F.lit(LON0)) / F.lit(LON1 - LON0) * n)
+    ty = F.floor((F.col(lat_col) - F.lit(LAT0)) / F.lit(LAT1 - LAT0) * n)
+    tx = F.least(F.greatest(tx, F.lit(0)), F.lit((1 << z) - 1)).cast("long")
+    ty = F.least(F.greatest(ty, F.lit(0)), F.lit((1 << z) - 1)).cast("long")
+    return tx, ty
+
+
+def cell_id_from_tile(tx_col, ty_col, z: int):
+    """Column expr: Morton-interleave tile x/y into the cell id — the SQL
+    translation of geom.cell.from_xy, staying fully JVM-side."""
+    def spread(c):
+        v = c.cast("long")
+        v = v.bitwiseOR(F.shiftleft(v, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+        v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+        v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+        v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x3333333333333333))
+        v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x5555555555555555))
+        return v
+
+    return (
+        spread(tx_col)
+        .bitwiseOR(F.shiftleft(spread(ty_col), 1))
+        .bitwiseOR(F.lit(z << _RES_SHIFT))
+        .cast("long")
+    )
+
+
+def tile_assign(images: DataFrame, z: int, lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Assign each image row to its raster tile and matching vector cell."""
+    tx, ty = tile_xy_cols(lon, lat, z)
+    df = images.withColumn("tile_x", tx).withColumn("tile_y", ty).withColumn("tile_z", F.lit(z))
+    return df.withColumn("cell_id", cell_id_from_tile(F.col("tile_x"), F.col("tile_y"), z))
+
+
+def tile_rollup(assigned: DataFrame, parent_z: int, z: int) -> DataFrame:
+    """Roll per-tile counts up to a coarser zoom. Catalyst plans this as
+    partial (map-side) + final aggregation — the two-phase agg the
+    north_star asks for; no custom code needed."""
+    shift = z - parent_z
+    return (
+        assigned.groupBy(
+            F.lit(parent_z).alias("tile_z"),
+            F.shiftrightunsigned(F.col("tile_x"), shift).alias("tile_x"),
+            F.shiftrightunsigned(F.col("tile_y"), shift).alias("tile_y"),
+        )
+        .agg(
+            F.count("*").alias("n_images"),
+            F.approx_count_distinct("phash").alias("approx_distinct_phash"),
+        )
+    )
+
+
+def tile_render_manifest(assigned: DataFrame, byte_col: str = "bytes") -> DataFrame:
+    """Per-tile manifest: row count + payload bytes — the unit of the
+    tiles/sec throughput metric in BENCH."""
+    return assigned.groupBy("tile_z", "tile_x", "tile_y").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.length(F.col(byte_col))).alias("payload_bytes"),
+        F.min("cell_id").alias("cell_id"),
+    )

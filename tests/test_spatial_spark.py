@@ -1,0 +1,204 @@
+"""Golden tests: distributed spatial operators vs pure-Python oracles.
+
+These are the bit-for-bit join-parity gates from BASELINE.md: identical
+row sets for PIP assignment, kNN (incl. ranks), tile/cell assignment, and
+dissolve invariants, on the deterministic fixtures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from jpspark import fixtures as fx
+from jpspark.geom import cell, wkb
+from jpspark.ops import dissolve as dis
+from jpspark.ops import knn as knn_ops
+from jpspark.ops import spatial_join as sj
+from jpspark.ops import tiles as tile_ops
+
+N_IMG = 800
+N_MUNI = 40
+
+
+@pytest.fixture(scope="module")
+def polys():
+    return fx.admin_polygons(N_MUNI)
+
+
+@pytest.fixture(scope="module")
+def images_pdf(polys):
+    return fx.images(N_IMG, polys)
+
+
+@pytest.fixture(scope="module")
+def points_sdf(spark, images_pdf):
+    return spark.createDataFrame(images_pdf[["image_id", "lon", "lat", "phash"]])
+
+
+def test_pip_broadcast_matches_oracle(spark, polys, images_pdf, points_sdf):
+    got = (
+        sj.pip_join_broadcast(points_sdf, polys, "全国地方公共団体コード", out_col="muni")
+        .select("image_id", "muni")
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    oracle = fx.pip_assign_oracle(
+        images_pdf["lon"].to_numpy(), images_pdf["lat"].to_numpy(), polys
+    )
+    exp = (
+        pd.DataFrame({"image_id": images_pdf["image_id"], "muni": oracle})
+        .loc[lambda d: d["muni"] != ""]
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    # the fixtures tile the bbox exactly -> every point should be assigned
+    assert len(exp) == N_IMG
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_pip_shuffle_matches_broadcast(spark, polys, images_pdf, points_sdf):
+    polys_sdf = spark.createDataFrame(polys[["全国地方公共団体コード", "geom"]])
+    got = (
+        sj.pip_join_shuffle(points_sdf, polys_sdf, "全国地方公共団体コード", salt_cells=4)
+        .select("image_id", "poly_id")
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    oracle = fx.pip_assign_oracle(
+        images_pdf["lon"].to_numpy(), images_pdf["lat"].to_numpy(), polys
+    )
+    exp = (
+        pd.DataFrame({"image_id": images_pdf["image_id"], "poly_id": oracle})
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_knn_broadcast_matches_oracle(spark, polys, images_pdf, points_sdf):
+    fac = fx.facilities(150, polys)
+    k = 5
+    got = (
+        knn_ops.knn_join_broadcast(points_sdf.limit(200), fac, k)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    sub = images_pdf.iloc[:200]
+    exp = fx.knn_oracle(
+        sub["lon"].to_numpy(),
+        sub["lat"].to_numpy(),
+        fac["lon"].to_numpy(),
+        fac["lat"].to_numpy(),
+        fac["ogc_fid"].to_numpy(),
+        k,
+    )
+    exp["query_id"] = sub["image_id"].to_numpy()[exp["query_idx"]]
+    exp = (
+        exp[["query_id", "rank", "target_id", "dist"]]
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got["rank"] = got["rank"].astype(exp["rank"].dtype)
+    pd.testing.assert_frame_equal(got, exp, check_exact=True)
+
+
+def test_knn_shuffle_matches_oracle(spark, polys, images_pdf, points_sdf):
+    fac = fx.facilities(150, polys)
+    fac_sdf = spark.createDataFrame(fac[["ogc_fid", "lon", "lat"]])
+    k = 3
+    got = (
+        knn_ops.knn_join_shuffle(points_sdf.limit(100), fac_sdf, k, res=3, max_ring=2)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    sub = images_pdf.iloc[:100]
+    exp = fx.knn_oracle(
+        sub["lon"].to_numpy(), sub["lat"].to_numpy(),
+        fac["lon"].to_numpy(), fac["lat"].to_numpy(),
+        fac["ogc_fid"].to_numpy(), k,
+    )
+    exp["query_id"] = sub["image_id"].to_numpy()[exp["query_idx"]]
+    exp = (
+        exp[["query_id", "rank", "target_id", "dist"]]
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    got["rank"] = got["rank"].astype(exp["rank"].dtype)
+    assert np.allclose(got["dist"], exp["dist"])
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "target_id"]], exp[["query_id", "rank", "target_id"]]
+    )
+
+
+def test_tile_assign_matches_floor_oracle(spark, images_pdf, points_sdf):
+    z = 6
+    got = (
+        tile_ops.tile_assign(points_sdf, z)
+        .select("image_id", "tile_x", "tile_y", "cell_id")
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    n = 1 << z
+    lon = images_pdf["lon"].to_numpy()
+    lat = images_pdf["lat"].to_numpy()
+    tx = np.clip(np.floor((lon - cell.LON0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    ty = np.clip(np.floor((lat - cell.LAT0) / 180.0 * n), 0, n - 1).astype(np.int64)
+    cid = cell.from_xy(tx, ty, z)
+    exp = (
+        pd.DataFrame(
+            {"image_id": images_pdf["image_id"], "tile_x": tx, "tile_y": ty, "cell_id": cid}
+        )
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # tile->cell consistency: cell_id equals the cell index's own encoding
+    assert np.array_equal(cid, cell.encode(lon, lat, z))
+
+
+def test_tile_rollup_counts(spark, points_sdf):
+    assigned = tile_ops.tile_assign(points_sdf, 6)
+    fine = assigned.groupBy("tile_x", "tile_y").count().toPandas()
+    coarse = tile_ops.tile_rollup(assigned, 4, 6).toPandas()
+    fine["px"] = fine["tile_x"] // 4
+    fine["py"] = fine["tile_y"] // 4
+    exp = fine.groupby(["px", "py"])["count"].sum().reset_index()
+    got = coarse[["tile_x", "tile_y", "n_images"]].sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+    exp = (
+        exp.rename(columns={"px": "tile_x", "py": "tile_y", "count": "n_images"})
+        .sort_values(["tile_x", "tile_y"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
+
+
+def test_dissolve_prefecture(spark, polys):
+    sdf = spark.createDataFrame(polys[["都道府県名", "geom"]])
+    got = dis.dissolve(sdf, ["都道府県名"]).toPandas().set_index("都道府県名")
+    # oracle: per-prefecture part counts + exact area sums from the fixture
+    for pref, grp in polys.groupby("都道府県名"):
+        parts = sum(len(wkb.parse_multipolygon(g)) for g in grp["geom"])
+        area = sum(wkb.multipolygon_area(g) for g in grp["geom"])
+        assert got.loc[pref, "n_parts"] == parts
+        assert got.loc[pref, "area"] == pytest.approx(area, rel=1e-12)
+        merged = wkb.parse_multipolygon(bytes(got.loc[pref, "geom"]))
+        assert len(merged) == parts
+    # total dissolved area == bbox area (fixtures tile exactly)
+    lon0, lat0, lon1, lat1 = fx.BBOX
+    assert got["area"].sum() == pytest.approx((lon1 - lon0) * (lat1 - lat0), rel=1e-9)
+
+
+def test_dissolve_salted_matches_plain(spark, polys):
+    sdf = spark.createDataFrame(polys[["都道府県名", "geom"]])
+    plain = dis.dissolve(sdf, ["都道府県名"]).toPandas().set_index("都道府県名")
+    salted = dis.dissolve(sdf, ["都道府県名"], salt_n=3).toPandas().set_index("都道府県名")
+    for pref in plain.index:
+        assert plain.loc[pref, "n_parts"] == salted.loc[pref, "n_parts"]
+        assert plain.loc[pref, "area"] == pytest.approx(salted.loc[pref, "area"], rel=1e-12)
