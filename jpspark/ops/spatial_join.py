@@ -112,13 +112,16 @@ def pip_join_broadcast(
     res: int = DEFAULT_RES,
     out_col: str = "poly_id",
     keep_unmatched: bool = False,
+    out_type: T.DataType | None = None,
 ) -> DataFrame:
     """Broadcast PIP join: annotate each point row with its containing
     polygon's id. No shuffle of the point table; narrow plan."""
     spark = points.sparkSession
-    index = PolygonIndex.from_pandas(polys_pdf, poly_id_col)
+    index = PolygonIndex.from_pandas(polys_pdf, poly_id_col, res=res)
     bc = spark.sparkContext.broadcast(index)
-    out_schema = T.StructType(points.schema.fields + [T.StructField(out_col, T.StringType())])
+    out_schema = T.StructType(
+        points.schema.fields + [T.StructField(out_col, out_type or T.StringType())]
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx: PolygonIndex = bc.value

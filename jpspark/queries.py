@@ -1,0 +1,905 @@
+"""Driver-facing query registry: SURVEY §2 operators expressed over the
+driver's testdata tables, each paired with an independent ANSI-SQL oracle
+that DuckDB runs on the same parquet files.
+
+Determinism rules (so the driver's order-insensitive value-hash matches):
+- identical column names (aliased on BOTH sides);
+- money/quantity sums go through DECIMAL(18,2) (exact, order-independent)
+  and are cast to double at the end;
+- distances/cosines are computed with the literal same IEEE op sequence
+  on both sides (x*x, not pow/hypot), so bits match;
+- geo points are derived from integer columns by exact modular arithmetic
+  (k*PRIME % 1e6 / 1e6) — reproducible bit-for-bit in any engine;
+- rank columns cast to INTEGER on both sides; no unaliased aggregates.
+
+The geo queries run the REAL distributed machinery (broadcast polygon
+index + ray-casting PIP, cell-local kNN with ring expansion, tile morton
+math); the oracles exploit the closed-form construction of the synthetic
+polygons (floor-grid / cross-join+window) — independent implementations
+of the same spec, which is exactly what an oracle should be.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .geom import wkb
+from .ops import dedup, knn, similarity, spatial_join, text, textstats, tiles
+
+# --------------------------------------------------------------- helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_CJK = f"{chr(0x4E00)}-{chr(0x9FFF)}"
+
+# deterministic point derivation (exact integer math, see module docstring)
+# CAST(...AS DOUBLE) everywhere: Spark and DuckDB both parse bare decimal
+# literals as DECIMAL, whose exact arithmetic would diverge from the double
+# path; forcing double yields the bit-identical IEEE sequence in both.
+def _point_expr(key: str, scale: float, offset: float, prime: int) -> str:
+    return (
+        f"CAST({offset} AS DOUBLE) + CAST({scale} AS DOUBLE) * "
+        f"CAST(({key} * {prime}) % 1000000 AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+    )
+
+
+_LON_EXPR = _point_expr("event_id", 32, 122, 2654435761)
+_LAT_EXPR = _point_expr("event_id", 26, 20, 40503)
+_TLON_EXPR = _point_expr("c_custkey", 32, 122, 97781)
+_TLAT_EXPR = _point_expr("c_custkey", 26, 20, 33353)
+
+
+def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").selectExpr(
+        "event_id", f"{_LON_EXPR} AS lon", f"{_LAT_EXPR} AS lat"
+    )
+
+
+def _customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey", f"{_TLON_EXPR} AS lon", f"{_TLAT_EXPR} AS lat"
+    )
+
+
+def _grid_polys_pdf(nx: int = 8, ny: int = 8) -> pd.DataFrame:
+    """nx*ny rectangles tiling [122,154]x[20,46]; id = col + nx*row (the
+    floor-grid closed form the oracle uses)."""
+    w, h = 32.0 / nx, 26.0 / ny
+    rows = []
+    for j in range(ny):
+        for i in range(nx):
+            x0, y0 = 122.0 + i * w, 20.0 + j * h
+            ring = np.array(
+                [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]]
+            )
+            rows.append({"poly_id": j * nx + i, "geom": wkb.encode_multipolygon([[ring]])})
+    return pd.DataFrame(rows)
+
+
+# =========================================================== geo queries
+
+def q_geo_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: ray-casting PIP join (broadcast polygon index), counts per poly."""
+    pts = _event_points(spark, sf_dir)
+    assigned = spatial_join.pip_join_broadcast(
+        pts, _grid_polys_pdf(), "poly_id", out_col="poly_id", out_type=T.LongType()
+    )
+    return assigned.groupBy("poly_id").agg(F.count("*").alias("n_points"))
+
+
+def o_geo_pip_join() -> str:
+    return f"""
+    WITH pts AS (SELECT {_LON_EXPR} AS lon, {_LAT_EXPR} AS lat FROM events)
+    SELECT CAST(floor((lon - CAST(122 AS DOUBLE)) / CAST(4 AS DOUBLE))
+                + 8 * floor((lat - CAST(20 AS DOUBLE)) / CAST(3.25 AS DOUBLE)) AS BIGINT)
+             AS poly_id,
+           count(*) AS n_points
+    FROM pts GROUP BY 1
+    """
+
+
+def q_geo_pip_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 row-level parity: the exact (point -> polygon) assignment set."""
+    pts = _event_points(spark, sf_dir)
+    return spatial_join.pip_join_broadcast(
+        pts, _grid_polys_pdf(), "poly_id", out_col="poly_id", out_type=T.LongType()
+    ).select("event_id", "poly_id")
+
+
+def o_geo_pip_assign() -> str:
+    return f"""
+    SELECT event_id,
+           CAST(floor(({_LON_EXPR} - CAST(122 AS DOUBLE)) / CAST(4 AS DOUBLE))
+                + 8 * floor(({_LAT_EXPR} - CAST(20 AS DOUBLE)) / CAST(3.25 AS DOUBLE))
+                AS BIGINT) AS poly_id
+    FROM events
+    """
+
+
+def q_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: exact cell-local kNN with ring expansion, k=3, broadcast targets."""
+    pts = _event_points(spark, sf_dir)
+    targets = _customer_points(spark, sf_dir).toPandas()
+    out = knn.knn_join_broadcast(
+        pts, targets, k=3, query_id_col="event_id", target_id_col="c_custkey", res=5
+    )
+    return out.select(
+        F.col("query_id").alias("event_id"), "rank", F.col("target_id").alias("c_custkey"), "dist"
+    )
+
+
+def o_geo_knn() -> str:
+    return f"""
+    WITH q AS (SELECT event_id, {_LON_EXPR} AS qx, {_LAT_EXPR} AS qy FROM events),
+         t AS (SELECT c_custkey, {_TLON_EXPR} AS tx, {_TLAT_EXPR} AS ty FROM customer)
+    SELECT event_id, CAST(rank AS INTEGER) AS rank, c_custkey, dist FROM (
+      SELECT q.event_id, t.c_custkey,
+             sqrt((tx - qx) * (tx - qx) + (ty - qy) * (ty - qy)) AS dist,
+             row_number() OVER (
+               PARTITION BY q.event_id
+               ORDER BY sqrt((tx - qx) * (tx - qx) + (ty - qy) * (ty - qy)), t.c_custkey
+             ) AS rank
+      FROM q CROSS JOIN t
+    ) WHERE rank <= 3
+    """
+
+
+def q_geo_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster-tile assignment at z=6 (codegen'd Morton math), per-tile counts."""
+    pts = _event_points(spark, sf_dir)
+    assigned = tiles.tile_assign(pts, z=6)
+    return assigned.groupBy("tile_x", "tile_y").agg(F.count("*").alias("n_rows"))
+
+
+def o_geo_tile_assign() -> str:
+    return f"""
+    WITH pts AS (SELECT {_LON_EXPR} AS lon, {_LAT_EXPR} AS lat FROM events)
+    SELECT CAST(floor((lon - CAST(-180 AS DOUBLE)) / CAST(360 AS DOUBLE) * CAST(64 AS DOUBLE)) AS BIGINT) AS tile_x,
+           CAST(floor((lat - CAST(-90 AS DOUBLE)) / CAST(180 AS DOUBLE) * CAST(64 AS DOUBLE)) AS BIGINT) AS tile_y,
+           count(*) AS n_rows
+    FROM pts GROUP BY 1, 2
+    """
+
+
+def q_geo_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 dissolve: nation-derived 2x2-degree squares unioned per region."""
+    from .ops import dissolve as dis
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+
+    @F.pandas_udf(T.BinaryType())
+    def square_udf(keys: pd.Series) -> pd.Series:
+        out = []
+        for k in keys:
+            x0 = 122.0 + (int(k) % 5) * 2.0
+            y0 = 20.0 + (int(k) // 5) * 2.0
+            ring = np.array([[x0, y0], [x0 + 2, y0], [x0 + 2, y0 + 2], [x0, y0 + 2], [x0, y0]])
+            out.append(wkb.encode_multipolygon([[ring]]))
+        return pd.Series(out)
+
+    polys = nat.withColumn("geom", square_udf("n_nationkey"))
+    out = dis.dissolve(polys, ["n_regionkey"])
+    return out.select(
+        F.col("n_regionkey").alias("region_key"),
+        "n_parts",
+        "area",
+        "xmin", "ymin", "xmax", "ymax",
+    )
+
+
+def o_geo_dissolve() -> str:
+    return """
+    SELECT n_regionkey AS region_key,
+           CAST(count(*) AS INTEGER) AS n_parts,
+           CAST(count(*) * 4.0 AS DOUBLE) AS area,
+           min(122.0 + (n_nationkey % 5) * 2.0) AS xmin,
+           min(20.0 + (n_nationkey // 5) * 2.0) AS ymin,
+           max(122.0 + (n_nationkey % 5) * 2.0 + 2.0) AS xmax,
+           max(20.0 + (n_nationkey // 5) * 2.0 + 2.0) AS ymax
+    FROM nation GROUP BY 1
+    """
+
+
+# ====================================================== relational (SURVEY §2)
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-class flagship agg (TPC-H Q1 shape): decimal-exact sums."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def o_pricing_summary() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                AS DOUBLE) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def q_filter_neq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: license-filter analog (usage != 非商用 -> status != 'F')."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") != "F")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def o_filter_neq() -> str:
+    return "SELECT o_orderstatus AS status, count(*) AS n FROM orders WHERE o_orderstatus <> 'F' GROUP BY 1"
+
+
+def q_filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: identifier-filter analog (--filter-identifiers)."""
+    return _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+    ).select("n_nationkey", "n_name", "n_regionkey")
+
+
+def o_filter_isin() -> str:
+    return (
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation "
+        "WHERE n_name IN ('NATION_3','NATION_7','NATION_11')"
+    )
+
+
+def q_filter_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: CRS-filter analog (empty OR world-geodetic)."""
+    return _t(spark, sf_dir, "customer").filter(
+        (F.col("c_mktsegment") == "BUILDING") | (F.col("c_acctbal") < 0.0)
+    ).select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+def o_filter_or() -> str:
+    return (
+        "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer "
+        "WHERE c_mktsegment = 'BUILDING' OR c_acctbal < 0.0"
+    )
+
+
+def q_prefer_nationwide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: nationwide-preference prune — per customer, if any URGENT order
+    exists keep only URGENT ones, else keep all."""
+    w = Window.partitionBy("o_custkey")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "has_urgent", F.max((F.col("o_orderpriority") == "1-URGENT").cast("int")).over(w)
+        )
+        .filter((F.col("has_urgent") == 0) | (F.col("o_orderpriority") == "1-URGENT"))
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+    )
+
+
+def o_prefer_nationwide() -> str:
+    return """
+    SELECT o_orderkey, o_custkey, o_orderpriority FROM (
+      SELECT o_orderkey, o_custkey, o_orderpriority,
+             max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY o_custkey) AS has_urgent
+      FROM orders
+    ) WHERE has_urgent = 0 OR o_orderpriority = '1-URGENT'
+    """
+
+
+def q_version_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: year-range version selection analog."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-06-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+def o_version_range() -> str:
+    return """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-06-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """
+
+
+def q_argmax_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/W1: argmax-in-group — latest order(s) per customer."""
+    w = Window.partitionBy("o_custkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("mx", F.max("o_orderdate").over(w))
+        .filter(F.col("o_orderdate") == F.col("mx"))
+        .select("o_custkey", "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
+    )
+
+
+def o_argmax_latest() -> str:
+    return """
+    SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS d FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             max(o_orderdate) OVER (PARTITION BY o_custkey) AS mx
+      FROM orders
+    ) WHERE o_orderdate = mx
+    """
+
+
+def q_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: distinct-by-key, first wins (ON CONFLICT DO NOTHING analog)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id")
+    )
+
+
+def o_first_wins_dedup() -> str:
+    return """
+    SELECT user_id, event_id FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """
+
+
+def q_top1_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: priority pick — top-1 with deterministic tie-break."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(1)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def o_top1_priority() -> str:
+    return "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 1"
+
+
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/S6: unionByName with missing columns NULL-filled (VRT union layer)."""
+    a = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.col("c_acctbal").alias("bal")
+    )
+    b = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.col("s_nationkey").alias("nkey")
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+def o_union_by_name() -> str:
+    return """
+    SELECT c_name AS name, c_acctbal AS bal, CAST(NULL AS INTEGER) AS nkey FROM customer
+    UNION ALL
+    SELECT s_name AS name, CAST(NULL AS DOUBLE) AS bal, s_nationkey AS nkey FROM supplier
+    """
+
+
+def q_fk_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: FK equi-join, dimension broadcast (admini_boundary_cd analog)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
+        )
+    )
+
+
+def o_fk_broadcast_join() -> str:
+    return """
+    SELECT p_brand, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: interval predicate join (year-in-[start,end] analog)."""
+    buckets = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 1e9, "high")],
+        ["lo", "hi", "band"],
+    )
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.join(
+            F.broadcast(buckets),
+            (e["value"] >= buckets["lo"]) & (e["value"] < buckets["hi"]),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def o_range_join() -> str:
+    return """
+    WITH buckets(lo, hi, band) AS (VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'), (150.0, 1e9, 'high'))
+    SELECT band, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events JOIN buckets ON value >= lo AND value < hi
+    GROUP BY 1
+    """
+
+
+def q_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: anti-join (conflict-skip analog) — customers without orders."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return p.join(li, p["p_partkey"] == li["l_partkey"], "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+def o_left_anti() -> str:
+    return (
+        "SELECT p_partkey, p_name FROM part "
+        "WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)"
+    )
+
+
+# ------------------------------------------------- scalar function queries
+
+def q_year_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: leading-digit year regex."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(text.year_extract(F.col("o_orderpriority")).alias("prio_num"))
+        .groupBy("prio_num")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def o_year_extract() -> str:
+    return r"""
+    SELECT CAST(nullif(regexp_extract(o_orderpriority, '^(\d+)', 1), '') AS INTEGER)
+             AS prio_num,
+           count(*) AS n
+    FROM orders GROUP BY 1
+    """
+
+
+def q_paren_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: full-width paren strip + trim on a constructed display name."""
+    p = _t(spark, sf_dir, "part")
+    raw = F.concat(F.col("p_name"), F.lit("（注記）"))
+    return p.select("p_partkey", text.strip_fullwidth_parens(raw).alias("clean_name"))
+
+
+def o_paren_strip() -> str:
+    return (
+        "SELECT p_partkey, trim(regexp_replace(p_name || '（注記）', '（[^）]*）', '', 'g')) "
+        "AS clean_name FROM part"
+    )
+
+
+def q_identifier_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: identifier/table-name normalization."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select(text.normalize_identifier(F.col("p_type")).alias("ident"))
+        .groupBy("ident")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def o_identifier_normalize() -> str:
+    return (
+        "SELECT regexp_replace(lower(p_type), '[^a-z0-9]+', '_', 'g') AS ident, "
+        "count(*) AS n FROM part GROUP BY 1"
+    )
+
+
+def q_url_last_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: URL -> filename derivation."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://example.jp/data/"), F.col("source"), F.lit("/"),
+        F.col("doc_id").cast("string"), F.lit(".zip"),
+    )
+    return d.select("doc_id", text.url_last_segment(url).alias("fname"))
+
+
+def o_url_last_segment() -> str:
+    return (
+        "SELECT doc_id, regexp_extract('https://example.jp/data/' || source || '/' "
+        "|| CAST(doc_id AS VARCHAR) || '.zip', '([^/]+)$', 1) AS fname FROM documents"
+    )
+
+
+def q_nullif_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: trimmed-or-null cell normalization."""
+    e = _t(spark, sf_dir, "events")
+    raw = F.when(F.col("event_type") == "click", F.lit("   ")).otherwise(
+        F.concat(F.lit("  "), F.col("event_type"), F.lit("  "))
+    )
+    return e.select("event_id", text.nullif_trim(raw).alias("cleaned"))
+
+
+def o_nullif_trim() -> str:
+    return (
+        "SELECT event_id, nullif(trim(CASE WHEN event_type = 'click' THEN '   ' "
+        "ELSE '  ' || event_type || '  ' END), '') AS cleaned FROM events"
+    )
+
+
+def q_a40_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: A40 tsunami-depth range normalization + bounds (NOTES.md port)."""
+    li = _t(spark, sf_dir, "lineitem")
+    raw = (
+        F.when(F.col("l_linenumber") % 3 == 0, F.lit("0.5m以上1.0m未満"))
+        .when(F.col("l_linenumber") % 3 == 1, F.lit("5m以上"))
+        .otherwise(F.lit("0.3m未満"))
+    )
+    return (
+        li.select(
+            raw.alias("raw_range"),
+            text.a40_normalize_range(raw).alias("normalized"),
+            text.a40_lower_bound(raw).alias("lo"),
+            text.a40_upper_bound(raw).alias("hi"),
+        )
+        .groupBy("raw_range", "normalized", "lo", "hi")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def o_a40_ranges() -> str:
+    return r"""
+    WITH raw AS (
+      SELECT CASE WHEN l_linenumber % 3 = 0 THEN '0.5m以上1.0m未満'
+                  WHEN l_linenumber % 3 = 1 THEN '5m以上'
+                  ELSE '0.3m未満' END AS raw_range
+      FROM lineitem
+    ), norm AS (
+      SELECT raw_range,
+             regexp_extract(raw_range, '([0-9]+(?:\.[0-9]+)?)m以上', 1) AS lo_s,
+             regexp_extract(raw_range, '([0-9]+(?:\.[0-9]+)?)m未満', 1) AS hi_s
+      FROM raw
+    )
+    SELECT raw_range,
+           CASE WHEN lo_s <> '' AND hi_s <> ''
+                  THEN regexp_replace(lo_s, '\.0+$', '') || 'm-' || regexp_replace(hi_s, '\.0+$', '') || 'm'
+                WHEN lo_s <> '' THEN regexp_replace(lo_s, '\.0+$', '') || 'm-'
+                WHEN hi_s <> '' THEN '-' || regexp_replace(hi_s, '\.0+$', '') || 'm'
+                ELSE raw_range END AS normalized,
+           coalesce(CAST(nullif(lo_s, '') AS DOUBLE), -99.0) AS lo,
+           coalesce(CAST(nullif(hi_s, '') AS DOUBLE), 99.0) AS hi,
+           count(*) AS n
+    FROM norm GROUP BY 1, 2, 3, 4
+    """
+
+
+# ------------------------------------------------- text / dedup / similarity
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def o_dedup_exact() -> str:
+    return (
+        "SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS n_copies "
+        "FROM documents GROUP BY 1"
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tok = textstats.token_count(t)
+    punct = F.length(F.regexp_replace(t, r"[^.,!?;:]", ""))
+    stop_set = ",".join(f"'{s}'" for s in textstats.STOPWORDS)
+    words_lower = F.split(F.lower(F.trim(t)), r"\s+")
+    pat = "^(" + "|".join(textstats.STOPWORDS) + ")$"
+    n_stop = F.size(F.filter(words_lower, lambda w: w.rlike(pat)))
+    return d.select(
+        "doc_id",
+        F.length(t).alias("n_chars2"),
+        n_tok.alias("n_tokens"),
+        F.round(punct / F.greatest(F.length(t), F.lit(1)), 4).alias("punct_ratio"),
+        F.round(n_stop / F.greatest(n_tok, F.lit(1)), 4).alias("stopword_ratio"),
+    )
+
+
+def o_text_quality() -> str:
+    stop_set = ",".join(f"'{s}'" for s in textstats.STOPWORDS)
+    return rf"""
+    SELECT doc_id,
+           length(text) AS n_chars2,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           round(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                 / greatest(length(text), 1), 4) AS punct_ratio,
+           round(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                 x -> x IN ({stop_set})))
+                 / greatest(CASE WHEN trim(text) = '' THEN 0
+                                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1), 4)
+             AS stopword_ratio
+    FROM documents
+    """
+
+
+def q_token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(textstats.token_count(F.col("text"))).alias("total_tokens"),
+        F.sum(textstats.bpe_ish_token_count(F.col("text"))).alias("total_bpe_ish"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def o_token_count_by_lang() -> str:
+    return r"""
+    SELECT lang,
+           sum(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS total_tokens,
+           sum(length(regexp_replace(regexp_replace(text,
+                 '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]', 'x', 'g'), '\s+', '', 'g'))) AS total_bpe_ish,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.lang_id_heuristic(F.col("text")).alias("pred_lang"))
+
+
+def o_lang_id() -> str:
+    return rf"""
+    SELECT doc_id,
+           CASE WHEN length(regexp_replace(text, '[^{_CJK}]', '', 'g')) > 0 THEN 'zh'
+                WHEN (CASE WHEN length(text) = 0 THEN 1.0
+                           ELSE length(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))
+                                / length(text) END) < 0.7 THEN 'other'
+                WHEN regexp_matches(' ' || lower(text) || ' ', '.*\s(the|and|of|is)\s.*') THEN 'en'
+                ELSE 'latin' END AS pred_lang
+    FROM documents
+    """
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.fingerprint(F.col("text")).alias("fp"))
+
+
+def o_fingerprint() -> str:
+    return (
+        r"SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp "
+        "FROM documents"
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact ANN baseline), queries = vec_id < 8."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return similarity.cosine_topk_bruteforce(q, emb, k=5)
+
+
+def o_ann_topk() -> str:
+    return """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 8),
+         t AS (SELECT vec_id AS target_id, CAST(embedding AS DOUBLE[]) AS tv FROM embeddings)
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, target_id, cosine FROM (
+      SELECT query_id, target_id,
+             round(list_dot_product(qv, tv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(tv, tv))), 6)
+               AS cosine,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY list_dot_product(qv, tv)
+                        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(tv, tv))) DESC,
+                        target_id
+             ) AS rank
+      FROM q CROSS JOIN t WHERE query_id <> target_id
+    ) WHERE rank <= 5
+    """
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label buckets."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(emb, threshold=0.2, bucket_expr=F.col("label"))
+
+
+def o_embedding_neardup() -> str:
+    return """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+             AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.2
+    """
+
+
+# ----------------------------------------- non-SQL-expressible (rows-only)
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (custom signature kernel — no SQL
+    oracle; pytest verifies recall/precision on planted duplicates)."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, k=64)
+    return dedup.minhash_lsh_pairs(sigs, bands=16, rows_per_band=4, min_jaccard_est=0.5)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (rows-only; pytest-verified)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_neardup_pairs(dedup.simhash64(docs), max_hamming=8)
+
+
+def q_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row image fidelity gate on the payload table (input_hint):
+    decode bytes, check pixel allclose / PSNR>=40dB + phash consistency.
+    Fixture-synthesized (no image table in testdata); rows-only."""
+    from . import fixtures as fx
+    from .codec import image as img
+    from .codec.phash import phash64
+
+    pdf = fx.images(200)
+    sdf = spark.createDataFrame(pdf)
+
+    def validate(batches):
+        for b in batches:
+            ok_pixels, ok_phash, psnrs = [], [], []
+            for _, r in b.iterrows():
+                decoded = img.decode(bytes(r["bytes"]), r["fmt"])
+                original = fx.pixel_pattern(int(r["image_id"][3:]), int(r["w"]), int(r["h"]))
+                p = img.psnr(original, decoded)
+                psnrs.append(min(p, 99.0))
+                ok_pixels.append(
+                    bool(np.array_equal(decoded, original))
+                    if r["fmt"] in img.LOSSLESS
+                    else bool(p >= 40.0)
+                )
+                ok_phash.append(int(phash64(decoded)) == int(r["phash"]))
+            yield pd.DataFrame(
+                {
+                    "image_id": b["image_id"],
+                    "fmt": b["fmt"],
+                    "pixels_ok": ok_pixels,
+                    "phash_ok": ok_phash,
+                    "psnr_db": psnrs,
+                }
+            )
+
+    schema = "image_id string, fmt string, pixels_ok boolean, phash_ok boolean, psnr_db double"
+    return sdf.mapInPandas(validate, schema)
+
+
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash Hamming near-dup over the payload table (rows-only)."""
+    from . import fixtures as fx
+
+    pdf = fx.images(300)[["image_id", "phash"]]
+    planted = pdf.head(10).assign(image_id=lambda d: d["image_id"] + "_dup")
+    sdf = spark.createDataFrame(pd.concat([pdf, planted], ignore_index=True))
+    return similarity.phash_neardup_pairs(sdf, max_hamming=6)
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path) — rows-only; recall vs brute force
+    is asserted in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return similarity.cosine_topk_lsh(q, emb, k=5, n_bits=16, band_bits=4)
+
+
+# ------------------------------------------------------------------ registry
+
+QUERIES = {
+    # geo (the engine's raison d'être)
+    "geo_pip_join": q_geo_pip_join,
+    "geo_pip_assign": q_geo_pip_assign,
+    "geo_knn": q_geo_knn,
+    "geo_tile_assign": q_geo_tile_assign,
+    "geo_dissolve": q_geo_dissolve,
+    # relational operators (SURVEY §2.2-2.5)
+    "pricing_summary": q_pricing_summary,
+    "filter_neq": q_filter_neq,
+    "filter_isin": q_filter_isin,
+    "filter_or": q_filter_or,
+    "prefer_nationwide": q_prefer_nationwide,
+    "version_range": q_version_range,
+    "argmax_latest": q_argmax_latest,
+    "first_wins_dedup": q_first_wins_dedup,
+    "top1_priority": q_top1_priority,
+    "union_by_name": q_union_by_name,
+    "fk_broadcast_join": q_fk_broadcast_join,
+    "range_join": q_range_join,
+    "left_anti": q_left_anti,
+    # scalar functions (SURVEY §2.6)
+    "year_extract": q_year_extract,
+    "paren_strip": q_paren_strip,
+    "identifier_normalize": q_identifier_normalize,
+    "url_last_segment": q_url_last_segment,
+    "nullif_trim": q_nullif_trim,
+    "a40_ranges": q_a40_ranges,
+    # training-data pipeline ops
+    "dedup_exact": q_dedup_exact,
+    "text_quality": q_text_quality,
+    "token_count_by_lang": q_token_count_by_lang,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "ann_topk": q_ann_topk,
+    "embedding_neardup": q_embedding_neardup,
+    # non-SQL-expressible (rows-only)
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "image_validate": q_image_validate,
+    "phash_neardup": q_phash_neardup,
+    "ann_lsh_recall": q_ann_lsh_recall,
+}
+
+ORACLES = {
+    "geo_pip_join": o_geo_pip_join(),
+    "geo_pip_assign": o_geo_pip_assign(),
+    "geo_knn": o_geo_knn(),
+    "geo_tile_assign": o_geo_tile_assign(),
+    "geo_dissolve": o_geo_dissolve(),
+    "pricing_summary": o_pricing_summary(),
+    "filter_neq": o_filter_neq(),
+    "filter_isin": o_filter_isin(),
+    "filter_or": o_filter_or(),
+    "prefer_nationwide": o_prefer_nationwide(),
+    "version_range": o_version_range(),
+    "argmax_latest": o_argmax_latest(),
+    "first_wins_dedup": o_first_wins_dedup(),
+    "top1_priority": o_top1_priority(),
+    "union_by_name": o_union_by_name(),
+    "fk_broadcast_join": o_fk_broadcast_join(),
+    "range_join": o_range_join(),
+    "left_anti": o_left_anti(),
+    "year_extract": o_year_extract(),
+    "paren_strip": o_paren_strip(),
+    "identifier_normalize": o_identifier_normalize(),
+    "url_last_segment": o_url_last_segment(),
+    "nullif_trim": o_nullif_trim(),
+    "a40_ranges": o_a40_ranges(),
+    "dedup_exact": o_dedup_exact(),
+    "text_quality": o_text_quality(),
+    "token_count_by_lang": o_token_count_by_lang(),
+    "lang_id": o_lang_id(),
+    "fingerprint": o_fingerprint(),
+    "ann_topk": o_ann_topk(),
+    "embedding_neardup": o_embedding_neardup(),
+}
