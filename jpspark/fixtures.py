@@ -324,8 +324,12 @@ def w09_raw() -> tuple[pd.DataFrame, pd.DataFrame]:
     )
     enc_a = a.map(lambda s: s.encode("cp932") if isinstance(s, str) else s)
     enc_b = b.map(lambda s: s.encode("utf-8") if isinstance(s, str) else s)
-    enc_a.attrs["declared_encoding"] = "cp932"
-    enc_b.attrs["declared_encoding"] = None  # must be detected
+    # source a: no sidecar -> the CP932-first decode try-chain must detect it
+    # (mirrors gdal.rs:337-356); source b: declared encoding (the reference's
+    # primary SOURCE_ENCODING path) — its UTF-8 bytes are also valid CP932,
+    # the exact ambiguity the sidecar exists to resolve.
+    enc_a.attrs["declared_encoding"] = None
+    enc_b.attrs["declared_encoding"] = "utf-8"
     return enc_a, enc_b
 
 

@@ -1,0 +1,276 @@
+"""Reference-parity tests: ports of the reference's own unit-test asserts
+(SURVEY §5) onto our fixtures, plus manifest/catalog behavior."""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from jpspark import catalog as cat
+from jpspark import fixtures as fx
+from jpspark import manifest as mf
+from jpspark.ops import ingest, mapping, text, union
+
+# ------------------------------------------------------------- F5 templates
+
+
+def test_template_to_regex_goldens():
+    # N03-YY_PP pattern (the N03 admin-boundary hint shape)
+    rx = re.compile(mapping.template_to_regex("N03-YY_PP.shp"))
+    assert rx.search("N03-23_13.shp")
+    assert rx.search("subdir/N03-23_13.dbf")
+    assert rx.search("N03-23_13.prj")
+    assert not rx.search("N03-23_13.txt")
+    assert not rx.search("N03-23_X3.shp")
+    # CCCCC 5-digit code, mmmm mesh
+    rx2 = re.compile(mapping.template_to_regex("A30a5-11_CCCCC-jgd_GML"))
+    assert rx2.search("A30a5-11_49392-jgd_GML.shp")
+    assert not rx2.search("A30a5-11_4939-jgd_GML.shp")
+
+
+def test_template_anchoring():
+    rx = re.compile(mapping.template_to_regex("P23-12_38"))
+    assert rx.search("P23-12_38.shp")
+    assert rx.search("dir/P23-12_38.cpg")
+    assert not rx.search("XP23-12_38.shp")  # (?:^|/) anchor
+
+
+def test_normalize_matcher_string_a38_fixes():
+    # mapping.rs:109-120 — A38a-/b-/c- collapse + YY_PP_ fix, CRLF split
+    got = mapping.normalize_matcher_string("A38a-YY_PP_SecondaryMedicalArea.shp\r\nA38b-16_P.shp\n\n")
+    assert got == ["A38-YY_SecondaryMedicalArea.shp", "A38-16_P.shp"]
+
+
+def test_a33_special_case():
+    got = mapping.a33_special_case("A33", ["A33-YY_Polygon.shp"])
+    assert got == ["A33-YY_Po?lygon.shp"]
+    rx = re.compile(mapping.template_to_regex(got[0]).replace(re.escape("?"), "?"))
+    # the ? must act as a regex optional: both spellings match
+    pat = mapping.template_to_regex("A33-YY_Po?lygon.shp").replace(r"\?", "?")
+    rx = re.compile(pat)
+    assert rx.search("A33-21_Polygon.shp") and rx.search("A33-21_Plygon.shp")
+
+
+def test_match_entries_fallback_and_known_bad_skip():
+    m = mapping.ShapefileMapping("x1", ["X1-YY_PP.shp"])
+    entries = [
+        "X1-23_13.shp", "X1-23_13.dbf", "other\\thing.shp",
+        "N08-21_GML/utf8/bad.shp", "readme.txt",
+    ]
+    assert mapping.match_entries(entries, m) == ["X1-23_13.shp", "X1-23_13.dbf"]
+    # nothing strict-matches -> catch-all widening, still skipping known-bad
+    m2 = mapping.ShapefileMapping("x2", ["ZZ-YY.shp"])
+    got = mapping.match_entries(entries, m2)
+    assert got == ["X1-23_13.shp", "X1-23_13.dbf", "other/thing.shp"]
+
+
+def test_apply_field_mapping_silently_skips_absent(spark):
+    df = spark.createDataFrame(pd.DataFrame({"W09_001": ["a"], "W09_002": ["b"]}))
+    m = mapping.ShapefileMapping(
+        "w09", [], field_mappings=[("名称", "W09_001"), ("存在しない", "W09_999"), ("県名", "W09_002")]
+    )
+    out = mapping.apply_field_mapping(df, m)
+    assert out.columns == ["名称", "県名"]
+
+
+# ------------------------------------------------------------- F2 encoding
+
+
+def test_detect_encoding_cp932_first():
+    # mirrors gdal.rs:410-423: cp932 content -> CP932 even though pure
+    # ASCII would decode as utf-8 too (CP932 probed first)
+    cp = "北海道".encode("cp932")
+    assert text.detect_encoding([cp]) == "cp932"
+    # utf-8-only content (contains bytes invalid in cp932 when decoded strictly)
+    utf = "①②③𩸽".encode("utf-8")
+    assert text.detect_encoding([utf]) in ("utf-8", "cp932")
+    # a byte sequence valid only as utf-8
+    assert text.detect_encoding(["あ".encode("utf-8")]) in ("cp932", "utf-8")
+    # pure ascii -> cp932 (first in chain), pinning the reference's order
+    assert text.detect_encoding([b"abc"]) == "cp932"
+
+
+def test_union_mapped_sources_w09(spark):
+    a, b = fx.w09_raw()
+    decoded = union.decode_sources(spark, [a, b])
+    m = mapping.ShapefileMapping(
+        "w09",
+        [],
+        field_mappings=[("名称", "W09_001"), ("都道府県名", "W09_002"), ("追加", "W09_004")],
+    )
+    out = union.union_mapped_sources(decoded, m).toPandas()
+    assert set(out.columns) == {"追加", "名称", "都道府県名"}
+    assert len(out) == 3
+    assert set(out["名称"]) == {"湖沼A", "湖沼B", "湖沼C"}
+    # cp932 source lacks W09_004 -> NULL-filled
+    assert out.loc[out["名称"] == "湖沼A", "追加"].isna().all()
+    assert out.loc[out["名称"] == "湖沼C", "追加"].iloc[0] == "追加属性"
+
+
+# ------------------------------------------------------------- F1/F13 text
+
+
+def test_nfkc_crosswalk(spark):
+    cw = fx.admini_boundary_cd(fx.admin_polygons(10))
+    # reference golden (admini_boundary.rs:233-237): first row
+    assert cw.iloc[0]["行政区域コード"] == "01000"
+    assert cw.iloc[0]["都道府県名（漢字）"] == "北海道"
+    assert cw.iloc[0]["市区町村名（漢字）"] is None
+    assert cw.iloc[0]["都道府県名（ふりがな）"] == "ホッカイドウ"
+    assert len(cw.columns) == 11
+    sdf = spark.createDataFrame(cw[["改正前のコード", "改正年月日"]])
+    out = sdf.select(
+        text.nfkc_udf(F.col("改正前のコード")).alias("code"),
+        text.nfkc_udf(F.col("改正年月日")).alias("date"),
+    ).toPandas()
+    # full-width digits normalized
+    assert out["code"].dropna().str.fullmatch(r"\d{5}").all()
+    assert (out["date"].dropna() == "2014.4.5").all()
+
+
+A40_GOLDEN = [
+    ("0.5m以上1.0m未満", "0.5m-1m", 0.5, 1.0),
+    ("5m以上", "5m-", 5.0, 99.0),
+    ("0.3m未満", "-0.3m", -99.0, 0.3),
+    ("2.0m以上3.5m未満", "2m-3.5m", 2.0, 3.5),
+]
+
+
+def test_a40_goldens(spark):
+    df = spark.createDataFrame(pd.DataFrame({"raw": [g[0] for g in A40_GOLDEN]}))
+    out = df.select(
+        text.a40_normalize_range(F.col("raw")).alias("norm"),
+        text.a40_lower_bound(F.col("raw")).alias("lo"),
+        text.a40_upper_bound(F.col("raw")).alias("hi"),
+    ).toPandas()
+    for i, (_, norm, lo, hi) in enumerate(A40_GOLDEN):
+        assert out.iloc[i]["norm"] == norm
+        assert out.iloc[i]["lo"] == lo
+        assert out.iloc[i]["hi"] == hi
+
+
+# ------------------------------------------------------------- S3 ingest
+
+
+def _make_zip(entries: dict[str, bytes]) -> bytes:
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w") as zf:
+        for name, data in entries.items():
+            zf.writestr(name, data)
+    return bio.getvalue()
+
+
+def test_extract_zip_nested_and_filtered(spark, tmp_path):
+    inner = _make_zip({"P23-12_38.shp": b"SHP", "P23-12_38.dbf": b"DBF", "junk.txt": b"no"})
+    outer = _make_zip(
+        {
+            "data/inner.zip": inner,
+            "N03-23_13.shp": b"TOP",
+            "N08-21_GML/utf8/bad.shp": b"BAD",
+        }
+    )
+    p = tmp_path / "outer.zip"
+    p.write_bytes(outer)
+    archives = ingest.read_archives(spark, str(p), n_slots=2)
+    m = mapping.ShapefileMapping("p23", ["P23-12_PP.shp", "N03-YY_PP.shp"])
+    out = ingest.extract_archives(archives, m).toPandas().sort_values("entry")
+    assert list(out["entry"]) == [
+        "N03-23_13.shp",
+        "data/inner.zip/P23-12_38.dbf",
+        "data/inner.zip/P23-12_38.shp",
+    ]
+    assert bytes(out.iloc[0]["content"]) == b"TOP"
+
+
+def test_extract_zip_fallback_widening(spark, tmp_path):
+    z = _make_zip({"whatever_name.shp": b"X", "note.txt": b"n"})
+    p = tmp_path / "a.zip"
+    p.write_bytes(z)
+    archives = ingest.read_archives(spark, str(p), n_slots=1)
+    m = mapping.ShapefileMapping("zz", ["ZZ-YY_PP.shp"])  # strict matches nothing
+    out = ingest.extract_archives(archives, m).toPandas()
+    assert list(out["entry"]) == ["whatever_name.shp"]
+
+
+# ------------------------------------------------------------- manifest
+
+
+def test_manifest_write_resume_and_partition_loss(spark, tmp_path):
+    out_dir = str(tmp_path / "ckpt")
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    m1 = mf.write_checkpointed(df, out_dir, lineage="range->x2", num_partitions=4)
+    assert m1["total_rows"] == 1000
+    assert len(m1["partitions"]) == 4
+    assert not any(p["skipped_on_last_run"] for p in m1["partitions"].values())
+    # idempotent re-run: every partition skipped, bytes identical
+    m2 = mf.write_checkpointed(df, out_dir, lineage="range->x2", num_partitions=4)
+    assert all(p["skipped_on_last_run"] for p in m2["partitions"].values())
+    assert m2["total_rows"] == 1000
+    # kill one partition -> only that one rewritten
+    mf.simulate_partition_loss(out_dir, 2)
+    m3 = mf.write_checkpointed(df, out_dir, lineage="range->x2", num_partitions=4)
+    assert m3["partitions"]["2"]["skipped_on_last_run"] is False
+    assert all(
+        m3["partitions"][str(i)]["skipped_on_last_run"] for i in (0, 1, 3)
+    )
+    # data integrity after resume
+    back = spark.read.parquet(f"{out_dir}/part-*.parquet")
+    assert back.count() == 1000
+    assert back.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(1000))
+
+
+def test_manifest_fingerprint_changes_on_data_change(spark, tmp_path):
+    out_dir = str(tmp_path / "ckpt2")
+    df1 = spark.range(100).withColumn("v", F.col("id"))
+    mf.write_checkpointed(df1, out_dir, num_partitions=2)
+    df2 = spark.range(100).withColumn("v", F.col("id") + 1)
+    m = mf.write_checkpointed(df2, out_dir, num_partitions=2)
+    assert not any(p["skipped_on_last_run"] for p in m["partitions"].values())
+
+
+# ------------------------------------------------------------- catalog
+
+
+def test_catalog_metadata_and_fk_inference(spark, tmp_path):
+    polys = fx.admin_polygons(8)
+    fac = fx.facilities(20, polys)
+    sdf = spark.createDataFrame(fac[["行政区域コード", "施設分類", "名称", "geom"]])
+    meta = cat.build_metadata_from_df(
+        sdf,
+        identifier="p05",
+        name="都市施設",
+        attribute_meta={"施設分類": {"desc": "施設の分類", "enum_values": {"1": "官公庁"}}},
+        geometry_type="MULTIPOINT",
+    )
+    cols = {c.name: c for c in meta.columns}
+    assert cols["行政区域コード"].foreign_key == cat.ADMINI_FK
+    assert cols["施設分類"].enum_values == {"1": "官公庁"}
+    assert cols["名称"].foreign_key is None
+    assert cols["ogc_fid"].type == "int4"
+    assert cols["geom"].type == "geometry(MULTIPOINT,6668)"
+    c = cat.Catalog(str(tmp_path / "catalog"))
+    assert not c.table_exists("p05")
+    c.upsert(meta)
+    assert c.table_exists("p05")
+    assert c.list_datasets() == ["p05"]
+    got = c.get("p05")
+    assert got["srid"] == 6668 and got["primary_key"] == "ogc_fid"
+    # upsert overwrites (S11 upsert semantics)
+    meta.desc = "updated"
+    c.upsert(meta)
+    assert c.get("p05")["desc"] == "updated"
+
+
+def test_spark_type_to_pg_map():
+    # F10 (gdal.rs:214-234)
+    assert cat.spark_type_to_pg("string") == "varchar"
+    assert cat.spark_type_to_pg("bigint") == "int8"
+    assert cat.spark_type_to_pg("array<int>") == "int4[]"
+    assert cat.spark_type_to_pg("array<string>") == "varchar[]"
+    assert cat.spark_type_to_pg("map<string,int>") == "varchar"  # fallback
