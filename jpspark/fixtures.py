@@ -66,21 +66,70 @@ def _jittered_vertices(g: int, jitter: float = 0.30, salt: int = 1):
     return vx + dx, vy + dy
 
 
-def _atom_ring(vx, vy, i: int, j: int) -> np.ndarray:
-    """CCW ring of grid atom (col i, row j). Closed (first == last)."""
-    return np.array(
-        [
-            [vx[j, i], vy[j, i]],
-            [vx[j, i + 1], vy[j, i + 1]],
-            [vx[j + 1, i + 1], vy[j + 1, i + 1]],
-            [vx[j + 1, i], vy[j + 1, i]],
-            [vx[j, i], vy[j, i]],
-        ]
+def _edge_polyline(p0: np.ndarray, p1: np.ndarray, subdiv: int) -> np.ndarray:
+    """Deterministic jittered polyline from p0 to p1 (exclusive of p1).
+
+    The jitter is a function of the undirected edge identity (its two
+    endpoints), so the two atoms sharing this edge generate the SAME
+    boundary — the tiling stays exact, like real adjacent admin polygons
+    sharing a coastline-detail border."""
+    if subdiv <= 1:
+        return p0[None, :]
+    # canonicalize the edge so both traversal directions generate the
+    # exact same interior vertex positions
+    forward = (p0[0], p0[1]) <= (p1[0], p1[1])
+    a, b = (p0, p1) if forward else (p1, p0)
+    t = np.arange(1, subdiv)[:, None] / subdiv
+    base = a[None, :] * (1 - t) + b[None, :] * t
+    key = np.uint64(
+        (int(round(float(a[0] + b[0]) * 1e6)) * 31 + int(round(float(a[1] + b[1]) * 1e6)))
+        & 0xFFFFFFFFFFFFFFFF
     )
+    mixed = np.uint64((int(key) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+    idx = np.arange(1, subdiv, dtype=np.uint64) + mixed
+    jit = ((_hash_u64(idx) % np.uint64(2001)).astype(np.float64) - 1000.0) / 1000.0
+    d = b - a
+    perp = np.array([-d[1], d[0]])
+    lon0, lat0, lon1, lat1 = BBOX
+    on_border = (
+        (a[0] == b[0] and a[0] in (lon0, lon1))
+        or (a[1] == b[1] and a[1] in (lat0, lat1))
+    )
+    if on_border:
+        jit = np.zeros_like(jit)  # bbox border stays straight (no gaps/pokes)
+    # sine taper: wiggle vanishes at the corners, so edges meeting at sharp
+    # jittered-quad angles cannot cross near their shared vertex
+    jit = jit * np.sin(np.pi * t[:, 0]) * 0.08
+    interior = base + perp[None, :] * jit[:, None]
+    if not forward:
+        interior = interior[::-1]
+    return np.vstack([p0[None, :], interior])
 
 
-def admin_polygons(n_munis: int = 50, grid: int | None = None) -> pd.DataFrame:
-    """N03-like municipalities as WKB MULTIPOLYGONs that exactly tile BBOX."""
+def _atom_ring(vx, vy, i: int, j: int, subdiv: int = 1) -> np.ndarray:
+    """CCW ring of grid atom (col i, row j). Closed (first == last).
+    ``subdiv`` > 1 produces detailed shared-edge boundaries (coastline
+    analog) while preserving the exact tiling."""
+    corners = [
+        np.array([vx[j, i], vy[j, i]]),
+        np.array([vx[j, i + 1], vy[j, i + 1]]),
+        np.array([vx[j + 1, i + 1], vy[j + 1, i + 1]]),
+        np.array([vx[j + 1, i], vy[j + 1, i]]),
+    ]
+    if subdiv <= 1:
+        return np.array([*corners, corners[0]])
+    parts = [
+        _edge_polyline(corners[k], corners[(k + 1) % 4], subdiv) for k in range(4)
+    ]
+    return np.vstack([*parts, corners[0][None, :]])
+
+
+def admin_polygons(n_munis: int = 50, grid: int | None = None, subdiv: int = 1) -> pd.DataFrame:
+    """N03-like municipalities as WKB MULTIPOLYGONs that exactly tile BBOX.
+
+    ``subdiv`` > 1 subdivides every shared boundary into a deterministic
+    jittered polyline (4*subdiv+1 vertices/ring) — the coastline-detail
+    analog of real N03 data, used by the bench for realistic PIP cost."""
     g = grid or int(np.ceil(np.sqrt(n_munis * 1.3)))
     vx, vy = _jittered_vertices(g)
     n_atoms = g * g
@@ -99,7 +148,7 @@ def admin_polygons(n_munis: int = 50, grid: int | None = None) -> pd.DataFrame:
     rows = []
     for m in range(n_munis):
         atoms = np.nonzero(owner == m)[0]
-        polys = [[_atom_ring(vx, vy, int(a % g), int(a // g))] for a in atoms]
+        polys = [[_atom_ring(vx, vy, int(a % g), int(a // g), subdiv)] for a in atoms]
         pref = PREFS[m * len(PREFS) // n_munis]
         name = "東京特区" if m == 0 else f"{pref[:-1]}市{m}"
         code = f"{(m + 1) * 20 + 101:05d}"

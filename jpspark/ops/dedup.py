@@ -13,6 +13,8 @@ included in the key), and the verify join touches only candidate pairs.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -27,20 +29,19 @@ def _hash_u64(a: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+def _h64(s: str) -> int:
+    """Stable 64-bit string hash at C speed (blake2b; PYTHONHASHSEED-proof)."""
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+
+
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Word n-gram shingles -> uint64 hashes (FNV-1a over the joined bytes)."""
+    """Word n-gram shingles -> unique uint64 hashes."""
     words = text.split()
     if len(words) < n:
         grams = [" ".join(words)] if words else [""]
     else:
         grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        h = np.uint64(0xCBF29CE484222325)
-        for b in g.encode("utf-8"):
-            h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
-        out[i] = h
-    return np.unique(out)
+    return np.unique(np.fromiter((_h64(g) for g in grams), dtype=np.uint64, count=len(grams)))
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -136,12 +137,7 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             if not words:
                 out[i] = 0
                 continue
-            hs = np.empty(len(words), dtype=np.uint64)
-            for j, w in enumerate(words):
-                h = np.uint64(0xCBF29CE484222325)
-                for c in w.encode("utf-8"):
-                    h = (h ^ np.uint64(c)) * np.uint64(0x100000001B3)
-                hs[j] = h
+            hs = np.fromiter((_h64(w) for w in words), dtype=np.uint64, count=len(words))
             bits = (hs[:, None] >> bitpos[None, :]) & np.uint64(1)
             votes = bits.sum(axis=0) * 2 - len(words)
             sh = np.uint64(0)

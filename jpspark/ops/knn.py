@@ -77,20 +77,35 @@ def _knn_for_cell(idx: TargetIndex, qc: int, qx: np.ndarray, qy: np.ndarray, k: 
             cand = np.concatenate([cand] + new)
         enough = len(cand) >= min(k, idx.n_total)
         if enough:
-            dx = idx.lon[cand][None, :] - qx[:, None]
-            dy = idx.lat[cand][None, :] - qy[:, None]
+            tids = idx.ids[cand]
+            # candidates pre-sorted by target id: a STABLE argsort on the
+            # distance matrix then tie-breaks by id for free, fully
+            # vectorized (no per-query Python loop)
+            id_order = np.argsort(tids, kind="stable")
+            cand_sorted = cand[id_order]
+            tids = tids[id_order]
+            dx = idx.lon[cand_sorted][None, :] - qx[:, None]
+            dy = idx.lat[cand_sorted][None, :] - qy[:, None]
             # plain sqrt(dx^2+dy^2) (NOT hypot): bit-identical to the SQL
             # oracle's formula so value-hash comparisons match exactly
             d = np.sqrt(dx * dx + dy * dy)
             kk = min(k, d.shape[1])
-            tids = idx.ids[cand]
-            best_t = np.empty((len(qx), kk), dtype=np.int64)
-            best_d = np.empty((len(qx), kk))
-            for qi in range(len(qx)):
-                row = d[qi]
-                sel = np.lexsort((tids, row))[:kk]
-                best_t[qi] = tids[sel]
-                best_d[qi] = row[sel]
+            if d.shape[1] > 4 * kk:
+                # cheap unordered top-kk first, then sort the small slice
+                part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+                dpart = np.take_along_axis(d, part, axis=1)
+                # re-sort by (dist, id): stable argsort of dist over
+                # id-ascending columns needs id order restored first
+                id_in_part = np.argsort(part, axis=1, kind="stable")
+                part = np.take_along_axis(part, id_in_part, axis=1)
+                dpart = np.take_along_axis(dpart, id_in_part, axis=1)
+                sel_local = np.argsort(dpart, axis=1, kind="stable")
+                best_t = tids[np.take_along_axis(part, sel_local, axis=1)]
+                best_d = np.take_along_axis(dpart, sel_local, axis=1)
+            else:
+                sel = np.argsort(d, axis=1, kind="stable")[:, :kk]
+                best_t = tids[sel]
+                best_d = np.take_along_axis(d, sel, axis=1)
             kth = best_d[:, -1]
         # exactness guarantee: everything outside explored disk(r) is
         # at least r*guard away

@@ -1,0 +1,171 @@
+"""Multimodal column operators over opaque binary payloads.
+
+Images are fully real (our own codecs); audio/video decode is STUBBED
+behind deterministic fakes / NotImplementedError — the codec libraries are
+absent in this environment — but the Spark-side plumbing (schemas,
+batching, UDF signatures, partitioning) is real and tested, so swapping a
+real decoder in is a one-function change.
+
+All kernels are ``mapInPandas`` over Arrow batches; the session caps
+``maxRecordsPerBatch`` so fat binary rows bound executor memory.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..codec import image as img
+from ..codec.phash import phash64
+
+FEATURE_DIM = 48  # 16-bin luma histogram + 16 row means + 16 col means
+
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    """Decode each image and emit shape/stats columns — the validation
+    scan of the payload table (real decode, no stubs)."""
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("mean_luma", T.DoubleType()),
+            T.StructField("phash_check", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                px = img.decode(bytes(r["bytes"]), r["fmt"])
+                rows.append(
+                    (
+                        r["image_id"],
+                        px.shape[1],
+                        px.shape[0],
+                        r["fmt"],
+                        float(img.gray_f64(px).mean()),
+                        int(phash64(px)),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(kernel, schema)
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int, out_fmt: str = "raw") -> DataFrame:
+    """Distributed image resize (area-mean, real): re-encodes to out_fmt."""
+    schema = "image_id string, bytes binary, w int, h int, fmt string"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                px = img.decode(bytes(r["bytes"]), r["fmt"])
+                small = np.clip(
+                    np.round(img.resize_area_mean(px, out_h, out_w)), 0, 255
+                ).astype(np.uint8)
+                rows.append((r["image_id"], img.encode(small, out_fmt), out_w, out_h, out_fmt))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(kernel, schema)
+
+
+def extract_features(images: DataFrame) -> DataFrame:
+    """Real feature extraction: 48-dim embedding (luma histogram + row/col
+    profiles) as array<float> — feeds the similarity/ANN operators."""
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for _, r in pdf.iterrows():
+                g = img.gray_f64(img.decode(bytes(r["bytes"]), r["fmt"]))
+                hist, _ = np.histogram(g, bins=16, range=(0, 256))
+                hist = hist / max(g.size, 1)
+                rows_p = img.resize_area_mean(g, 16, 1).ravel() / 255.0
+                cols_p = img.resize_area_mean(g, 1, 16).ravel() / 255.0
+                ids.append(r["image_id"])
+                vecs.append(np.concatenate([hist, rows_p, cols_p]).astype(np.float32).tolist())
+            yield pd.DataFrame({"image_id": ids, "embedding": vecs})
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(kernel, schema)
+
+
+# ------------------------------------------------------------ audio / video
+
+AUDIO_SCHEMA = "media_id string, sample_rate int, n_samples long, rms double"
+VIDEO_FRAME_SCHEMA = "media_id string, frame_idx int, bytes binary, w int, h int, fmt string"
+
+
+def decode_audio_stats(media: DataFrame, strict: bool = False) -> DataFrame:
+    """STUB: audio decode. No audio codec library ships in this image, so
+    the kernel raises NotImplementedError in strict mode, or emits a
+    deterministic fake (rate 16 kHz, n_samples = len(bytes)//2, rms from a
+    byte checksum) so downstream plumbing is exercisable end-to-end."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "audio decode requires a codec library not present in this "
+                    "environment; plug a real decoder into decode_audio_stats.kernel"
+                )
+            rows = []
+            for _, r in pdf.iterrows():
+                b = bytes(r["bytes"])
+                rows.append(
+                    (r["media_id"], 16000, len(b) // 2, float((sum(b[:1024]) % 1000) / 1000.0))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "sample_rate", "n_samples", "rms"])
+
+    return media.select("media_id", "bytes").mapInPandas(kernel, AUDIO_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 10, strict: bool = False) -> DataFrame:
+    """STUB: video frame sampling. The deterministic fake treats the bytes
+    as a concatenation of our raw-format images (a real container parser
+    slots in here); frame cadence, schema, and explode shape are real."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "video decode requires a codec library not present in this "
+                    "environment; plug a real demuxer into sample_video_frames.kernel"
+                )
+            rows = []
+            for _, r in pdf.iterrows():
+                b = bytes(r["bytes"])
+                # fake container: RAW1 frames back-to-back
+                off, idx = 0, 0
+                while off + 8 <= len(b) and b[off : off + 4] == b"RAW1":
+                    import struct
+
+                    w, h = struct.unpack_from("<HH", b, off + 4)
+                    size = 8 + w * h * 3
+                    if idx % every_n == 0:
+                        rows.append((r["media_id"], idx, b[off : off + size], w, h, "raw"))
+                    off += size
+                    idx += 1
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "bytes", "w", "h", "fmt"]
+            ) if rows else pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in
+                 [("media_id", object), ("frame_idx", "int32"), ("bytes", object),
+                  ("w", "int32"), ("h", "int32"), ("fmt", object)]}
+            )
+
+    return media.select("media_id", "bytes").mapInPandas(kernel, VIDEO_FRAME_SCHEMA)

@@ -42,6 +42,16 @@ from pyspark.sql import types as T
 
 from ..geom import cell, pip, rtree, wkb
 
+try:  # public since Spark 3.x: StructType -> pyarrow schema
+    from pyspark.sql.pandas.types import to_arrow_schema
+except ImportError:  # pragma: no cover - fallback for API moves
+    def to_arrow_schema(schema):
+        import pyarrow as pa
+
+        return pa.Schema.from_pandas(
+            __import__("pandas").DataFrame(columns=[f.name for f in schema.fields])
+        )
+
 DEFAULT_RES = 7
 
 
@@ -55,15 +65,32 @@ class PolygonIndex:
     def __init__(self, ids: list, geoms: list[bytes], res: int = DEFAULT_RES):
         self.res = res
         self.ids = np.asarray(ids, dtype=object)
-        self.geoms = [wkb.parse_multipolygon(g) for g in geoms]
-        boxes = np.array([wkb.multipolygon_bbox(g) for g in geoms]).reshape(-1, 4)
+        # index at PART granularity: a multi-part municipality's islands are
+        # separate index entries, so a scattered multipolygon never drags
+        # the whole map's points into one candidate test (its whole-geometry
+        # bbox would). part -> owning polygon ordinal.
+        self.part_owner: list[int] = []
+        self.parts: list[pip.PreparedPolygon] = []
+        boxes = []
+        for ordinal, g in enumerate(geoms):
+            for rings in wkb.parse_multipolygon(g):
+                ext = rings[0]
+                boxes.append(
+                    (ext[:, 0].min(), ext[:, 1].min(), ext[:, 0].max(), ext[:, 1].max())
+                )
+                self.parts.append(pip.PreparedPolygon([rings]))
+                self.part_owner.append(ordinal)
+        boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
         self.boxes = boxes
-        self.tree = rtree.PackedRTree(boxes, np.arange(len(ids), dtype=np.int64))
+        self.tree = rtree.PackedRTree(boxes, np.arange(len(boxes), dtype=np.int64))
         self.cell_map: dict[int, np.ndarray] = {}
+        self.part_cells: list[np.ndarray] = []
         tmp: dict[int, list[int]] = {}
-        for ordinal, (x0, y0, x1, y1) in enumerate(boxes):
-            for c in cell.cover_bbox(x0, y0, x1, y1, res):
-                tmp.setdefault(int(c), []).append(ordinal)
+        for pi, (x0, y0, x1, y1) in enumerate(boxes):
+            cover = cell.cover_bbox(x0, y0, x1, y1, res)
+            self.part_cells.append(cover)
+            for c in cover:
+                tmp.setdefault(int(c), []).append(pi)
         self.cell_map = {k: np.asarray(v, dtype=np.int64) for k, v in tmp.items()}
 
     @classmethod
@@ -71,35 +98,46 @@ class PolygonIndex:
         return cls(pdf[id_col].tolist(), pdf[geom_col].tolist(), res)
 
     def assign(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
-        """Vectorized per-cell assignment: containing polygon id per point
-        (None if outside all). Points are grouped by cell so each
-        (cell, candidate-polygon) pair is one vectorized PIP call."""
+        """Containing polygon id per point (None if outside all)."""
+        ords = self.assign_ordinals(px, py)
         out = np.full(len(px), None, dtype=object)
+        hit = ords >= 0
+        out[hit] = self.ids[ords[hit]]
+        return out
+
+    def assign_ordinals(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        """Vectorized assignment -> int64 polygon ordinal (-1 if outside).
+        Iteration order is PER PART, gathering all points of its covering
+        cells at once — one large vectorized PIP call per island instead of
+        many tiny per-(cell,candidate) calls, which is what keeps the
+        kernel compute-bound (NumPy dispatch overhead would otherwise
+        dominate at ~30 points/call). Returning ordinals (not id objects)
+        lets callers materialize the id column with an Arrow take() instead
+        of touching millions of Python objects."""
+        out = np.full(len(px), -1, dtype=np.int64)
+        unassigned = np.ones(len(px), dtype=bool)
         cells = cell.encode(px, py, self.res)
         order = np.argsort(cells, kind="stable")
         sorted_cells = cells[order]
         starts = np.flatnonzero(np.r_[True, sorted_cells[1:] != sorted_cells[:-1]])
+        uniq = sorted_cells[starts]
         ends = np.r_[starts[1:], len(sorted_cells)]
-        for s, e in zip(starts, ends):
-            cands = self.cell_map.get(int(sorted_cells[s]))
-            if cands is None:
+        cell_range = {int(c): (int(s), int(e)) for c, s, e in zip(uniq, starts, ends)}
+        for pi in range(len(self.parts)):
+            ranges = [cell_range[int(c)] for c in self.part_cells[pi] if int(c) in cell_range]
+            if not ranges:
                 continue
-            idx = order[s:e]
+            idx = np.concatenate([order[s:e] for s, e in ranges])
+            x0, y0, x1, y1 = self.boxes[pi]
             bx, by = px[idx], py[idx]
-            remaining = np.ones(len(idx), dtype=bool)
-            for ordinal in cands:
-                if not remaining.any():
-                    break
-                x0, y0, x1, y1 = self.boxes[ordinal]
-                live = np.nonzero(remaining)[0]
-                inbox = (bx[live] >= x0) & (bx[live] <= x1) & (by[live] >= y0) & (by[live] <= y1)
-                live = live[inbox]
-                if not len(live):
-                    continue
-                hit = pip.points_in_multipolygon(bx[live], by[live], self.geoms[ordinal])
-                got = live[hit]
-                out[idx[got]] = self.ids[ordinal]
-                remaining[got] = False
+            m = (bx >= x0) & (bx <= x1) & (by >= y0) & (by <= y1) & unassigned[idx]
+            idx = idx[m]
+            if not len(idx):
+                continue
+            hit = self.parts[pi].contains(px[idx], py[idx], block=1024)
+            got = idx[hit]
+            out[got] = self.part_owner[pi]
+            unassigned[got] = False
         return out
 
 
@@ -123,13 +161,45 @@ def pip_join_broadcast(
         points.schema.fields + [T.StructField(out_col, out_type or T.StringType())]
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        idx: PolygonIndex = bc.value
-        for pdf in batches:
-            assigned = idx.assign(pdf[lon].to_numpy(), pdf[lat].to_numpy())
-            yield pdf.assign(**{out_col: pd.Series(assigned, index=pdf.index, dtype=object)})
+    # Hot path uses mapInArrow (not mapInPandas): Arrow batches are sized
+    # for fat image rows (maxRecordsPerBatch=2048), and constructing a
+    # pandas DataFrame per batch costs more than the PIP math itself at
+    # 10^6+ rows/task. RecordBatches are coalesced into large chunks
+    # (amortizing per-cell dispatch) and converted column-wise to NumPy
+    # with zero pandas involvement.
+    import pyarrow as pa
 
-    result = points.mapInPandas(kernel, out_schema)
+    CHUNK_ROWS = 1 << 18
+    out_arrow = to_arrow_schema(out_schema)
+
+    def kernel(batches):
+        idx: PolygonIndex = bc.value
+        # id lookup as an Arrow array: ordinal -> id via C-speed take()
+        # (never materializes per-row Python objects)
+        ids_arrow = pa.array(list(idx.ids), type=out_arrow.field(out_col).type)
+
+        def flush(buf: list) -> "pa.RecordBatch":
+            tbl = pa.Table.from_batches(buf)
+            px = tbl.column(lon).to_numpy(zero_copy_only=False)
+            py = tbl.column(lat).to_numpy(zero_copy_only=False)
+            ords = idx.assign_ordinals(px, py)
+            take_idx = pa.array(ords, mask=(ords < 0))  # -1 -> null
+            cols = [tbl.column(i).combine_chunks() for i in range(tbl.num_columns)]
+            cols.append(ids_arrow.take(take_idx))
+            return pa.RecordBatch.from_arrays(cols, schema=out_arrow)
+
+        buf: list = []
+        n = 0
+        for rb in batches:
+            buf.append(rb)
+            n += rb.num_rows
+            if n >= CHUNK_ROWS:
+                yield flush(buf)
+                buf, n = [], 0
+        if buf:
+            yield flush(buf)
+
+    result = points.mapInArrow(kernel, out_schema)
     if not keep_unmatched:
         result = result.filter(F.col(out_col).isNotNull())
     return result

@@ -81,6 +81,39 @@ def url_last_segment(col: Column) -> Column:
     return F.regexp_extract(col, "([^/]+)$", 1)
 
 
+def parse_code_list(entries: list[str]) -> dict[str, str]:
+    """F8 — 'code:label' entries -> {code: label}; split-once on the first
+    ':', trimmed, empty entries dropped, last-write-wins on duplicate codes
+    (/root/reference/src/scraper/data_page.rs:211-258)."""
+    out: dict[str, str] = {}
+    for e in entries:
+        e = e.strip()
+        if not e or ":" not in e:
+            continue
+        code, label = e.split(":", 1)
+        out[code.strip()] = label.strip()
+    return out
+
+
+def code_list_map_col(col: Column) -> Column:
+    """F8 distributed: array<string> of 'code:label' -> map<string,string>.
+    Split-once on the FIRST ':' (labels may contain colons); duplicate
+    codes keep the last entry (map_from_entries of reversed array would
+    keep first; Spark keeps last key on duplicates)."""
+    cleaned = F.filter(
+        F.transform(col, lambda e: F.trim(e)), lambda e: (e != "") & e.contains(":")
+    )
+    return F.map_from_entries(
+        F.transform(
+            cleaned,
+            lambda e: F.struct(
+                F.trim(e.substr(F.lit(1), F.instr(e, ":") - 1)).alias("key"),
+                F.trim(e.substr(F.instr(e, ":") + 1, F.length(e))).alias("value"),
+            ),
+        )
+    )
+
+
 # ------------------------------------------------------------------ A40 F13
 
 _NUM = r"([0-9]+(?:\.[0-9]+)?)"

@@ -821,7 +821,7 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     is asserted in pytest."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
-    return similarity.cosine_topk_lsh(q, emb, k=5, n_bits=16, band_bits=4)
+    return similarity.cosine_topk_lsh(q, emb, k=5, n_bits=32, band_bits=4)
 
 
 # ------------------------------------------------------------------ registry

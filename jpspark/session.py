@@ -46,8 +46,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # image `bytes` payloads make rows fat; bound Arrow batch memory
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Arrow batch sizing: 8192 rows balances slim geo rows (per-batch
+        # overhead amortized) against fat image `bytes` rows (8192 x ~12KB
+        # fixture images ≈ 100MB/batch worst case — bounded). Tune down via
+        # extra_conf for production-sized image payloads.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("JPSPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -1,0 +1,119 @@
+"""Export sinks (S9), multimodal kernels, F8 code lists, A4 metrics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from jpspark import fixtures as fx
+from jpspark.codec import image as img
+from jpspark.ops import export, multimodal
+from jpspark.ops.text import code_list_map_col, parse_code_list
+
+
+@pytest.fixture(scope="module")
+def small_images(spark):
+    return spark.createDataFrame(fx.images(40))
+
+
+def test_write_geoparquet_roundtrip(spark, tmp_path):
+    polys = fx.admin_polygons(10)
+    sdf = spark.createDataFrame(polys[["ogc_fid", "市区町村名", "geom"]])
+    out = str(tmp_path / "gpq")
+    export.write_geoparquet(sdf, out)
+    sidecar = json.load(open(os.path.join(out, "_geo.json")))
+    assert sidecar["primary_column"] == "geom"
+    assert sidecar["columns"]["geom"]["crs"] == "EPSG:6668"
+    back = spark.read.parquet(out)
+    assert back.count() == 10
+    assert bytes(back.filter(F.col("ogc_fid") == 1).first()["geom"]) == bytes(
+        polys.iloc[0]["geom"]
+    )
+
+
+def test_geojson_features_valid(spark):
+    polys = fx.admin_polygons(5)
+    sdf = spark.createDataFrame(polys[["市区町村名", "全国地方公共団体コード", "geom"]])
+    feats = export.to_geojson_features(sdf).toPandas()["feature"]
+    assert len(feats) == 5
+    for f in feats:
+        obj = json.loads(f)
+        assert obj["type"] == "Feature"
+        assert obj["geometry"]["type"] == "MultiPolygon"
+        ring = obj["geometry"]["coordinates"][0][0]
+        assert ring[0] == ring[-1]  # closed
+        assert "市区町村名" in obj["properties"]
+
+
+def test_multimodal_decode_stats(spark, small_images):
+    out = multimodal.decode_stats(small_images).toPandas()
+    src = small_images.toPandas().set_index("image_id")
+    assert len(out) == 40
+    for _, r in out.iterrows():
+        assert r["w"] == src.loc[r["image_id"], "w"]
+        assert r["h"] == src.loc[r["image_id"], "h"]
+        assert r["phash_check"] == src.loc[r["image_id"], "phash"]
+        assert 0 <= r["mean_luma"] <= 255
+
+
+def test_multimodal_resize(spark, small_images):
+    out = multimodal.resize_images(small_images, 8, 8).toPandas()
+    assert (out["w"] == 8).all() and (out["h"] == 8).all()
+    px = img.decode(bytes(out.iloc[0]["bytes"]), "raw")
+    assert px.shape == (8, 8, 3)
+
+
+def test_multimodal_features_shape_and_determinism(spark, small_images):
+    a = multimodal.extract_features(small_images).toPandas().sort_values("image_id")
+    b = multimodal.extract_features(small_images).toPandas().sort_values("image_id")
+    assert all(len(v) == multimodal.FEATURE_DIM for v in a["embedding"])
+    for va, vb in zip(a["embedding"], b["embedding"]):
+        assert np.allclose(va, vb)
+
+
+def test_audio_stub_fake_and_strict(spark):
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": ["a1"], "bytes": [b"\x01\x02" * 100]})
+    )
+    out = multimodal.decode_audio_stats(media).toPandas()
+    assert out.iloc[0]["sample_rate"] == 16000
+    assert out.iloc[0]["n_samples"] == 100
+    with pytest.raises(Exception, match="NotImplementedError|audio decode"):
+        multimodal.decode_audio_stats(media, strict=True).collect()
+
+
+def test_video_frame_sampling_fake_container(spark):
+    frames = [img.encode(fx.pixel_pattern(i, 16, 16), "raw") for i in range(25)]
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": ["v1"], "bytes": [b"".join(frames)]})
+    )
+    out = multimodal.sample_video_frames(media, every_n=10).toPandas()
+    assert list(out["frame_idx"]) == [0, 10, 20]
+    px = img.decode(bytes(out.iloc[1]["bytes"]), "raw")
+    assert np.array_equal(px, fx.pixel_pattern(10, 16, 16))
+
+
+def test_parse_code_list_f8():
+    got = parse_code_list(["1:市役所", " 2 : 町村役場 ", "", "nocolon", "1:上書き"])
+    assert got == {"1": "上書き", "2": "町村役場"}
+
+
+def test_code_list_map_col_f8(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"entries": [["1:市役所", "2:役場", "3:a:b", " ", "x"]]})
+    )
+    out = df.select(code_list_map_col(F.col("entries")).alias("m")).first()["m"]
+    assert out == {"1": "市役所", "2": "役場", "3": "a:b"}
+
+
+def test_observe_metrics_a4(spark):
+    from jpspark.manifest import observe_metrics
+
+    df, obs = observe_metrics(spark.range(123))
+    df.collect()
+    assert obs.get["rows"] == 123

@@ -1,0 +1,143 @@
+"""Training-data pipeline operators: recall/precision on planted
+duplicates, ANN recall vs brute force, per-row image fidelity gate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from jpspark.ops import dedup, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """testdata documents + planted near-duplicates: for doc_id < 20, a
+    copy with one word changed (high Jaccard), ids 10000+orig."""
+    pdf = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    dups = pdf.head(20).copy()
+    dups["doc_id"] = dups["doc_id"] + 10000
+    dups["text"] = dups["text"].map(
+        lambda t: " ".join(["XCHANGEDX"] + t.split()[1:])
+    )
+    exact = pdf.iloc[20:25].copy()
+    exact["doc_id"] = exact["doc_id"] + 20000  # exact copies
+    return spark.createDataFrame(pd.concat([pdf, dups, exact], ignore_index=True))
+
+
+def test_exact_dedup_finds_planted_copies(spark, docs_with_dups):
+    out = dedup.exact_dedup(docs_with_dups).filter(F.col("n_copies") > 1).toPandas()
+    assert len(out) == 5
+    assert sorted(out["keeper_id"]) == [20, 21, 22, 23, 24]
+    assert (out["n_copies"] == 2).all()
+
+
+def test_minhash_lsh_recall_and_estimate(spark, docs_with_dups):
+    sigs = dedup.minhash_signatures(docs_with_dups, k=64)
+    pairs = dedup.minhash_lsh_pairs(sigs, bands=16, rows_per_band=4, min_jaccard_est=0.5).toPandas()
+    planted = {(i, i + 10000) for i in range(20)} | {(i, i + 20000) for i in range(20, 25)}
+    found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.9, f"recall {recall}: {sorted(planted - found)[:5]}"
+    # estimated jaccard high for planted pairs
+    hit = pairs[[(a, b) in planted for a, b in zip(pairs["id_a"], pairs["id_b"])]]
+    assert (hit["jaccard_est"] >= 0.5).all()
+
+
+def test_ngram_jaccard_verifies_candidates(spark, docs_with_dups):
+    sigs = dedup.minhash_signatures(docs_with_dups, k=64)
+    cand = dedup.minhash_lsh_pairs(sigs, bands=16, rows_per_band=4, min_jaccard_est=0.3)
+    verified = dedup.ngram_jaccard_pairs(
+        docs_with_dups, cand.select("id_a", "id_b"), min_jaccard=0.6
+    ).toPandas()
+    planted = {(i, i + 10000) for i in range(20)} | {(i, i + 20000) for i in range(20, 25)}
+    found = {(a, b) for a, b in zip(verified["id_a"], verified["id_b"])}
+    assert len(planted & found) / len(planted) >= 0.9
+    # exact copies verify at jaccard 1.0
+    exact = verified[verified["id_b"] >= 20020]
+    assert (exact["jaccard"] == 1.0).all()
+
+
+def test_simhash_finds_planted(spark, docs_with_dups):
+    hashes = dedup.simhash64(docs_with_dups)
+    pairs = dedup.simhash_neardup_pairs(hashes, max_hamming=6).toPandas()
+    found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    exact_planted = {(i, i + 20000) for i in range(20, 25)}
+    assert exact_planted <= found  # exact copies at hamming 0
+    near_planted = {(i, i + 10000) for i in range(20)}
+    assert len(near_planted & found) / len(near_planted) >= 0.7
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 16)
+    exact = similarity.cosine_topk_bruteforce(q, emb, k=10).toPandas()
+    approx = similarity.cosine_topk_lsh(q, emb, k=10, n_bits=32, band_bits=4).toPandas()
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact.loc[exact["query_id"] == qid, "target_id"])
+        a = set(approx.loc[approx["query_id"] == qid, "target_id"])
+        recalls.append(len(e & a) / len(e))
+    assert float(np.mean(recalls)) >= 0.5, f"mean LSH recall {np.mean(recalls)}"
+    # top-1 neighbor recall should be higher
+    top1_e = exact[exact["rank"] == 1].set_index("query_id")["target_id"]
+    top1_hits = 0
+    for qid, tid in top1_e.items():
+        a = set(approx.loc[approx["query_id"] == qid, "target_id"])
+        top1_hits += tid in a
+    assert top1_hits / len(top1_e) >= 0.6
+
+
+def test_phash_neardup_planted(spark):
+    from jpspark import fixtures as fx
+
+    pdf = fx.images(120)[["image_id", "phash"]]
+    planted = pdf.head(8).assign(image_id=lambda d: d["image_id"] + "_dup")
+    sdf = spark.createDataFrame(pd.concat([pdf, planted], ignore_index=True))
+    pairs = similarity.phash_neardup_pairs(sdf, max_hamming=4).toPandas()
+    dup_pairs = {
+        (r["id_a"], r["id_b"]) for _, r in pairs.iterrows()
+        if r["id_a"] + "_dup" == r["id_b"]
+    }
+    assert len(dup_pairs) == 8
+    assert all(
+        h == 0 for h in pairs[pairs["id_b"].str.endswith("_dup")]["hamming"]
+        if True
+    )
+
+
+def test_image_validate_all_rows_pass(spark):
+    from jpspark.queries import q_image_validate
+
+    out = q_image_validate(spark, SF).toPandas()
+    assert len(out) == 200
+    assert out["pixels_ok"].all()
+    assert out["phash_ok"].all()
+    lossy = out[out["fmt"] == "qlossy"]
+    assert (lossy["psnr_db"] >= 40.0).all()
+    lossless = out[out["fmt"] != "qlossy"]
+    assert (lossless["psnr_db"] == 99.0).all()  # capped inf
+
+
+def test_rolling_hashes_overlap_detection(spark):
+    from jpspark.ops.textstats import rolling_hashes
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "a b c d e f g h i j k l",
+                    "x y z a b c d e f g h i j q r",  # contains doc 1's 8-gram run
+                    "completely different words here nothing shared at all ok",
+                ],
+            }
+        )
+    )
+    out = df.select("doc_id", rolling_hashes(F.col("text"), window=8).alias("fps")).toPandas()
+    f1, f2, f3 = (set(out.loc[out["doc_id"] == i, "fps"].iloc[0]) for i in (1, 2, 3))
+    assert f1 & f2  # shared 8-gram window
+    assert not (f1 & f3)
