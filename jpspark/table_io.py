@@ -1,0 +1,80 @@
+"""TableIO seam (SURVEY §7.8): Iceberg when a catalog is configured,
+Parquet-directory + our checkpoint manifest otherwise.
+
+The target deployment stores the 10^12-row payload table as Iceberg
+(BASELINE.json north_star); this sandbox ships no Iceberg runtime jar, so
+the seam keeps every operator working against either backend without
+forking the engine. Detection is by Spark conf: any
+``spark.sql.catalog.<name>`` whose implementation mentions iceberg.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_catalog(spark: SparkSession) -> str | None:
+    """Name of a configured Iceberg catalog, or None."""
+    for k, v in spark.sparkContext.getConf().getAll():
+        if k.startswith("spark.sql.catalog.") and k.count(".") == 3 and "iceberg" in v.lower():
+            return k.rsplit(".", 1)[-1]
+    return None
+
+
+class TableIO:
+    def __init__(self, spark: SparkSession, root: str, namespace: str = "jpksj"):
+        self.spark = spark
+        self.root = root
+        self.namespace = namespace
+        self.catalog = iceberg_catalog(spark)
+
+    def _ident(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{name}"
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def write(self, df: DataFrame, name: str, lineage: str = "", partitions: int | None = None):
+        """createOrReplace semantics (the reference's OVERWRITE=YES,
+        gdal.rs:121). Iceberg: writeTo().createOrReplace(); fallback:
+        checkpoint-manifest parquet dir (per-partition lineage + resume)."""
+        if self.catalog:
+            df.writeTo(self._ident(name)).createOrReplace()
+            return {"backend": "iceberg", "table": self._ident(name)}
+        from . import manifest as mf
+
+        return mf.write_checkpointed(df, self._path(name), lineage=lineage, num_partitions=partitions)
+
+    def read(self, name: str) -> DataFrame:
+        if self.catalog:
+            return self.spark.table(self._ident(name))
+        return self.spark.read.parquet(os.path.join(self._path(name), "part-*.parquet"))
+
+    def exists(self, name: str) -> bool:
+        """S13 existence probe."""
+        if self.catalog:
+            return self.spark.catalog.tableExists(self._ident(name))
+        from .manifest import MANIFEST_NAME
+
+        return os.path.exists(os.path.join(self._path(name), MANIFEST_NAME))
+
+    def merge_upsert(self, df: DataFrame, name: str, key: str):
+        """S10/S11 upsert: Iceberg MERGE INTO; fallback: read-modify-write
+        with last-write-wins on ``key`` (anti-join + union)."""
+        if self.catalog:
+            df.createOrReplaceTempView("_upsert_src")
+            cols = ", ".join(f"{c} = s.{c}" for c in df.columns if c != key)
+            self.spark.sql(
+                f"MERGE INTO {self._ident(name)} t USING _upsert_src s ON t.{key} = s.{key} "
+                f"WHEN MATCHED THEN UPDATE SET {cols} WHEN NOT MATCHED THEN INSERT *"
+            )
+            return
+        if self.exists(name):
+            old = self.read(name)
+            kept = old.join(df.select(key), on=key, how="left_anti")
+            merged = kept.unionByName(df, allowMissingColumns=True)
+        else:
+            merged = df
+        self.write(merged.localCheckpoint(), name, lineage=f"upsert on {key}")
