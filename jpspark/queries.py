@@ -206,6 +206,87 @@ def o_geo_dissolve() -> str:
     """
 
 
+def q_geo_pip_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 shuffle strategy: polygons exploded onto covering cells, SALTED
+    equi-join + exact ray-cast refine — the non-broadcastable-polygon path
+    with AQE skew-join; same oracle as the broadcast path (they must
+    agree bit-for-bit)."""
+    pts = _event_points(spark, sf_dir)
+    polys = spark.createDataFrame(_grid_polys_pdf())
+    out = spatial_join.pip_join_shuffle(
+        pts, polys, "poly_id", point_id_col="event_id", salt_cells=4
+    )
+    return out.select("event_id", "poly_id")
+
+
+def q_geo_knn_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 shuffle strategy: targets replicated to neighbor cells,
+    equi-join + window top-k; same oracle as the broadcast kNN."""
+    pts = _event_points(spark, sf_dir)
+    targets = _customer_points(spark, sf_dir)
+    out = knn.knn_join_shuffle(
+        pts, targets, k=3, query_id_col="event_id", target_id_col="c_custkey",
+        res=3, max_ring=2,
+    )
+    return out.select(
+        F.col("query_id").alias("event_id"), "rank", F.col("target_id").alias("c_custkey"), "dist"
+    )
+
+
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: bounded micro-batch run of a tumbling-window
+    count over the events table (readStream -> window agg -> memory sink),
+    verified against a batch SQL oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="jpspark_stream_")
+    try:
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{tmp}/events.parquet")
+    except OSError:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema).option("recursiveFileLookup", "true").parquet(tmp)
+    )
+    # parquet carries TIMESTAMP_NTZ; watermarks need TIMESTAMP (identity
+    # cast under the UTC session)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "7 days"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    qname = "jpspark_stream_counts"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(qname).select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("week_start"),
+        "event_type",
+        "n",
+    )
+
+
+def o_stream_window_counts() -> str:
+    # Spark tumbling windows align to the 1970-01-01 epoch; replicate with
+    # integer arithmetic on epoch days
+    return """
+    SELECT strftime(TIMESTAMP '1970-01-01'
+                    + INTERVAL (7 * (datediff('day', TIMESTAMP '1970-01-01', ts) // 7)) DAY,
+                    '%Y-%m-%d') AS week_start,
+           event_type,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """
+
+
 # ====================================================== relational (SURVEY §2)
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -831,6 +912,9 @@ QUERIES = {
     "geo_pip_join": q_geo_pip_join,
     "geo_pip_assign": q_geo_pip_assign,
     "geo_knn": q_geo_knn,
+    "geo_pip_shuffle": q_geo_pip_shuffle,
+    "geo_knn_shuffle": q_geo_knn_shuffle,
+    "stream_window_counts": q_stream_window_counts,
     "geo_tile_assign": q_geo_tile_assign,
     "geo_dissolve": q_geo_dissolve,
     # relational operators (SURVEY §2.2-2.5)
@@ -874,6 +958,9 @@ ORACLES = {
     "geo_pip_join": o_geo_pip_join(),
     "geo_pip_assign": o_geo_pip_assign(),
     "geo_knn": o_geo_knn(),
+    "geo_pip_shuffle": o_geo_pip_assign(),
+    "geo_knn_shuffle": o_geo_knn(),
+    "stream_window_counts": o_stream_window_counts(),
     "geo_tile_assign": o_geo_tile_assign(),
     "geo_dissolve": o_geo_dissolve(),
     "pricing_summary": o_pricing_summary(),
