@@ -124,9 +124,15 @@ def knn_join_broadcast(
     lon: str = "lon",
     lat: str = "lat",
     res: int = DEFAULT_RES,
+    as_arrays: bool = False,
 ) -> DataFrame:
-    """(query_id, rank, target_id, dist) — exact kNN, broadcast targets,
-    zero shuffle of the query side."""
+    """Exact kNN, broadcast targets, zero shuffle of the query side.
+
+    Default output: (query_id, rank, target_id, dist) — one row per
+    neighbor (oracle-friendly). ``as_arrays=True`` emits one row per query
+    (query_id, target_ids, dists) — k times fewer rows through Arrow and
+    any downstream shuffle, the preferred shape at 10^12-query scale.
+    """
     spark = queries.sparkSession
     idx = TargetIndex(
         targets_pdf[target_id_col].to_numpy(),
@@ -135,14 +141,23 @@ def knn_join_broadcast(
         res,
     )
     bc = spark.sparkContext.broadcast(idx)
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", queries.schema[query_id_col].dataType),
-            T.StructField("rank", T.IntegerType()),
-            T.StructField("target_id", T.LongType()),
-            T.StructField("dist", T.DoubleType()),
-        ]
-    )
+    if as_arrays:
+        out_schema = T.StructType(
+            [
+                T.StructField("query_id", queries.schema[query_id_col].dataType),
+                T.StructField("target_ids", T.ArrayType(T.LongType())),
+                T.StructField("dists", T.ArrayType(T.DoubleType())),
+            ]
+        )
+    else:
+        out_schema = T.StructType(
+            [
+                T.StructField("query_id", queries.schema[query_id_col].dataType),
+                T.StructField("rank", T.IntegerType()),
+                T.StructField("target_id", T.LongType()),
+                T.StructField("dist", T.DoubleType()),
+            ]
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         index: TargetIndex = bc.value
@@ -157,6 +172,22 @@ def knn_join_broadcast(
             sc = cells[order]
             starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
             ends = np.r_[starts[1:], len(sc)]
+            if as_arrays:
+                parts = []
+                for s, e in zip(starts, ends):
+                    sel = order[s:e]
+                    t, d = _knn_for_cell(index, int(sc[s]), qx[sel], qy[sel], k)
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qids[sel],
+                                "target_ids": list(t),
+                                "dists": list(d),
+                            }
+                        )
+                    )
+                yield pd.concat(parts, ignore_index=True)
+                continue
             out_q, out_r, out_t, out_d = [], [], [], []
             for s, e in zip(starts, ends):
                 sel = order[s:e]

@@ -897,6 +897,14 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.phash_neardup_pairs(sdf, max_hamming=6)
 
 
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (coarse-quantizer scale path) — rows-only; recall
+    vs brute force asserted in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return similarity.cosine_topk_ivf(q, emb, k=5, n_clusters=16, nprobe=8)
+
+
 def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (scale path) — rows-only; recall vs brute force
     is asserted in pytest."""
@@ -952,6 +960,7 @@ QUERIES = {
     "image_validate": q_image_validate,
     "phash_neardup": q_phash_neardup,
     "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_ivf_recall": q_ann_ivf_recall,
 }
 
 ORACLES = {

@@ -141,3 +141,33 @@ def test_rolling_hashes_overlap_detection(spark):
     f1, f2, f3 = (set(out.loc[out["doc_id"] == i, "fps"].iloc[0]) for i in (1, 2, 3))
     assert f1 & f2  # shared 8-gram window
     assert not (f1 & f3)
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 16)
+    exact = similarity.cosine_topk_bruteforce(q, emb, k=10).toPandas()
+    approx = similarity.cosine_topk_ivf(q, emb, k=10, n_clusters=16, nprobe=8).toPandas()
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact.loc[exact["query_id"] == qid, "target_id"])
+        a = set(approx.loc[approx["query_id"] == qid, "target_id"])
+        recalls.append(len(e & a) / len(e))
+    assert float(np.mean(recalls)) >= 0.6, f"mean IVF recall {np.mean(recalls)}"
+
+
+def test_knn_as_arrays_matches_exploded(spark):
+    from jpspark import fixtures as fx
+    from jpspark.ops import knn as knn_ops
+
+    polys = fx.admin_polygons(20)
+    imgs = fx.images(150, polys)
+    fac = fx.facilities(60, polys)
+    sdf = spark.createDataFrame(imgs[["image_id", "lon", "lat"]])
+    exploded = knn_ops.knn_join_broadcast(sdf, fac, k=4).toPandas()
+    arrays = knn_ops.knn_join_broadcast(sdf, fac, k=4, as_arrays=True).toPandas()
+    ex = exploded.sort_values(["query_id", "rank"]).groupby("query_id")
+    for qid, grp in ex:
+        row = arrays.loc[arrays["query_id"] == qid].iloc[0]
+        assert list(row["target_ids"]) == list(grp["target_id"])
+        assert np.allclose(list(row["dists"]), list(grp["dist"]))
