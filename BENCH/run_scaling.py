@@ -122,6 +122,12 @@ def main():
         md.append(f"| {key} | {tl:.2f} | {th:.2f} | {thl:,.0f} | {thh:,.0f} | **{eff:.2f}** |")
     md += [
         "",
+        "Note on E > 1.0: values above 1 are host-timing artifacts, not real",
+        "superlinearity — the low-core runs are the longest wall-clock and thus",
+        "the most exposed to hypervisor steal on this shared box (min-of-N",
+        "repeats bounds but does not eliminate it). The criterion evaluated is",
+        "E >= 0.8; readings above 1 mean 'parallelizes fully within noise'.",
+        "",
         "## Max throughput reference: local[32]",
         "",
         f"- PIP spatial join: **{r32['pip_rows_per_sec']:,.0f} rows/sec**",

@@ -133,7 +133,7 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
     timed(
         "knn_join",
         lambda: knn_ops.knn_join_broadcast(
-            ev_pts, fac, k=5, query_id_col="event_id", res=5
+            ev_pts, fac, k=5, query_id_col="event_id", res=5, as_arrays=True
         ).count(),
     )
     extras["knn_queries_per_sec"] = round(n_knn / timings["knn_join"], 1)

@@ -63,10 +63,6 @@ def dissolve(df: DataFrame, keys: list[str], geom_col: str = "geom", salt_n: int
     if salt_n > 1:
         # two-phase: salted partial unions, then final merge per key
         salted = src.withColumn("_salt", F.spark_partition_id() % salt_n)
-
-        def partial(keys_, pdf):
-            return _union_kernel(keys_[:-1], pdf, keys)
-
         partial_schema = T.StructType(key_fields + [T.StructField("geom", T.BinaryType())])
 
         def partial_kernel(kv, pdf):

@@ -159,54 +159,74 @@ def knn_join_broadcast(
             ]
         )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # mapInArrow: results assembled as Arrow arrays straight from NumPy —
+    # list columns via ListArray.from_arrays(offsets, flat values), ids via
+    # take() — zero per-row Python objects in either output mode.
+    import pyarrow as pa
+
+    from .spatial_join import to_arrow_schema
+
+    out_arrow = to_arrow_schema(out_schema)
+    CHUNK_ROWS = 1 << 17
+
+    def kernel(batches):
         index: TargetIndex = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            qx = pdf[lon].to_numpy()
-            qy = pdf[lat].to_numpy()
-            qids = pdf[query_id_col].to_numpy()
+
+        def flush(buf: list) -> "pa.RecordBatch":
+            tbl = pa.Table.from_batches(buf)
+            qx = tbl.column(lon).to_numpy(zero_copy_only=False)
+            qy = tbl.column(lat).to_numpy(zero_copy_only=False)
+            qid_arr = tbl.column(query_id_col).combine_chunks()
             cells = cell.encode(qx, qy, index.res)
             order = np.argsort(cells, kind="stable")
             sc = cells[order]
             starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
             ends = np.r_[starts[1:], len(sc)]
-            if as_arrays:
-                parts = []
-                for s, e in zip(starts, ends):
-                    sel = order[s:e]
-                    t, d = _knn_for_cell(index, int(sc[s]), qx[sel], qy[sel], k)
-                    parts.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": qids[sel],
-                                "target_ids": list(t),
-                                "dists": list(d),
-                            }
-                        )
-                    )
-                yield pd.concat(parts, ignore_index=True)
-                continue
-            out_q, out_r, out_t, out_d = [], [], [], []
+            sel_all, t_parts, d_parts, kks = [], [], [], []
             for s, e in zip(starts, ends):
                 sel = order[s:e]
                 t, d = _knn_for_cell(index, int(sc[s]), qx[sel], qy[sel], k)
-                kk = t.shape[1]
-                out_q.append(np.repeat(qids[sel], kk))
-                out_r.append(np.tile(np.arange(1, kk + 1), len(sel)))
-                out_t.append(t.ravel())
-                out_d.append(d.ravel())
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "rank": np.concatenate(out_r).astype(np.int32),
-                    "target_id": np.concatenate(out_t),
-                    "dist": np.concatenate(out_d),
-                }
-            )
+                sel_all.append(sel)
+                t_parts.append(t)
+                d_parts.append(d)
+                kks.append(t.shape[1])
+            sel_cat = np.concatenate(sel_all)
+            kk_per_q = np.concatenate([np.full(len(s), kk) for s, kk in zip(sel_all, kks)])
+            flat_t = np.concatenate([t.ravel() for t in t_parts])
+            flat_d = np.concatenate([d.ravel() for d in d_parts])
+            if as_arrays:
+                offsets = np.zeros(len(sel_cat) + 1, dtype=np.int32)
+                np.cumsum(kk_per_q, out=offsets[1:])
+                cols = [
+                    qid_arr.take(pa.array(sel_cat)),
+                    pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat_t)),
+                    pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat_d)),
+                ]
+            else:
+                rep_idx = np.repeat(sel_cat, kk_per_q)
+                ranks = np.concatenate(
+                    [np.tile(np.arange(1, kk + 1, dtype=np.int32), len(s)) for s, kk in zip(sel_all, kks)]
+                )
+                cols = [
+                    qid_arr.take(pa.array(rep_idx)),
+                    pa.array(ranks),
+                    pa.array(flat_t),
+                    pa.array(flat_d),
+                ]
+            return pa.RecordBatch.from_arrays(cols, schema=out_arrow)
 
-    return queries.select(query_id_col, lon, lat).mapInPandas(kernel, out_schema)
+        buf: list = []
+        n = 0
+        for rb in batches:
+            buf.append(rb)
+            n += rb.num_rows
+            if n >= CHUNK_ROWS:
+                yield flush(buf)
+                buf, n = [], 0
+        if buf:
+            yield flush(buf)
+
+    return queries.select(query_id_col, lon, lat).mapInArrow(kernel, out_schema)
 
 
 def knn_join_shuffle(
