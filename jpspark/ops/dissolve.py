@@ -24,10 +24,16 @@ from pyspark.sql import types as T
 from ..geom import wkb
 
 
-def _union_kernel(keys: tuple, pdf: pd.DataFrame, key_cols: list[str]) -> pd.DataFrame:
+def _union_kernel(
+    keys: tuple, pdf: pd.DataFrame, key_cols: list[str], attr_cols: list[str] | None = None
+) -> pd.DataFrame:
     merged = wkb.merge_multipolygons([bytes(b) for b in pdf["geom"]])
     x0, y0, x1, y1 = wkb.multipolygon_bbox(merged)
     out = {c: [keys[i]] for i, c in enumerate(key_cols)}
+    # non-grouped attributes take SQLite's first-row semantics
+    # (/root/reference/scripts/ogr_groupby.sh:25-28)
+    for c in attr_cols or []:
+        out[c] = [pdf[c].iloc[0]]
     out.update(
         {
             "n_parts": [len(wkb.parse_multipolygon(merged))],
@@ -42,12 +48,21 @@ def _union_kernel(keys: tuple, pdf: pd.DataFrame, key_cols: list[str]) -> pd.Dat
     return pd.DataFrame(out)
 
 
-def dissolve(df: DataFrame, keys: list[str], geom_col: str = "geom", salt_n: int = 0) -> DataFrame:
-    """GROUP BY keys + geometry union; returns keys + n_parts + geom +
-    area/bbox analytics columns."""
+def dissolve(
+    df: DataFrame,
+    keys: list[str],
+    geom_col: str = "geom",
+    salt_n: int = 0,
+    attrs: list[str] | None = None,
+) -> DataFrame:
+    """GROUP BY keys + geometry union; returns keys (+ first-row values of
+    ``attrs``) + n_parts + geom + area/bbox analytics columns."""
+    attrs = attrs or []
     key_fields = [df.schema[k] for k in keys]
+    attr_fields = [df.schema[a] for a in attrs]
     out_schema = T.StructType(
         key_fields
+        + attr_fields
         + [
             T.StructField("n_parts", T.IntegerType()),
             T.StructField("geom", T.BinaryType()),
@@ -58,16 +73,24 @@ def dissolve(df: DataFrame, keys: list[str], geom_col: str = "geom", salt_n: int
             T.StructField("ymax", T.DoubleType()),
         ]
     )
-    src = df.select(*keys, F.col(geom_col).alias("geom"))
+    src = df.select(*keys, *attrs, F.col(geom_col).alias("geom"))
 
     if salt_n > 1:
-        # two-phase: salted partial unions, then final merge per key
+        # two-phase: salted partial unions, then final merge per key.
+        # attrs ride along: first-row within each salt partial, then
+        # first-partial at the final merge — still "a first row" overall.
         salted = src.withColumn("_salt", F.spark_partition_id() % salt_n)
-        partial_schema = T.StructType(key_fields + [T.StructField("geom", T.BinaryType())])
+        partial_schema = T.StructType(
+            key_fields + attr_fields + [T.StructField("geom", T.BinaryType())]
+        )
 
         def partial_kernel(kv, pdf):
             merged = wkb.merge_multipolygons([bytes(b) for b in pdf["geom"]])
-            return pd.DataFrame({**{c: [kv[i]] for i, c in enumerate(keys)}, "geom": [merged]})
+            out = {c: [kv[i]] for i, c in enumerate(keys)}
+            for a in attrs:
+                out[a] = [pdf[a].iloc[0]]
+            out["geom"] = [merged]
+            return pd.DataFrame(out)
 
         src = (
             salted.groupBy(*keys, "_salt")
@@ -75,5 +98,5 @@ def dissolve(df: DataFrame, keys: list[str], geom_col: str = "geom", salt_n: int
         )
 
     return src.groupBy(*keys).applyInPandas(
-        lambda kv, pdf: _union_kernel(kv, pdf, keys), out_schema
+        lambda kv, pdf: _union_kernel(kv, pdf, keys, attrs), out_schema
     )

@@ -23,9 +23,13 @@ Operators:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
+from ..geom import cell as cell_mod
+from ..geom import wkb
 from ..geom.cell import LAT0, LAT1, LON0, LON1, _RES_SHIFT
 
 
@@ -81,6 +85,41 @@ def tile_rollup(assigned: DataFrame, parent_z: int, z: int) -> DataFrame:
             F.count("*").alias("n_images"),
             F.approx_count_distinct("phash").alias("approx_distinct_phash"),
         )
+    )
+
+
+def polygon_tiles(polys: DataFrame, z: int, geom_col: str = "geom") -> DataFrame:
+    """Vector-cell side of raster↔vector assignment: one row per (polygon,
+    tile) whose tile square intersects the polygon bbox at zoom z —
+    the explode that lets raster tiles equi-join vector layers on
+    (tile_z, tile_x, tile_y). Conservative bbox cover (exact refinement
+    is the PIP join's job)."""
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def cover_udf(geom: pd.Series) -> pd.Series:
+        out = []
+        for g in geom:
+            x0, y0, x1, y1 = wkb.multipolygon_bbox(bytes(g))
+            out.append(cell_mod.cover_bbox(x0, y0, x1, y1, z).tolist())
+        return pd.Series(out)
+
+    exploded = polys.withColumn("cell_id", F.explode(cover_udf(F.col(geom_col))))
+    # recover tile x/y from the Morton cell id (JVM-side bit math)
+    def unspread(c):
+        v = c
+        v = v.bitwiseAND(F.lit(0x5555555555555555))
+        v = v.bitwiseOR(F.shiftrightunsigned(v, 1)).bitwiseAND(F.lit(0x3333333333333333))
+        v = v.bitwiseOR(F.shiftrightunsigned(v, 2)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+        v = v.bitwiseOR(F.shiftrightunsigned(v, 4)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+        v = v.bitwiseOR(F.shiftrightunsigned(v, 8)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+        v = v.bitwiseOR(F.shiftrightunsigned(v, 16)).bitwiseAND(F.lit(0x00000000FFFFFFFF))
+        return v
+
+    mask = F.lit((1 << 58) - 1)
+    m = F.col("cell_id").bitwiseAND(mask)
+    return (
+        exploded.withColumn("tile_z", F.lit(z))
+        .withColumn("tile_x", unspread(m))
+        .withColumn("tile_y", unspread(F.shiftrightunsigned(m, 1)))
     )
 
 

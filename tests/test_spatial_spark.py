@@ -202,3 +202,33 @@ def test_dissolve_salted_matches_plain(spark, polys):
     for pref in plain.index:
         assert plain.loc[pref, "n_parts"] == salted.loc[pref, "n_parts"]
         assert plain.loc[pref, "area"] == pytest.approx(salted.loc[pref, "area"], rel=1e-12)
+
+
+def test_dissolve_first_row_attrs(spark, polys):
+    # ogr_groupby.sh first-row semantics for non-grouped attributes
+    sdf = spark.createDataFrame(polys[["都道府県名", "市区町村名", "geom"]])
+    got = dis.dissolve(sdf, ["都道府県名"], attrs=["市区町村名"]).toPandas()
+    assert "市区町村名" in got.columns
+    valid = set(polys["市区町村名"])
+    assert got["市区町村名"].isin(valid).all()
+    # the chosen attr value belongs to a row of the same group
+    by_pref = polys.groupby("都道府県名")["市区町村名"].agg(set)
+    for _, r in got.iterrows():
+        assert r["市区町村名"] in by_pref[r["都道府県名"]]
+
+
+def test_polygon_tiles_cover(spark, polys):
+    sdf = spark.createDataFrame(polys[["ogc_fid", "geom"]])
+    out = tile_ops.polygon_tiles(sdf, z=6).toPandas()
+    from jpspark.geom import cell as cell_mod, wkb as wkb_mod
+
+    by_fid = out.groupby("ogc_fid")
+    for _, row in polys.iterrows():
+        x0, y0, x1, y1 = wkb_mod.multipolygon_bbox(row["geom"])
+        exp = set(cell_mod.cover_bbox(x0, y0, x1, y1, 6).tolist())
+        got_cells = set(by_fid.get_group(row["ogc_fid"])["cell_id"])
+        assert got_cells == exp
+    # tile x/y decode consistent with cell ids
+    xs, ys, _ = cell_mod.to_xy(out["cell_id"].to_numpy())
+    assert (out["tile_x"].to_numpy() == xs).all()
+    assert (out["tile_y"].to_numpy() == ys).all()
