@@ -32,7 +32,6 @@ explode (``salt_cells``) so one hot cell's candidate pairs split across
 
 from __future__ import annotations
 
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -240,19 +239,30 @@ def pip_join_shuffle(
 ) -> DataFrame:
     """Fully distributed PIP join for a non-broadcastable polygon side.
 
-    Plan: explode polys to cells (+ optional salt) -> equi-join on cell
-    (AQE skew-join handles residual hot cells) -> exact vectorized PIP
-    refinement batch-wise (no groupBy needed: each joined row carries its
-    polygon WKB; the kernel vectorizes per distinct polygon in the batch).
+    Plan: explode polys to (cell_id, poly_id) KEY ROWS ONLY (geometry does
+    not ride the explode) -> equi-join points on cell (+ optional salt;
+    AQE skew-join handles residual hot cells) -> COGROUP the candidate
+    pairs with the polygon table on poly_id -> exact vectorized PIP per
+    group, geometry deserialized once per (polygon, salt) group rather
+    than shuffled once per candidate pair. Salting splits one hot
+    polygon's candidates across ``salt_cells`` groups.
     """
     pts = attach_cell(points.select(point_id_col, lon, lat), lon, lat, res)
-    pol = explode_polygons_to_cells(polys.select(poly_id_col, geom_col), geom_col, res)
+    pol_cells = explode_polygons_to_cells(
+        polys.select(poly_id_col, geom_col), geom_col, res
+    ).select(F.col(poly_id_col).alias("__pid"), "cell_id")
+    cand = pts.join(pol_cells, "cell_id")
+    geo_side = polys.select(F.col(poly_id_col).alias("__pid"), geom_col)
     if salt_cells > 1:
-        pol = pol.withColumn("salt", F.explode(F.array([F.lit(i) for i in range(salt_cells)])))
-        pts = pts.withColumn("salt", (F.crc32(F.col(point_id_col).cast("string")) % salt_cells).cast("int"))
-        joined = pts.join(pol, ["cell_id", "salt"])
+        cand = cand.withColumn(
+            "__salt", (F.crc32(F.col(point_id_col).cast("string")) % salt_cells).cast("int")
+        )
+        geo_side = geo_side.withColumn(
+            "__salt", F.explode(F.array([F.lit(i) for i in range(salt_cells)]))
+        )
+        group_keys = ["__pid", "__salt"]
     else:
-        joined = pts.join(pol, "cell_id")
+        group_keys = ["__pid"]
 
     out_schema = T.StructType(
         [
@@ -263,19 +273,17 @@ def pip_join_shuffle(
         ]
     )
 
-    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            px = pdf[lon].to_numpy()
-            py = pdf[lat].to_numpy()
-            for _, grp in pdf.groupby(poly_id_col, sort=False):
-                geo = wkb.parse_multipolygon(bytes(grp[geom_col].iloc[0]))
-                gi = grp.index.to_numpy()
-                pos = pdf.index.get_indexer(gi)
-                keep[pos] = pip.points_in_multipolygon(px[pos], py[pos], geo)
-            out = pdf.loc[keep, [point_id_col, lon, lat, poly_id_col]]
-            yield out.rename(columns={poly_id_col: "poly_id"})
+    def refine(cand_pdf: pd.DataFrame, geo_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cand_pdf) or not len(geo_pdf):
+            return pd.DataFrame({f.name: pd.Series(dtype=object) for f in out_schema.fields})
+        prepared = pip.PreparedPolygon(wkb.parse_multipolygon(bytes(geo_pdf[geom_col].iloc[0])))
+        hit = prepared.contains(cand_pdf[lon].to_numpy(), cand_pdf[lat].to_numpy())
+        out = cand_pdf.loc[hit, [point_id_col, lon, lat]].copy()
+        out["poly_id"] = geo_pdf["__pid"].iloc[0]
+        return out
 
-    return joined.mapInPandas(refine, out_schema)
+    return (
+        cand.groupBy(*group_keys)
+        .cogroup(geo_side.groupBy(*group_keys))
+        .applyInPandas(refine, out_schema)
+    )
