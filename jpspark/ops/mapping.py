@@ -135,6 +135,39 @@ def apply_field_mapping(df: DataFrame, mapping: ShapefileMapping) -> DataFrame:
     return df.select(*present)
 
 
+def multi_output_mappings(base: ShapefileMapping, splits: dict[str, list[tuple[str, str]]]) -> list[ShapefileMapping]:
+    """Multi-output split (mapping.rs:133-177): one source dataset feeding
+    several output tables — e.g. N03 splits into a city table and a
+    prefecture table with different field subsets. Each split shares the
+    base's shapefile matchers; identifiers are '{base}_{split}'."""
+    return [
+        ShapefileMapping(
+            identifier=variant_identifier(base.identifier, name),
+            shapefile_name_templates=list(base.shapefile_name_templates),
+            field_mappings=fields,
+        )
+        for name, fields in splits.items()
+    ]
+
+
+def select_version(versions: list[dict], year: int | None) -> dict | None:
+    """P5/W2 (data_page.rs:127-144): pick the version whose
+    [start_year, end_year] contains ``year``; else the one flagged
+    most_recent; else the first. Versions are dicts with start_year,
+    end_year, most_recent keys."""
+    if not versions:
+        return None
+    if year is not None:
+        for v in versions:
+            if v.get("start_year") is not None and v.get("end_year") is not None:
+                if v["start_year"] <= year <= v["end_year"]:
+                    return v
+    for v in versions:
+        if v.get("most_recent"):
+            return v
+    return versions[0]
+
+
 def variant_identifier(base: str, variant: str | None) -> str:
     """F7 (mapping.rs:241-248 + load_queue.rs:42): lowercase; variant id
     appended as {orig}_{variant}."""
