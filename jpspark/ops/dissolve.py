@@ -6,6 +6,10 @@ BY grp`` through ogr2ogr's SQLite dialect
 polygons of one medical zone into one multipolygon. Non-grouped attributes
 take SQLite's first-row semantics -> ``first()``.
 
+The salted partial/final split mirrors two-phase execution of aggregation
+trees (VLDB 2021, see repo PAPERS.md) — Catalyst does this automatically
+for built-in aggregates; grouped-map kernels must do it explicitly.
+
 Spark strategy: ``groupBy(keys).applyInPandas`` with a collect-union kernel
 (multipolygon part concatenation — point-set-identical to ST_Union for the
 exactly-tiling admin layers this is applied to). Two-phase safety: the

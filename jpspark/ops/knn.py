@@ -9,6 +9,11 @@ using the cell index for locality:
   radius-r disk are separated from the query by >= r full cell widths) —
   so the answer is provably exact.
 
+The cell-local candidate + ring-expansion shape follows the distributed
+kNN-join literature (e.g. "Distributed Stream KNN Join", SIGMOD 2021 —
+grid-partitioned candidates with guaranteed-complete expansion; see
+repo PAPERS.md) re-expressed over the Spark DataFrame API.
+
 Physical strategy: the target side (facilities: ~1e5 rows of (id, lon,
 lat)) is grouped into a per-cell dict of coordinate arrays on the driver
 and broadcast; queries stream through ``mapInPandas`` — the 10^12-row side
