@@ -16,7 +16,7 @@ repo PAPERS.md) re-expressed over the Spark DataFrame API.
 
 Physical strategy: the target side (facilities: ~1e5 rows of (id, lon,
 lat)) is grouped into a per-cell dict of coordinate arrays on the driver
-and broadcast; queries stream through ``mapInPandas`` — the 10^12-row side
+and broadcast; queries stream through ``mapInArrow`` — the 10^12-row side
 never shuffles. Queries are processed per-cell (all queries in one cell
 share candidate arrays), each expansion step a vectorized distance-matrix
 computation. Ties broken by target id (pinned; matches the pytest oracle
