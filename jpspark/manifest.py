@@ -23,6 +23,14 @@ gdal.rs:253-265). This module generalizes that to Spark partitions:
 Fingerprints are content-based (order-insensitive xxhash-style fold over
 row hashes), so resume is correct even if Spark re-plans partitioning of
 an unchanged input — a changed fingerprint simply re-writes that partition.
+
+Storage backend: tasks write through a ``Storage`` seam (below). The
+default ``LocalStorage`` uses plain ``os`` calls and therefore REQUIRES a
+filesystem shared between driver and executors (true in local mode, NFS,
+or a FUSE-mounted object store). On a real cluster, pass a Storage whose
+``write_atomic``/``exists`` target the shared object store (e.g. s3/gs via
+fsspec) — the commit protocol (data complete before visible, manifest
+last) only needs those two primitives plus ``size``.
 """
 
 from __future__ import annotations
@@ -40,6 +48,26 @@ from pyspark import TaskContext
 from pyspark.sql import DataFrame
 
 MANIFEST_NAME = "_manifest.json"
+
+
+class LocalStorage:
+    """Default storage backend: local/shared POSIX filesystem.
+
+    The three primitives the checkpoint protocol needs; swap this object
+    for an object-store implementation (same signatures) on clusters
+    without a shared FS. Must be picklable (it ships to executors).
+    """
+
+    def write_atomic(self, path: str, table: "pa.Table") -> None:
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)  # atomic: data complete before visible
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
 
 
 def _fingerprint_pdf(pdf: pd.DataFrame) -> int:
@@ -71,6 +99,7 @@ def write_checkpointed(
     out_dir: str,
     lineage: str = "",
     num_partitions: int | None = None,
+    storage: "LocalStorage | None" = None,
 ) -> dict:
     """Write ``df`` to ``out_dir`` with per-partition commit semantics.
 
@@ -79,6 +108,7 @@ def write_checkpointed(
     resume). Call again after a simulated crash and only missing/changed
     partitions are re-written.
     """
+    store = storage or LocalStorage()
     os.makedirs(out_dir, exist_ok=True)
     prior = load_manifest(out_dir)
     committed = {
@@ -99,22 +129,20 @@ def write_checkpointed(
         pdf = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
         fp = _fingerprint_pdf(pdf)
         path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
-        skipped = bc_committed.value.get(pid) == fp and os.path.exists(path)
+        skipped = bc_committed.value.get(pid) == fp and store.exists(path)
         if not skipped:
-            tmp = path + ".tmp"
             table = (
                 pa.Table.from_pandas(pdf, preserve_index=False)
                 if len(pdf)
                 else arrow_schema.empty_table()
             )
-            pq.write_table(table, tmp)
-            os.replace(tmp, path)  # atomic: data complete before visible
+            store.write_atomic(path, table)
         yield pd.DataFrame(
             {
                 "partition_id": [pid],
                 "fingerprint": [fp],
                 "row_count": [len(pdf)],
-                "bytes": [os.path.getsize(path)],
+                "bytes": [store.size(path)],
                 "path": [path],
                 "skipped": [skipped],
             }
@@ -147,6 +175,16 @@ def write_checkpointed(
     with open(tmp, "w") as f:
         json.dump(manifest, f, ensure_ascii=False, indent=1)
     os.replace(tmp, os.path.join(out_dir, MANIFEST_NAME))
+    # createOrReplace semantics: a rewrite with fewer partitions must not
+    # leave the previous table version's extra part files behind — readers
+    # glob part-*.parquet and would return phantom rows. Delete any part
+    # file the just-committed manifest doesn't own (after manifest commit,
+    # so a crash mid-cleanup still leaves a consistent manifest+data set).
+    valid = {meta["path"] for meta in manifest["partitions"].values()}
+    for fname in os.listdir(out_dir):
+        full = os.path.join(out_dir, fname)
+        if fname.startswith("part-") and fname.endswith(".parquet") and full not in valid:
+            os.remove(full)
     return manifest
 
 

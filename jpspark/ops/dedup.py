@@ -80,11 +80,16 @@ def minhash_lsh_pairs(
     sigs: DataFrame, bands: int = 16, rows_per_band: int = 4, min_jaccard_est: float = 0.0
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from banded LSH + estimated
-    Jaccard = fraction of matching signature positions."""
+    Jaccard = fraction of matching signature positions.
+
+    Shuffle shape: the band exchange carries ONLY (id, band, bucket) — the
+    full k-long signatures never ride the 2*bands-way explode (at 10^12
+    docs that would be ~16 KB of avoidable shuffle per doc). Signatures are
+    re-joined once per side by id AFTER the candidate pairs are deduped,
+    so each signature crosses the wire once per surviving pair side."""
     k = bands * rows_per_band
     banded = sigs.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -101,19 +106,18 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.select(
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
-    )
-    b = banded.select(
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
-    )
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
     pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
     est = (
         F.aggregate(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -149,24 +153,88 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return docs.select(F.col(id_col).alias("id"), sim_udf(F.col(text_col)).alias("simhash"))
 
 
-def simhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash: 4-block band join (pigeonhole: hamming<=8
-    with 4 16-bit blocks guarantees >=1 identical block iff hamming<=... we
-    use blocks as recall-oriented candidates, then exact popcount filter)."""
-    blocks = [
-        (F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(f"b{i}")
-        for i in range(4)
+def hamming_block_pairs(
+    hashes: DataFrame,
+    hash_col: str,
+    max_hamming: int,
+    id_col: str = "id",
+    n_blocks: int | None = None,
+    key_blocks: int = 1,
+) -> DataFrame:
+    """EXACT near-dup pairs (id_a < id_b, hamming <= max_hamming) over a
+    64-bit hash column, via the Manku/Jain/Sarma WWW'07 block-permutation
+    scheme expressed as one Spark equi-join.
+
+    Recall guarantee (pigeonhole): the 64 bits are split into ``n_blocks``
+    contiguous blocks and every combination of ``key_blocks`` of them is
+    emitted as a join key. A pair differing in <= max_hamming bits has its
+    differing bits inside <= max_hamming blocks, so >= n_blocks -
+    max_hamming blocks agree entirely; whenever
+    ``key_blocks <= n_blocks - max_hamming`` (asserted) at least one
+    emitted combination is drawn fully from agreeing blocks and the pair
+    meets in the join. The popcount filter removes false candidates, so
+    the output is the exact Hamming-ball pair set — no silent misses.
+
+    Scale tuning: defaults (n_blocks = max_hamming + 1, key_blocks = 1)
+    give 64/(h+1)-bit buckets — fine up to ~1e8 rows. At 10^12 rows raise
+    both (e.g. n_blocks=12, key_blocks=4 -> C(12,4)=495 keys of ~21 bits)
+    to trade explode factor for exponentially finer buckets; the guarantee
+    holds for any key_blocks <= n_blocks - max_hamming.
+
+    Shuffle shape: one explode -> single equi-join on (combo_id, key_hash);
+    each side carries only (id, 8-byte hash, 12-byte key).
+    """
+    n_blocks = n_blocks or (max_hamming + key_blocks)
+    if key_blocks > n_blocks - max_hamming:
+        raise ValueError(
+            f"no recall guarantee: key_blocks={key_blocks} > "
+            f"n_blocks({n_blocks}) - max_hamming({max_hamming})"
+        )
+    if n_blocks > 64:
+        raise ValueError("n_blocks must be <= 64 for a 64-bit hash")
+    from itertools import combinations
+
+    bounds = np.linspace(0, 64, n_blocks + 1).astype(int)
+    block_vals = [
+        F.shiftrightunsigned(F.col("hsh"), int(bounds[i])).bitwiseAND(
+            F.lit(int((1 << int(bounds[i + 1] - bounds[i])) - 1))
+        )
+        for i in range(n_blocks)
     ]
-    h = hashes.select("id", "simhash", *blocks)
-    cand = None
-    for i in range(4):
-        a = h.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"b{i}").alias("blk"))
-        b = h.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"b{i}").alias("blk"))
-        p = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "sh_a", "sh_b")
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
+    combos = list(combinations(range(n_blocks), key_blocks))
+    # xxhash64 over the combo's block values: collisions only ADD candidates
+    # (removed by the popcount filter), never lose true pairs
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("combo"),
+                F.xxhash64(*[block_vals[j] for j in combo]).alias("kv"),
+            )
+            for ci, combo in enumerate(combos)
+        ]
+    )
+    h = (
+        hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("hsh"))
+        .select("id", "hsh", F.explode(keys).alias("bb"))
+        .select("id", "hsh", F.col("bb.combo").alias("combo"), F.col("bb.kv").alias("kv"))
+    )
+    a = h.select(F.col("id").alias("id_a"), F.col("hsh").alias("h_a"), "combo", "kv")
+    b = h.select(F.col("id").alias("id_b"), F.col("hsh").alias("h_b"), "combo", "kv")
+    cand = (
+        a.join(b, ["combo", "kv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming")
     return cand.select("id_a", "id_b", ham).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance — exact pair set with a
+    guaranteed-recall block join (see hamming_block_pairs): max_hamming=8
+    uses 9 blocks, so any pair within the radius shares a whole block."""
+    return hamming_block_pairs(hashes, "simhash", max_hamming)
 
 
 def ngram_jaccard_pairs(

@@ -99,6 +99,14 @@ def _knn_for_cell(idx: TargetIndex, qc: int, qx: np.ndarray, qy: np.ndarray, k: 
                 # cheap unordered top-kk first, then sort the small slice
                 part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
                 dpart = np.take_along_axis(d, part, axis=1)
+                # boundary-tie guard: argpartition picks an ARBITRARY subset
+                # of candidates whose distance ties exactly at the kth
+                # boundary, breaking the pinned (dist, id) tie-break. The
+                # selection is unambiguous iff exactly kk candidates have
+                # d <= kth distance; rows with extra boundary ties fall back
+                # to the full stable argsort (rare: needs exact dist ties).
+                kth_d = dpart.max(axis=1)
+                ambiguous = np.count_nonzero(d <= kth_d[:, None], axis=1) > kk
                 # re-sort by (dist, id): stable argsort of dist over
                 # id-ascending columns needs id order restored first
                 id_in_part = np.argsort(part, axis=1, kind="stable")
@@ -107,6 +115,11 @@ def _knn_for_cell(idx: TargetIndex, qc: int, qx: np.ndarray, qy: np.ndarray, k: 
                 sel_local = np.argsort(dpart, axis=1, kind="stable")
                 best_t = tids[np.take_along_axis(part, sel_local, axis=1)]
                 best_d = np.take_along_axis(dpart, sel_local, axis=1)
+                if ambiguous.any():
+                    amb = np.flatnonzero(ambiguous)
+                    sel = np.argsort(d[amb], axis=1, kind="stable")[:, :kk]
+                    best_t[amb] = tids[sel]
+                    best_d[amb] = np.take_along_axis(d[amb], sel, axis=1)
             else:
                 sel = np.argsort(d, axis=1, kind="stable")[:, :kk]
                 best_t = tids[sel]

@@ -114,7 +114,11 @@ def match_entries(entries: list[str], mapping: ShapefileMapping) -> list[str]:
 def match_entries_df(df: DataFrame, mapping: ShapefileMapping, entry_col: str = "entry") -> DataFrame:
     """Distributed variant of match_entries over an entry-name DataFrame:
     two-pass count-based fallback (SURVEY S4 Spark mapping)."""
-    cleaned = df.withColumn(entry_col, F.regexp_replace(F.col(entry_col), r"\\\\", "/")).filter(
+    # JVM regex needs TWO chars (backslash-escaped backslash) to match ONE
+    # literal backslash; r"\\" sends exactly those two. (r"\\\\" would send
+    # four and match only doubled backslashes — entry paths with single
+    # Windows separators would silently skip normalization.)
+    cleaned = df.withColumn(entry_col, F.regexp_replace(F.col(entry_col), r"\\", "/")).filter(
         ~F.col(entry_col).startswith("N08-21_GML/utf8/")
     )
     pattern = "|".join(f"(?:{template_to_regex(t)})" for t in mapping.shapefile_name_templates)

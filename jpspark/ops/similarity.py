@@ -212,19 +212,9 @@ def cosine_topk_ivf(
 
 
 def phash_neardup_pairs(images: DataFrame, max_hamming: int = 6, id_col: str = "image_id") -> DataFrame:
-    """Image near-dup via pHash Hamming distance, 4x16-bit block-band join
-    (the multimodal twin of simhash_neardup_pairs)."""
-    blocks = [
-        (F.shiftrightunsigned(F.col("phash"), 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(f"b{i}")
-        for i in range(4)
-    ]
-    h = images.select(F.col(id_col).alias("id"), "phash", *blocks)
-    cand = None
-    for i in range(4):
-        a = h.select(F.col("id").alias("id_a"), F.col("phash").alias("ph_a"), F.col(f"b{i}").alias("blk"))
-        b = h.select(F.col("id").alias("id_b"), F.col("phash").alias("ph_b"), F.col(f"b{i}").alias("blk"))
-        p = a.join(b, "blk").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "ph_a", "ph_b")
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
-    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).alias("hamming")
-    return cand.select("id_a", "id_b", ham).filter(F.col("hamming") <= max_hamming)
+    """Image near-dup via pHash Hamming distance — the multimodal twin of
+    simhash_neardup_pairs, with the same guaranteed-recall block join
+    (max_hamming=6 -> 7 blocks; exact pair set, no silent misses)."""
+    from .dedup import hamming_block_pairs
+
+    return hamming_block_pairs(images, "phash", max_hamming, id_col=id_col)

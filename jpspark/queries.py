@@ -744,12 +744,15 @@ def q_token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def o_token_count_by_lang() -> str:
+    # CAST AS BIGINT: DuckDB sum(INTEGER) widens to HUGEINT (float64 in
+    # pandas) while Spark sum(int) stays int64 — the cast makes the
+    # driver's value hash compare int64 vs int64 (module determinism rules)
     return r"""
     SELECT lang,
-           sum(CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS total_tokens,
-           sum(length(regexp_replace(regexp_replace(text,
-                 '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]', 'x', 'g'), '\s+', '', 'g'))) AS total_bpe_ish,
+           CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
+           CAST(sum(length(regexp_replace(regexp_replace(text,
+                 '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]', 'x', 'g'), '\s+', '', 'g'))) AS BIGINT) AS total_bpe_ish,
            count(*) AS n_docs
     FROM documents GROUP BY 1
     """

@@ -71,6 +71,80 @@ def test_simhash_finds_planted(spark, docs_with_dups):
     assert len(near_planted & found) / len(near_planted) >= 0.7
 
 
+def _brute_hamming_pairs(ids, hashes, max_hamming):
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            x = (int(hashes[i]) ^ int(hashes[j])) & 0xFFFFFFFFFFFFFFFF
+            if bin(x).count("1") <= max_hamming:
+                a, b = sorted((ids[i], ids[j]))
+                out.add((a, b))
+    return out
+
+
+def test_simhash_adversarial_hamming8_spread_2222(spark):
+    """A pair with hamming=8 spread 2-2-2-2 across the legacy 4x16-bit
+    blocks (no 16-bit block agrees) MUST still be found — the regression
+    the guaranteed-recall block scheme exists to prevent."""
+    base = 0x0123456789ABCDEF
+    flipped = base ^ (
+        (0b11) | (0b11 << 16) | (0b11 << 32) | (0b11 << 48)
+    )  # bits 0,1,16,17,32,33,48,49
+    pdf = pd.DataFrame({"id": [1, 2, 3], "simhash": np.array(
+        [base, flipped, 0x7FFFFFFFFFFFFFFF], dtype=np.int64)})
+    pairs = dedup.simhash_neardup_pairs(spark.createDataFrame(pdf), max_hamming=8).toPandas()
+    found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (1, 2) in found
+    assert pairs.set_index(["id_a", "id_b"]).loc[(1, 2), "hamming"] == 8
+
+
+def test_hamming_block_pairs_exact_vs_bruteforce(spark):
+    """The block join's output must equal the exhaustive Hamming-ball pair
+    set exactly (guaranteed recall + popcount precision), for both the
+    default single-block keys and combination keys."""
+    rng = np.random.default_rng(99)
+    hashes = rng.integers(-(2**63), 2**63, size=120, dtype=np.int64)
+    # plant pairs at assorted distances straddling the radius
+    for i, dist in enumerate([0, 3, 6, 8, 9, 11]):
+        h = int(hashes[i])
+        bits = rng.choice(64, size=dist, replace=False)
+        for b in bits:
+            h ^= 1 << int(b)
+        hashes[60 + i] = np.int64(np.uint64(h & 0xFFFFFFFFFFFFFFFF).astype(np.int64))
+    ids = list(range(120))
+    expected = _brute_hamming_pairs(ids, hashes, 8)
+    sdf = spark.createDataFrame(pd.DataFrame({"id": ids, "simhash": hashes}))
+    for kwargs in ({}, {"n_blocks": 11, "key_blocks": 2}):
+        pairs = dedup.hamming_block_pairs(sdf, "simhash", 8, **kwargs).toPandas()
+        found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+        assert found == expected, f"{kwargs}: missing={expected - found} extra={found - expected}"
+
+
+def test_hamming_block_pairs_rejects_unguaranteed_config(spark):
+    sdf = spark.createDataFrame(pd.DataFrame({"id": [1], "simhash": [0]}))
+    with pytest.raises(ValueError):
+        dedup.hamming_block_pairs(sdf, "simhash", 8, n_blocks=9, key_blocks=2)
+
+
+def test_knn_argpartition_boundary_ties_pinned():
+    """Exact-tie adversarial: many targets at the SAME coordinates so the
+    kth-boundary distances tie; the fast argpartition path must still
+    return the lexicographically-smallest (dist, id) neighbors."""
+    from jpspark.geom import cell
+    from jpspark.ops.knn import TargetIndex, _knn_for_cell
+
+    rng = np.random.default_rng(7)
+    ids = rng.permutation(5000)[:60]  # shuffled, non-contiguous ids
+    lon = np.full(60, 140.0)
+    lat = np.full(60, 35.0)  # all 60 targets coincide -> all dists tie
+    idx = TargetIndex(ids, lon, lat, res=5)
+    qx, qy = np.array([140.2]), np.array([35.1])
+    qc = int(cell.encode(qx, qy, 5)[0])
+    t, d = _knn_for_cell(idx, qc, qx, qy, k=3)
+    assert list(t[0]) == sorted(ids)[:3]  # pinned tie-break by target id
+    assert np.allclose(d[0], d[0][0])  # all distances equal
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 16)

@@ -70,6 +70,17 @@ def test_match_entries_fallback_and_known_bad_skip():
     assert got == ["X1-23_13.shp", "X1-23_13.dbf", "other/thing.shp"]
 
 
+def test_match_entries_df_backslash_normalization(spark):
+    """Distributed matcher must normalize single Windows '\\' separators
+    exactly like the local match_entries (JVM regex escaping regression)."""
+    m = mapping.ShapefileMapping("x1", ["X1-YY_PP.shp"])
+    entries = ["sub\\X1-23_13.shp", "X1-23_13.dbf", "N08-21_GML/utf8/bad.shp"]
+    df = spark.createDataFrame(pd.DataFrame({"entry": entries}))
+    got = sorted(r["entry"] for r in mapping.match_entries_df(df, m).collect())
+    assert got == ["X1-23_13.dbf", "sub/X1-23_13.shp"]
+    assert got == sorted(mapping.match_entries(entries, m))
+
+
 def test_apply_field_mapping_silently_skips_absent(spark):
     df = spark.createDataFrame(pd.DataFrame({"W09_001": ["a"], "W09_002": ["b"]}))
     m = mapping.ShapefileMapping(

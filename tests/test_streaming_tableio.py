@@ -51,6 +51,18 @@ def test_tableio_parquet_fallback(spark, tmp_path):
     assert tio.read("t1").count() == 500
 
 
+def test_tableio_overwrite_removes_stale_parts(spark, tmp_path):
+    """createOrReplace semantics: rewriting a table with fewer partitions
+    must not leave phantom rows from the previous version's part files."""
+    tio = table_io.TableIO(spark, str(tmp_path / "tables_ovw"))
+    big = spark.range(1000).withColumn("v", F.col("id") % 3).repartition(8)
+    tio.write(big, "t")
+    assert tio.read("t").count() == 1000
+    small = spark.range(10).withColumn("v", F.col("id") % 3).repartition(2)
+    tio.write(small, "t")
+    assert tio.read("t").count() == 10  # no stale part-* from the 8-way write
+
+
 def test_tableio_merge_upsert_fallback(spark, tmp_path):
     tio = table_io.TableIO(spark, str(tmp_path / "tables2"))
     base = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]}))
