@@ -142,6 +142,25 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
     polys_sdf = spark.createDataFrame(polys[["都道府県名", "geom"]])
     timed("dissolve", lambda: dis.dissolve(polys_sdf, ["都道府県名"]).count())
 
+    # --- image decode: Arrow-batched binary-kernel throughput over the
+    # payload table (real codecs; the input_hint hot path)
+    from jpspark.ops import multimodal as mm
+
+    imgs = fx.images(500, polys)
+    img_sdf = spark.createDataFrame(imgs[["image_id", "bytes", "fmt"]])
+    rep_img = spark.range(16).select(F.col("id").alias("rp"))
+    img_big = (
+        img_sdf.crossJoin(rep_img)
+        .withColumn("image_id", F.concat_ws("_", "image_id", F.col("rp").cast("string")))
+        .drop("rp")
+        .repartition(cpus * 4)
+        .cache()
+    )
+    n_imgs = img_big.count()
+    timed("image_decode", lambda: mm.decode_stats(img_big).agg(F.sum("w")).collect())
+    extras["decode_imgs_per_sec"] = round(n_imgs / timings["image_decode"], 1)
+    img_big.unpersist()
+
     # --- relational + training-data headliners from the registry
     for name in ("pricing_summary", "fk_broadcast_join", "minhash_lsh_pairs", "ann_topk"):
         q = QUERIES[name]

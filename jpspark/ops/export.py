@@ -72,15 +72,17 @@ def to_geojson_features(df: DataFrame, geom_col: str = "geom") -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
-            for _, r in pdf.iterrows():
+            geoms = pdf[geom_col].to_numpy()
+            prop_cols = [pdf[c].to_numpy() for c in props]
+            for i, g in enumerate(geoms):
                 feats.append(
                     json.dumps(
                         {
                             "type": "Feature",
-                            "geometry": _wkb_to_geojson_geometry(r[geom_col]),
+                            "geometry": _wkb_to_geojson_geometry(g),
                             "properties": {
-                                c: (None if (isinstance(r[c], float) and np.isnan(r[c])) else r[c])
-                                for c in props
+                                c: (None if (isinstance(v, float) and np.isnan(v)) else v)
+                                for c, v in zip(props, (col[i] for col in prop_cols))
                             },
                         },
                         ensure_ascii=False,

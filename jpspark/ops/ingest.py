@@ -65,12 +65,12 @@ def extract_archives(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                members = extract_zip_bytes(bytes(r[content_col]), strict)
+            for path, content in zip(pdf[path_col].to_numpy(), pdf[content_col].to_numpy()):
+                members = extract_zip_bytes(bytes(content), strict)
                 if not members:
-                    members = extract_zip_bytes(bytes(r[content_col]), loose)
+                    members = extract_zip_bytes(bytes(content), loose)
                 for entry, data in members:
-                    rows.append((r[path_col], entry, data, len(data)))
+                    rows.append((path, entry, data, len(data)))
             yield pd.DataFrame(
                 rows, columns=["archive", "entry", "content", "size"]
             ) if rows else pd.DataFrame(

@@ -257,12 +257,30 @@ def knn_join_shuffle(
     lat: str = "lat",
     res: int = 4,
     max_ring: int = 2,
+    guard: str = "error",
 ) -> DataFrame:
     """Distributed kNN for non-broadcastable targets: targets replicated to
     their disk(max_ring) neighbor cells, equi-join on cell, per-query top-k
     via window. Exact iff every query's kth neighbor lies within max_ring
-    cells (choose res so the expected per-cell target count >> k); callers
-    needing a hard guarantee use the broadcast variant."""
+    cells (choose res so the expected per-cell target count >> k).
+
+    ``guard`` enforces that exactness condition at runtime instead of
+    trusting the caller's res/max_ring choice: a query is provably exact
+    iff it found k candidates AND its kth distance <= max_ring *
+    min(cell_w, cell_h) (any target outside the replicated disk is at
+    least that far away — same disk bound the broadcast variant uses).
+
+    - "error" (default): the job fails on the first violating query
+      (distributed ``assert_true`` inside the top-k filter — silent wrong
+      neighbors become a loud failure).
+    - "flag": adds an ``exact`` boolean column; callers route inexact
+      queries to an escalation pass (bigger ring or broadcast variant).
+    - "none": previous trust-the-caller behavior (also the right mode
+      when the GLOBAL target count is < k, which the guard would
+      otherwise report as a violation).
+    """
+    if guard not in ("error", "flag", "none"):
+        raise ValueError(f"guard must be error|flag|none, got {guard!r}")
     tgt = targets.select(
         F.col(target_id_col).alias("target_id"),
         F.col(lon).alias("t_lon"),
@@ -286,7 +304,11 @@ def knn_join_shuffle(
 
     from pyspark.sql import Window
 
-    joined = qry.join(tgt, "cell_id").withColumn(
+    # guarded modes use a LEFT join so queries whose disk holds ZERO
+    # candidates still surface (as a null-target row) — an inner join
+    # would silently drop them before the guard could see them
+    how = "inner" if guard == "none" else "left"
+    joined = qry.join(tgt, "cell_id", how).withColumn(
         "dist",
         # plain multiply (not pow): bit-identical to the SQL oracle formula
         F.sqrt(
@@ -294,9 +316,33 @@ def knn_join_shuffle(
             + (F.col("t_lat") - F.col("q_lat")) * (F.col("t_lat") - F.col("q_lat"))
         ),
     )
-    w = Window.partitionBy("query_id").orderBy("dist", "target_id")
-    return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col("rank").cast("int"), "target_id", "dist")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc_nulls_last(), F.col("target_id").asc_nulls_last()
+    )
+    ranked = joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    if guard == "none":
+        return ranked.select("query_id", F.col("rank").cast("int"), "target_id", "dist")
+    cw, ch = cell.cell_size_deg(res)
+    bound = float(max_ring) * min(cw, ch)
+    wq = Window.partitionBy("query_id")
+    ranked = ranked.withColumn(
+        "exact",
+        (F.count("target_id").over(wq) >= F.lit(k)) & (F.max("dist").over(wq) <= F.lit(bound)),
+    )
+    if guard == "error":
+        msg = F.concat(
+            F.lit(
+                f"knn_join_shuffle inexact (k={k}, res={res}, max_ring={max_ring}, "
+                f"ring bound {bound:.6g} deg): kth neighbor outside the replicated "
+                "disk for query_id="
+            ),
+            F.col("query_id").cast("string"),
+            F.lit(" — raise max_ring/lower res, or use knn_join_broadcast"),
+        )
+        # assert_true inside the filter: evaluated per row, cannot be
+        # pruned away, fails the job at the first violating query
+        ranked = ranked.filter(F.assert_true(F.col("exact"), msg).isNull())
+        return ranked.select("query_id", F.col("rank").cast("int"), "target_id", "dist")
+    return ranked.filter(F.col("target_id").isNotNull()).select(
+        "query_id", F.col("rank").cast("int"), "target_id", "dist", "exact"
     )

@@ -43,17 +43,16 @@ def decode_stats(images: DataFrame) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                px = img.decode(bytes(r["bytes"]), r["fmt"])
+            # zip over numpy object arrays: no per-row pandas Series
+            # construction (iterrows costs more than the decode for small
+            # images)
+            for iid, buf, fmt in zip(
+                pdf["image_id"].to_numpy(), pdf["bytes"].to_numpy(), pdf["fmt"].to_numpy()
+            ):
+                px = img.decode(bytes(buf), fmt)
                 rows.append(
-                    (
-                        r["image_id"],
-                        px.shape[1],
-                        px.shape[0],
-                        r["fmt"],
-                        float(img.gray_f64(px).mean()),
-                        int(phash64(px)),
-                    )
+                    (iid, px.shape[1], px.shape[0], fmt,
+                     float(img.gray_f64(px).mean()), int(phash64(px)))
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
@@ -67,12 +66,14 @@ def resize_images(images: DataFrame, out_w: int, out_h: int, out_fmt: str = "raw
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                px = img.decode(bytes(r["bytes"]), r["fmt"])
+            for iid, buf, fmt in zip(
+                pdf["image_id"].to_numpy(), pdf["bytes"].to_numpy(), pdf["fmt"].to_numpy()
+            ):
+                px = img.decode(bytes(buf), fmt)
                 small = np.clip(
                     np.round(img.resize_area_mean(px, out_h, out_w)), 0, 255
                 ).astype(np.uint8)
-                rows.append((r["image_id"], img.encode(small, out_fmt), out_w, out_h, out_fmt))
+                rows.append((iid, img.encode(small, out_fmt), out_w, out_h, out_fmt))
             yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(kernel, schema)
@@ -91,13 +92,15 @@ def extract_features(images: DataFrame) -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, vecs = [], []
-            for _, r in pdf.iterrows():
-                g = img.gray_f64(img.decode(bytes(r["bytes"]), r["fmt"]))
+            for iid, buf, fmt in zip(
+                pdf["image_id"].to_numpy(), pdf["bytes"].to_numpy(), pdf["fmt"].to_numpy()
+            ):
+                g = img.gray_f64(img.decode(bytes(buf), fmt))
                 hist, _ = np.histogram(g, bins=16, range=(0, 256))
                 hist = hist / max(g.size, 1)
                 rows_p = img.resize_area_mean(g, 16, 1).ravel() / 255.0
                 cols_p = img.resize_area_mean(g, 1, 16).ravel() / 255.0
-                ids.append(r["image_id"])
+                ids.append(iid)
                 vecs.append(np.concatenate([hist, rows_p, cols_p]).astype(np.float32).tolist())
             yield pd.DataFrame({"image_id": ids, "embedding": vecs})
 
@@ -124,11 +127,9 @@ def decode_audio_stats(media: DataFrame, strict: bool = False) -> DataFrame:
                     "environment; plug a real decoder into decode_audio_stats.kernel"
                 )
             rows = []
-            for _, r in pdf.iterrows():
-                b = bytes(r["bytes"])
-                rows.append(
-                    (r["media_id"], 16000, len(b) // 2, float((sum(b[:1024]) % 1000) / 1000.0))
-                )
+            for mid, buf in zip(pdf["media_id"].to_numpy(), pdf["bytes"].to_numpy()):
+                b = bytes(buf)
+                rows.append((mid, 16000, len(b) // 2, float((sum(b[:1024]) % 1000) / 1000.0)))
             yield pd.DataFrame(rows, columns=["media_id", "sample_rate", "n_samples", "rms"])
 
     return media.select("media_id", "bytes").mapInPandas(kernel, AUDIO_SCHEMA)
@@ -147,8 +148,8 @@ def sample_video_frames(media: DataFrame, every_n: int = 10, strict: bool = Fals
                     "environment; plug a real demuxer into sample_video_frames.kernel"
                 )
             rows = []
-            for _, r in pdf.iterrows():
-                b = bytes(r["bytes"])
+            for mid, buf in zip(pdf["media_id"].to_numpy(), pdf["bytes"].to_numpy()):
+                b = bytes(buf)
                 # fake container: RAW1 frames back-to-back
                 off, idx = 0, 0
                 while off + 8 <= len(b) and b[off : off + 4] == b"RAW1":
@@ -157,7 +158,7 @@ def sample_video_frames(media: DataFrame, every_n: int = 10, strict: bool = Fals
                     w, h = struct.unpack_from("<HH", b, off + 4)
                     size = 8 + w * h * 3
                     if idx % every_n == 0:
-                        rows.append((r["media_id"], idx, b[off : off + size], w, h, "raw"))
+                        rows.append((mid, idx, b[off : off + size], w, h, "raw"))
                     off += size
                     idx += 1
             yield pd.DataFrame(

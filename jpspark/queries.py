@@ -865,17 +865,20 @@ def q_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     def validate(batches):
         for b in batches:
             ok_pixels, ok_phash, psnrs = [], [], []
-            for _, r in b.iterrows():
-                decoded = img.decode(bytes(r["bytes"]), r["fmt"])
-                original = fx.pixel_pattern(int(r["image_id"][3:]), int(r["w"]), int(r["h"]))
+            for iid, buf, fmt, w, h, ph in zip(
+                b["image_id"].to_numpy(), b["bytes"].to_numpy(), b["fmt"].to_numpy(),
+                b["w"].to_numpy(), b["h"].to_numpy(), b["phash"].to_numpy(),
+            ):
+                decoded = img.decode(bytes(buf), fmt)
+                original = fx.pixel_pattern(int(iid[3:]), int(w), int(h))
                 p = img.psnr(original, decoded)
                 psnrs.append(min(p, 99.0))
                 ok_pixels.append(
                     bool(np.array_equal(decoded, original))
-                    if r["fmt"] in img.LOSSLESS
+                    if fmt in img.LOSSLESS
                     else bool(p >= 40.0)
                 )
-                ok_phash.append(int(phash64(decoded)) == int(r["phash"]))
+                ok_phash.append(int(phash64(decoded)) == int(ph))
             yield pd.DataFrame(
                 {
                     "image_id": b["image_id"],

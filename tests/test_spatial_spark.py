@@ -136,6 +136,39 @@ def test_knn_shuffle_matches_oracle(spark, polys, images_pdf, points_sdf):
     )
 
 
+def test_knn_shuffle_guard_errors_when_ring_too_small(spark):
+    """Deliberately undersized max_ring: the kth neighbor lies outside the
+    replicated disk. The guard must fail the job loudly instead of
+    returning silently-wrong neighbors."""
+    qry = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["q1", "q2"], "lon": [123.0, 123.5], "lat": [21.0, 21.5]})
+    )
+    # 5 targets ~25 degrees away: far outside disk(1) at res=7 (~1.4 deg)
+    tgt = spark.createDataFrame(
+        pd.DataFrame({"ogc_fid": range(5), "lon": [150.0 + i * 0.1 for i in range(5)],
+                      "lat": [44.0] * 5})
+    )
+    out = knn_ops.knn_join_shuffle(qry, tgt, k=2, res=7, max_ring=1)
+    with pytest.raises(Exception, match="knn_join_shuffle inexact"):
+        out.collect()
+
+
+def test_knn_shuffle_guard_flag_mode(spark):
+    """flag mode: queries with a provably-exact top-k get exact=True;
+    under-served queries are flagged instead of erroring."""
+    qry = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["q1"], "lon": [140.0], "lat": [35.0]})
+    )
+    # 2 targets adjacent to the query, but k=3 -> n_found < k -> inexact
+    tgt = spark.createDataFrame(
+        pd.DataFrame({"ogc_fid": [1, 2], "lon": [140.01, 140.02], "lat": [35.0, 35.0]})
+    )
+    out = knn_ops.knn_join_shuffle(qry, tgt, k=3, res=7, max_ring=1, guard="flag").toPandas()
+    assert len(out) == 2 and (~out["exact"]).all()
+    ok = knn_ops.knn_join_shuffle(qry, tgt, k=2, res=7, max_ring=1, guard="flag").toPandas()
+    assert len(ok) == 2 and ok["exact"].all()
+
+
 def test_tile_assign_matches_floor_oracle(spark, images_pdf, points_sdf):
     z = 6
     got = (
