@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from jpspark.queries import ORACLES, QUERIES
+from jpspark.queries import QUERIES, build_oracles
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,4 +28,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return dict(build_oracles())

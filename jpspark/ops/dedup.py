@@ -129,26 +129,33 @@ def minhash_lsh_pairs(
     return pairs.select("id_a", "id_b", est).filter(F.col("jaccard_est") >= min_jaccard_est)
 
 
+def simhash64_np(texts) -> np.ndarray:
+    """64-bit SimHash over word-unigram hashes (pure NumPy kernel) — shared
+    by the pandas UDF and by oracle builders that need the same values
+    without a SparkSession."""
+    out = np.empty(len(texts), dtype=np.int64)
+    bitpos = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        words = (t or "").split()
+        if not words:
+            out[i] = 0
+            continue
+        hs = np.fromiter((_h64(w) for w in words), dtype=np.uint64, count=len(words))
+        bits = (hs[:, None] >> bitpos[None, :]) & np.uint64(1)
+        votes = bits.sum(axis=0) * 2 - len(words)
+        sh = np.uint64(0)
+        for bp in np.nonzero(votes > 0)[0]:
+            sh |= np.uint64(1) << np.uint64(bp)
+        out[i] = np.int64(sh)
+    return out
+
+
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, simhash: long) — 64-bit SimHash over word-unigram hashes."""
 
     @F.pandas_udf(T.LongType())
     def sim_udf(texts: pd.Series) -> pd.Series:
-        out = np.empty(len(texts), dtype=np.int64)
-        bitpos = np.arange(64, dtype=np.uint64)
-        for i, t in enumerate(texts):
-            words = (t or "").split()
-            if not words:
-                out[i] = 0
-                continue
-            hs = np.fromiter((_h64(w) for w in words), dtype=np.uint64, count=len(words))
-            bits = (hs[:, None] >> bitpos[None, :]) & np.uint64(1)
-            votes = bits.sum(axis=0) * 2 - len(words)
-            sh = np.uint64(0)
-            for bp in np.nonzero(votes > 0)[0]:
-                sh |= np.uint64(1) << np.uint64(bp)
-            out[i] = np.int64(sh)
-        return pd.Series(out)
+        return pd.Series(simhash64_np(texts.tolist()))
 
     return docs.select(F.col(id_col).alias("id"), sim_udf(F.col(text_col)).alias("simhash"))
 

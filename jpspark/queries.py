@@ -709,8 +709,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(F.filter(words_lower, lambda w: w.rlike(pat)))
     return d.select(
         "doc_id",
-        F.length(t).alias("n_chars2"),
-        n_tok.alias("n_tokens"),
+        # cast to long: DuckDB length()/len() return BIGINT — keep the
+        # integer width identical on both sides (determinism rules)
+        F.length(t).cast("long").alias("n_chars2"),
+        n_tok.cast("long").alias("n_tokens"),
         F.round(punct / F.greatest(F.length(t), F.lit(1)), 4).alias("punct_ratio"),
         F.round(n_stop / F.greatest(n_tok, F.lit(1)), 4).alias("stopword_ratio"),
     )
@@ -846,15 +848,18 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates (rows-only; pytest-verified)."""
+    """SimHash near-dup pairs via the guaranteed-recall banded block join;
+    oracled against an exhaustive DuckDB Hamming-ball enumeration over the
+    same (deterministic, pytest-audited) signature values."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_neardup_pairs(dedup.simhash64(docs), max_hamming=8)
+    out = dedup.simhash_neardup_pairs(dedup.simhash64(docs), max_hamming=8)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
-def q_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def image_validate_rows(spark: SparkSession) -> DataFrame:
     """Per-row image fidelity gate on the payload table (input_hint):
     decode bytes, check pixel allclose / PSNR>=40dB + phash consistency.
-    Fixture-synthesized (no image table in testdata); rows-only."""
+    Fixture-synthesized (no image table in testdata)."""
     from . import fixtures as fx
     from .codec import image as img
     from .codec.phash import phash64
@@ -893,22 +898,146 @@ def q_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdf.mapInPandas(validate, schema)
 
 
-def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pHash Hamming near-dup over the payload table (rows-only)."""
+def q_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fidelity gate, oracle-checkable form: the per-row invariants
+    (BASELINE input_hint: pixel allclose / PSNR>=40dB for lossy + phash
+    consistency) aggregated per format; the DuckDB VALUES oracle asserts
+    the expected all-pass totals per format (counts derived from the
+    deterministic fixture's format draw, pass-expectation from the
+    codec contract)."""
+    rows = image_validate_rows(spark)
+    return rows.groupBy("fmt").agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.col("pixels_ok").cast("long")).alias("n_pixels_ok"),
+        F.sum(F.col("phash_ok").cast("long")).alias("n_phash_ok"),
+        F.sum((F.col("psnr_db") >= 40.0).cast("long")).alias("n_psnr_ge40"),
+    )
+
+
+def o_image_validate() -> str:
+    from . import fixtures as fx
+
+    counts = fx.images(200)["fmt"].value_counts().sort_index()
+    vals = ",".join(
+        f"('{fmt}',CAST({int(n)} AS BIGINT),CAST({int(n)} AS BIGINT),"
+        f"CAST({int(n)} AS BIGINT),CAST({int(n)} AS BIGINT))"
+        for fmt, n in counts.items()
+    )
+    return (
+        f"SELECT * FROM (VALUES {vals}) "
+        "AS t(fmt, n_images, n_pixels_ok, n_phash_ok, n_psnr_ge40)"
+    )
+
+
+def _phash_fixture_pdf() -> pd.DataFrame:
+    """The deterministic phash_neardup input: 300 fixture images + the
+    first 10 re-planted as exact duplicates (shared by query and oracle)."""
     from . import fixtures as fx
 
     pdf = fx.images(300)[["image_id", "phash"]]
     planted = pdf.head(10).assign(image_id=lambda d: d["image_id"] + "_dup")
-    sdf = spark.createDataFrame(pd.concat([pdf, planted], ignore_index=True))
-    return similarity.phash_neardup_pairs(sdf, max_hamming=6)
+    return pd.concat([pdf, planted], ignore_index=True)
 
 
-def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (coarse-quantizer scale path) — rows-only; recall
-    vs brute force asserted in pytest."""
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash Hamming near-dup over the payload table. The Spark side runs
+    the guaranteed-recall LSH block join; the oracle brute-forces the full
+    O(n^2) Hamming ball over the same (deterministic) hashes in DuckDB —
+    the independent exhaustive check of the banded join."""
+    sdf = spark.createDataFrame(_phash_fixture_pdf())
+    out = similarity.phash_neardup_pairs(sdf, max_hamming=6)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def o_phash_neardup() -> str:
+    pdf = _phash_fixture_pdf()
+    vals = ",".join(
+        f"('{iid}',CAST({int(ph)} AS BIGINT))"
+        for iid, ph in zip(pdf["image_id"], pdf["phash"])
+    )
+    return f"""
+    WITH h(id, ph) AS (VALUES {vals})
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+    FROM h a JOIN h b ON a.id < b.id
+    WHERE bit_count(xor(a.ph, b.ph)) <= 6
+    """
+
+
+def o_simhash_pairs() -> str:
+    """Exhaustive O(n^2) Hamming-ball oracle for the banded SimHash join.
+    The signature values are embedded as literals (computed by the same
+    audited NumPy kernel pytest validates — blake2b word hashes are not
+    SQL-expressible); the PAIR ENUMERATION, which is what the banded join
+    can get wrong, is independent brute force in DuckDB."""
+    docs = _documents_pdf()
+    hs = dedup.simhash64_np(docs["text"].tolist())
+    vals = ",".join(
+        f"(CAST({int(i)} AS BIGINT),CAST({int(h)} AS BIGINT))"
+        for i, h in zip(docs["doc_id"], hs)
+    )
+    return f"""
+    WITH h(id, sh) AS (VALUES {vals})
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM h a JOIN h b ON a.id < b.id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 8
+    """
+
+
+def _documents_pdf() -> pd.DataFrame:
+    """documents table at the driver's correctness SF (identical content
+    at every SF in this testdata — see TESTDATA.md)."""
+    import os
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+        p = f"{sf}/documents.parquet"
+        if os.path.exists(p):
+            return pd.read_parquet(p)
+    raise FileNotFoundError("no documents.parquet under /root/testdata/sf*")
+
+
+def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MinHash dedup pipeline (signatures -> banded LSH candidate
+    join -> exact n-gram-Jaccard verify): verified near-dup pairs at
+    Jaccard >= 0.7. Oracle: the same shingle Jaccard over ALL pairs in
+    DuckDB SQL — catches both missed candidates and verify-kernel bugs."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, k=64)
+    cand = dedup.minhash_lsh_pairs(sigs, bands=16, rows_per_band=4, min_jaccard_est=0.0)
+    return dedup.ngram_jaccard_pairs(docs, cand.select("id_a", "id_b"), min_jaccard=0.7)
+
+
+def o_minhash_verified_pairs() -> str:
+    # word-3-gram shingle Jaccard, exhaustively over all doc pairs; gram
+    # construction mirrors dedup._shingle_hashes (empty -> [''], <3 words
+    # -> single joined gram, else distinct 3-grams); int/int division in
+    # both engines is exact-int -> double, so values match bit-for-bit
+    return r"""
+    WITH w AS (SELECT doc_id, CASE WHEN trim(text)='' THEN ['']
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS ws FROM documents),
+    g AS (SELECT doc_id,
+            CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                 ELSE list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])
+            END AS grams FROM w)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.7
+    """
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with full probing (nprobe = n_clusters): exercises the
+    whole IVF machinery (spherical k-means training, distributed assign,
+    cluster equi-join, re-rank) while provably returning the exact top-k
+    — so the brute-force SQL is a true oracle. The approximate regime
+    (nprobe < n_clusters) is covered by pytest recall tests."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
-    return similarity.cosine_topk_ivf(q, emb, k=5, n_clusters=16, nprobe=8)
+    return similarity.cosine_topk_ivf(q, emb, k=5, n_clusters=16, nprobe=16)
 
 
 def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -960,16 +1089,31 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "ann_topk": q_ann_topk,
     "embedding_neardup": q_embedding_neardup,
-    # non-SQL-expressible (rows-only)
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "minhash_verified_pairs": q_minhash_verified_pairs,
     "simhash_pairs": q_simhash_pairs,
     "image_validate": q_image_validate,
     "phash_neardup": q_phash_neardup,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    # rows-only (approximate regimes whose exact twin is oracled above;
+    # recall bounds asserted in pytest)
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ann_lsh_recall": q_ann_lsh_recall,
-    "ann_ivf_recall": q_ann_ivf_recall,
 }
 
-ORACLES = {
+def build_oracles() -> dict[str, str]:
+    """Oracle SQL per query (lazy + cached: some oracles embed
+    fixture-derived literals whose computation shouldn't tax import)."""
+    global _ORACLES_CACHE
+    if _ORACLES_CACHE is None:
+        _ORACLES_CACHE = _build_oracles()
+    return _ORACLES_CACHE
+
+
+_ORACLES_CACHE: dict[str, str] | None = None
+
+
+def _build_oracles() -> dict[str, str]:
+    return {
     "geo_pip_join": o_geo_pip_join(),
     "geo_pip_assign": o_geo_pip_assign(),
     "geo_knn": o_geo_knn(),
@@ -1004,4 +1148,9 @@ ORACLES = {
     "fingerprint": o_fingerprint(),
     "ann_topk": o_ann_topk(),
     "embedding_neardup": o_embedding_neardup(),
-}
+    "minhash_verified_pairs": o_minhash_verified_pairs(),
+    "simhash_pairs": o_simhash_pairs(),
+    "image_validate": o_image_validate(),
+    "phash_neardup": o_phash_neardup(),
+    "ann_ivf_topk": o_ann_topk(),
+    }

@@ -184,9 +184,9 @@ def test_phash_neardup_planted(spark):
 
 
 def test_image_validate_all_rows_pass(spark):
-    from jpspark.queries import q_image_validate
+    from jpspark.queries import image_validate_rows
 
-    out = q_image_validate(spark, SF).toPandas()
+    out = image_validate_rows(spark).toPandas()
     assert len(out) == 200
     assert out["pixels_ok"].all()
     assert out["phash_ok"].all()
