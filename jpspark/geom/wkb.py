@@ -145,6 +145,22 @@ def encode_multipoint(pts: np.ndarray) -> bytes:
     return b"".join(parts)
 
 
+def encode_linestring(line: np.ndarray) -> bytes:
+    parts: list[bytes] = []
+    _w_header(parts, LINESTRING)
+    _w_ring(parts, np.asarray(line, dtype=np.float64).reshape(-1, 2))
+    return b"".join(parts)
+
+
+def encode_multilinestring(lines: list[np.ndarray]) -> bytes:
+    parts: list[bytes] = []
+    _w_header(parts, MULTILINESTRING)
+    parts.append(struct.pack("<I", len(lines)))
+    for line in lines:
+        parts.append(encode_linestring(line))
+    return b"".join(parts)
+
+
 def encode_polygon(rings: list[np.ndarray]) -> bytes:
     parts: list[bytes] = []
     _w_header(parts, POLYGON)

@@ -1,4 +1,4 @@
-"""File-export sinks (SURVEY S9): GeoParquet-minimal and GeoJSON.
+"""File-export sinks (SURVEY S9): GeoParquet-minimal, GeoJSON, FlatGeobuf.
 
 The reference shells ``ogr2ogr -f GeoParquet|GeoJSON|FlatGeobuf``
 (/root/reference/src/loader/gdal.rs:143-167) and deletes pre-existing
@@ -11,8 +11,11 @@ output first (gdal.rs:144-148 -> mode("overwrite")). Spark-first:
   is already columnar WKB.
 - GeoJSON: newline-delimited Feature objects (RFC 7946 geometries decoded
   from WKB in an Arrow-batched kernel), written with the JSON sink.
-- FlatGeobuf: not implemented — it is a single-file spatially-indexed
-  format that contradicts distributed sharded writes; documented gap.
+- FlatGeobuf: single-file Hilbert-ordered export (codec/fgb.py, written
+  from the public spec). Inherently a BOUNDED sink — one file, one
+  writer — so features are gathered to the driver; the distributed
+  sinks above are the 100-TB path, this one closes format parity for
+  the bounded exports the reference produces per dataset.
 """
 
 from __future__ import annotations
@@ -96,3 +99,96 @@ def to_geojson_features(df: DataFrame, geom_col: str = "geom") -> DataFrame:
 
 def write_geojson(df: DataFrame, path: str, geom_col: str = "geom") -> None:
     to_geojson_features(df, geom_col).write.mode("overwrite").text(path)
+
+
+# ----------------------------------------------------------------- FlatGeobuf
+
+_SPARK_TO_FGB = {
+    "boolean": "bool",
+    "integer": "int",
+    "long": "long",
+    "float": "double",
+    "double": "double",
+    "string": "string",
+}
+
+
+def _wkb_points(buf: bytes) -> np.ndarray:
+    gtype, payload = wkb.parse(bytes(buf))
+    if gtype == wkb.POINT:
+        return np.asarray(payload).reshape(1, 2)
+    if gtype in (wkb.MULTIPOINT, wkb.LINESTRING):
+        return np.asarray(payload)
+    if gtype in (wkb.POLYGON, wkb.MULTILINESTRING):
+        return np.vstack(payload)
+    if gtype == wkb.MULTIPOLYGON:
+        return np.vstack([r for rings in payload for r in rings])
+    raise ValueError(f"unsupported geometry type {gtype}")
+
+
+def write_flatgeobuf(
+    df: DataFrame, path: str, geom_col: str = "geom", layer_name: str = "layer",
+    srid: int = 6668,
+) -> dict:
+    """Single-file FlatGeobuf export (reference format list,
+    gdal.rs:143-167). Features are gathered to the driver (single file =
+    single writer: a bounded export by design), Hilbert-sorted by bbox
+    center (the spatial-streaming order canonical writers produce), and
+    written with index_node_size=0 (no R-tree block; readers stream).
+    Returns {path, features_count}."""
+    from ..codec import fgb
+
+    pdf = df.toPandas()
+    ctypes = {
+        fgb.CT_BOOL: "bool", fgb.CT_INT: "int", fgb.CT_LONG: "long",
+        fgb.CT_DOUBLE: "double", fgb.CT_STRING: "string",
+    }
+    name_to_ct = {v: k for k, v in ctypes.items()}
+    columns: list[tuple[str, int]] = []
+    for f in df.schema.fields:
+        if f.name == geom_col:
+            continue
+        t = _SPARK_TO_FGB.get(f.dataType.typeName())
+        if t is None:
+            raise ValueError(
+                f"column {f.name}: type {f.dataType.typeName()} not supported by the "
+                "FlatGeobuf sink (drop or cast it first)"
+            )
+        columns.append((f.name, name_to_ct[t]))
+
+    geoms = pdf[geom_col].to_numpy()
+    if len(geoms) == 0:
+        raise ValueError("empty DataFrame: FlatGeobuf requires features_count >= 1 here")
+    pts = [_wkb_points(g) for g in geoms]
+    bboxes = np.array(
+        [[p[:, 0].min(), p[:, 1].min(), p[:, 0].max(), p[:, 1].max()] for p in pts]
+    )
+    order = fgb.hilbert_order(bboxes)
+    gtypes = {wkb.parse(bytes(g))[0] for g in geoms}
+    geom_type = fgb._WKB_TO_GT[next(iter(gtypes))] if len(gtypes) == 1 else fgb.GT_UNKNOWN
+    envelope = [
+        float(bboxes[:, 0].min()), float(bboxes[:, 1].min()),
+        float(bboxes[:, 2].max()), float(bboxes[:, 3].max()),
+    ]
+    header = fgb.encode_header(
+        layer_name, geom_type, len(pdf), columns, envelope=envelope, srid=srid
+    )
+    prop_cols = [c for c, _ in columns]
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(fgb.MAGIC)
+        f.write(header)
+        for i in order:
+            row = {c: pdf.iloc[int(i)][c] for c in prop_cols}
+            props = fgb.encode_properties(row, columns)
+            f.write(fgb.encode_feature(bytes(geoms[int(i)]), props))
+    os.replace(tmp, path)  # commit-marker-after-data idiom (downloader.rs:104)
+    return {"path": path, "features_count": len(pdf)}
+
+
+def read_flatgeobuf(path: str) -> dict:
+    """Parse a FlatGeobuf file back (round-trip verification reader)."""
+    from ..codec import fgb
+
+    with open(path, "rb") as f:
+        return fgb.decode_file(f.read())
