@@ -25,7 +25,12 @@ AMPLIFY = "256"  # 25.6M points: long stages drown host noise + fixed costs
 
 
 def run(master: str, out: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_AMPLIFY=AMPLIFY, SPARK_GRAFT_BENCH_REPEATS="2")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_AMPLIFY=AMPLIFY,
+        SPARK_GRAFT_BENCH_REPEATS="2",
+        SPARK_GRAFT_BENCH_BIG_AMPLIFY="0",  # this run IS the big config
+    )
     subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--master", master, "--out", out,
          "--sf-dir", SF_DIR],

@@ -11,6 +11,13 @@ metrics) runs on points amplified from the events table (x AMPLIFY exact
 replicas with distinct ids) so the spatial stages process millions of rows
 — enough for stable rows/sec at local[32] — while remaining fully
 deterministic and derived from the driver's testdata.
+
+Two configurations are emitted every round (round-over-round
+comparability): the headline block at AMPLIFY (default x32, 3.2M points
+at sf0.1) in "queries", and a big spatial block at BIG_AMPLIFY (default
+x256, 25.6M points — the BENCH/BASELINE.md configuration) in
+"big_block". Set SPARK_GRAFT_BENCH_BIG_AMPLIFY=0 to skip the big block
+(the scaling runner does: it sets AMPLIFY=256 itself).
 """
 
 from __future__ import annotations
@@ -27,15 +34,16 @@ from pyspark.sql import types as T
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "32"))  # events x32 -> 3.2M points at sf0.1
+BIG_AMPLIFY = int(os.environ.get("SPARK_GRAFT_BENCH_BIG_AMPLIFY", "256"))
 
 
-def amplified_points(spark, sf_dir: str):
+def amplified_points(spark, sf_dir: str, amplify: int = AMPLIFY):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
-    rep = spark.range(AMPLIFY).select(F.col("id").alias("rep"))
+    rep = spark.range(amplify).select(F.col("id").alias("rep"))
     cpus = int(spark.conf.get("spark.sql.shuffle.partitions"))
     pts = (
         ev.crossJoin(rep)
-        .select((F.col("event_id") * AMPLIFY + F.col("rep")).alias("point_id"))
+        .select((F.col("event_id") * amplify + F.col("rep")).alias("point_id"))
         # 4 tasks per core: pipelines Arrow read/compute/write inside each
         # worker and smooths stragglers — measured E(2->8) 0.58 -> 0.96
         .repartition(cpus * 4)
@@ -55,6 +63,7 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
     from jpspark import fixtures as fx
     from jpspark.ops import dissolve as dis
     from jpspark.ops import knn as knn_ops
+    from jpspark.ops import multimodal as mm
     from jpspark.ops import spatial_join as sj
     from jpspark.ops import tiles as tile_ops
     from jpspark.queries import QUERIES
@@ -64,88 +73,89 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(10_000_000).select(F.sum("id")).collect()  # JVM/codegen warmup
 
-    timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
-
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
 
-    def timed(name: str, fn):
+    def timed(name: str, fn, tdict):
         best, out = None, None
         for _ in range(repeats):  # min-of-N: the host is virtualized/noisy
             t0 = time.perf_counter()
             out = fn()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        tdict[name] = round(best, 3)
         return out
 
-    pts = amplified_points(spark, sf_dir).cache()
+    # shared fixtures: 500 multipolygon municipalities with detailed
+    # 513-vertex boundaries (realistic N03 coastline cost), 500 facilities
+    polys = fx.admin_polygons(500, subdiv=128)
+    fac = fx.facilities(500, polys)
+
+    def spatial_stages(pts, n_points: int, amplify: int, tdict: dict, xdict: dict):
+        """The three flagship spatial stages over a cached point set."""
+        # --- PIP: flagship ray-casting join (broadcast index, no shuffle
+        # of the point side)
+        n_assigned = timed(
+            "pip_join",
+            lambda: sj.pip_join_broadcast(
+                pts, polys, "全国地方公共団体コード", out_col="muni"
+            )
+            .groupBy("muni")
+            .count()
+            .agg(F.sum("count"))
+            .collect()[0][0],
+            tdict,
+        )
+        xdict["pip_rows_per_sec"] = round(n_points / tdict["pip_join"], 1)
+
+        # --- tiles: assignment + render manifest + rollup; pure JVM
+        # codegen, fed 8x the points (JVM-side explode, no Python)
+        tile_pts = pts.withColumn(
+            "rep2", F.explode(F.array(*[F.lit(i) for i in range(8)]))
+        ).withColumn("phash", F.col("point_id") * 8 + F.col("rep2"))
+
+        def tiles_fn():
+            assigned = tile_ops.tile_assign(tile_pts, z=10)
+            man = assigned.groupBy("tile_z", "tile_x", "tile_y").agg(F.count("*").alias("n_rows"))
+            roll = tile_ops.tile_rollup(assigned, 6, 10)
+            return man.count() + roll.count()
+
+        n_tiles = timed("tile_assign", tiles_fn, tdict)
+        xdict["tile_rows_per_sec"] = round(n_points * 8 / tdict["tile_assign"], 1)
+        xdict["tiles_per_sec"] = round(n_tiles / tdict["tile_assign"], 1)
+
+        # --- kNN: exact, queries = n_points/4 regardless of amplify
+        knn_frac = max(1, amplify // 4)
+        ev_pts = pts.filter((F.col("point_id") % amplify) < knn_frac).withColumnRenamed(
+            "point_id", "event_id"
+        )
+        n_knn = ev_pts.count()
+        timed(
+            "knn_join",
+            lambda: knn_ops.knn_join_broadcast(
+                ev_pts, fac, k=5, query_id_col="event_id", res=5, as_arrays=True
+            ).count(),
+            tdict,
+        )
+        xdict["knn_queries_per_sec"] = round(n_knn / tdict["knn_join"], 1)
+        return int(n_assigned)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    pts = amplified_points(spark, sf_dir, AMPLIFY).cache()
     n_points = pts.count()
     # warm the Python worker pool (imports, Arrow runners) so stage timings
     # measure steady-state throughput, not one-time worker forks — the cold
     # cost would otherwise scale WITH core count and bias the efficiency
     pts.mapInPandas(lambda it: it, pts.schema).count()
-
-    # --- q_pip: flagship ray-casting PIP join (broadcast index, no shuffle
-    # of the point side), 500 multipolygon municipalities with detailed
-    # 513-vertex boundaries (realistic N03 coastline cost)
-    polys = fx.admin_polygons(500, subdiv=128)
-    n_assigned = timed(
-        "pip_join",
-        lambda: sj.pip_join_broadcast(
-            pts, polys, "全国地方公共団体コード", out_col="muni"
-        )
-        .groupBy("muni")
-        .count()
-        .agg(F.sum("count"))
-        .collect()[0][0],
-    )
-    extras["pip_rows_per_sec"] = round(n_points / timings["pip_join"], 1)
-
-    # --- q_tiles: tile assignment + render manifest + rollup. The tile
-    # math is pure JVM codegen, far faster per row than the Python-kernel
-    # stages — feed it 4x the points (JVM-side explode, no Python) so its
-    # timing is work, not fixed job overhead.
-    tile_pts = pts.withColumn(
-        "rep2", F.explode(F.array(*[F.lit(i) for i in range(8)]))
-    ).withColumn("phash", F.col("point_id") * 8 + F.col("rep2"))
-    n_tile_rows = n_points * 8
-
-    def tiles_fn():
-        assigned = tile_ops.tile_assign(tile_pts, z=10)
-        man = assigned.groupBy("tile_z", "tile_x", "tile_y").agg(F.count("*").alias("n_rows"))
-        roll = tile_ops.tile_rollup(assigned, 6, 10)
-        return man.count() + roll.count()
-
-    n_tiles = timed("tile_assign", tiles_fn)
-    extras["tile_rows_per_sec"] = round(n_tile_rows / timings["tile_assign"], 1)
-    extras["tiles_per_sec"] = round(n_tiles / timings["tile_assign"], 1)
-
-    # --- q_knn: exact kNN, 4x events-count queries x 500 facilities
-    # (queries carved from the cached amplified points so the query load
-    # is independent of AMPLIFY)
-    fac = fx.facilities(500, polys)
-    knn_frac = max(1, AMPLIFY // 4)  # queries = n_points/4 regardless of amplify
-    ev_pts = pts.filter((F.col("point_id") % AMPLIFY) < knn_frac).withColumnRenamed(
-        "point_id", "event_id"
-    )
-    n_knn = ev_pts.count()
-    timed(
-        "knn_join",
-        lambda: knn_ops.knn_join_broadcast(
-            ev_pts, fac, k=5, query_id_col="event_id", res=5, as_arrays=True
-        ).count(),
-    )
-    extras["knn_queries_per_sec"] = round(n_knn / timings["knn_join"], 1)
+    n_assigned = spatial_stages(pts, n_points, AMPLIFY, timings, extras)
 
     # --- dissolve 500 multipolygon municipalities -> prefectures
     polys_sdf = spark.createDataFrame(polys[["都道府県名", "geom"]])
-    timed("dissolve", lambda: dis.dissolve(polys_sdf, ["都道府県名"]).count())
+    timed("dissolve", lambda: dis.dissolve(polys_sdf, ["都道府県名"]).count(), timings)
 
     # --- image decode: Arrow-batched binary-kernel throughput over the
     # payload table (real codecs; the input_hint hot path)
-    from jpspark.ops import multimodal as mm
-
     imgs = fx.images(500, polys)
     img_sdf = spark.createDataFrame(imgs[["image_id", "bytes", "fmt"]])
     rep_img = spark.range(16).select(F.col("id").alias("rp"))
@@ -157,16 +167,30 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
         .cache()
     )
     n_imgs = img_big.count()
-    timed("image_decode", lambda: mm.decode_stats(img_big).agg(F.sum("w")).collect())
+    timed("image_decode", lambda: mm.decode_stats(img_big).agg(F.sum("w")).collect(), timings)
     extras["decode_imgs_per_sec"] = round(n_imgs / timings["image_decode"], 1)
     img_big.unpersist()
 
     # --- relational + training-data headliners from the registry
     for name in ("pricing_summary", "fk_broadcast_join", "minhash_lsh_pairs", "ann_topk"):
         q = QUERIES[name]
-        timed(name, lambda q=q: q(spark, sf_dir).count())
+        timed(name, lambda q=q: q(spark, sf_dir).count(), timings)
 
     pts.unpersist()
+
+    # --- big spatial block (BENCH/BASELINE.md configuration) for
+    # round-over-round comparability at both scales
+    big = None
+    if BIG_AMPLIFY > AMPLIFY:
+        big_t: dict[str, float] = {}
+        big_x: dict[str, float] = {}
+        pts_b = amplified_points(spark, sf_dir, BIG_AMPLIFY).cache()
+        n_b = pts_b.count()
+        pts_b.mapInPandas(lambda it: it, pts_b.schema).count()
+        spatial_stages(pts_b, n_b, BIG_AMPLIFY, big_t, big_x)
+        pts_b.unpersist()
+        big = {"amplify": BIG_AMPLIFY, "n_points": n_b, "queries": big_t, **big_x}
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total",
@@ -175,10 +199,12 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
         "queries": timings,
         "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
         "n_points": n_points,
-        "n_assigned": int(n_assigned),
+        "n_assigned": n_assigned,
         "master": master or f"local[{cpus}]",
         **extras,
     }
+    if big is not None:
+        result["big_block"] = big
     spark.stop()
     return result
 
