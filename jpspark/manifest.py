@@ -31,6 +31,14 @@ or a FUSE-mounted object store). On a real cluster, pass a Storage whose
 ``write_atomic``/``exists`` target the shared object store (e.g. s3/gs via
 fsspec) — the commit protocol (data complete before visible, manifest
 last) only needs those two primitives plus ``size``.
+
+Snapshots (the Iceberg-shaped behaviors the north_star's 10^12-row table
+relies on, without the Iceberg runtime): part files are content-addressed
+(``part-{pid}-{fingerprint}.parquet``), every commit archives its manifest
+as ``_manifests/manifest-{version}.json``, readers resolve EXACTLY the
+files their manifest lists (never a glob — concurrent/failed writers
+can't leak phantom rows), ``read_snapshot(version=...)`` time-travels,
+and ``vacuum`` deletes files unreferenced by the kept snapshots.
 """
 
 from __future__ import annotations
@@ -48,6 +56,7 @@ from pyspark import TaskContext
 from pyspark.sql import DataFrame
 
 MANIFEST_NAME = "_manifest.json"
+MANIFESTS_DIR = "_manifests"
 
 
 class LocalStorage:
@@ -128,7 +137,9 @@ def write_checkpointed(
         parts = [b for b in batches if len(b)]
         pdf = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
         fp = _fingerprint_pdf(pdf)
-        path = os.path.join(out_dir, f"part-{pid:05d}.parquet")
+        # content-addressed: a changed partition writes a NEW file, the
+        # old one stays referenced by the previous snapshot (time travel)
+        path = os.path.join(out_dir, f"part-{pid:05d}-{fp:016x}.parquet")
         skipped = bc_committed.value.get(pid) == fp and store.exists(path)
         if not skipped:
             table = (
@@ -155,6 +166,7 @@ def write_checkpointed(
     stats = df.mapInPandas(sink, stats_schema).collect()
 
     manifest = {
+        "version": int(prior.get("version", 0)) + 1,
         "lineage": lineage,
         "schema": df.schema.simpleString(),
         "committed_at": time.time(),
@@ -171,21 +183,90 @@ def write_checkpointed(
             for r in stats
         },
     }
-    tmp = os.path.join(out_dir, MANIFEST_NAME + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, ensure_ascii=False, indent=1)
-    os.replace(tmp, os.path.join(out_dir, MANIFEST_NAME))
-    # createOrReplace semantics: a rewrite with fewer partitions must not
-    # leave the previous table version's extra part files behind — readers
-    # glob part-*.parquet and would return phantom rows. Delete any part
-    # file the just-committed manifest doesn't own (after manifest commit,
-    # so a crash mid-cleanup still leaves a consistent manifest+data set).
-    valid = {meta["path"] for meta in manifest["partitions"].values()}
+    # snapshot commit order: archived copy first, then the latest pointer
+    # (a crash between the two leaves a readable previous state)
+    os.makedirs(os.path.join(out_dir, MANIFESTS_DIR), exist_ok=True)
+    archived = os.path.join(
+        out_dir, MANIFESTS_DIR, f"manifest-{manifest['version']:06d}.json"
+    )
+    for target in (archived, os.path.join(out_dir, MANIFEST_NAME)):
+        tmp = target + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, ensure_ascii=False, indent=1)
+        os.replace(tmp, target)
+    return manifest
+
+
+def read_snapshot(spark, out_dir: str, version: int | None = None) -> "DataFrame":
+    """Read exactly the part files a snapshot's manifest lists (never a
+    glob — stale/orphaned files from replaced table versions can't leak
+    phantom rows). ``version=None`` reads the latest commit; an integer
+    time-travels to that archived snapshot."""
+    if version is None:
+        m = load_manifest(out_dir)
+    else:
+        path = os.path.join(out_dir, MANIFESTS_DIR, f"manifest-{version:06d}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no snapshot version {version} under {out_dir}")
+        with open(path) as f:
+            m = json.load(f)
+    paths = [meta["path"] for meta in m.get("partitions", {}).values()]
+    if not paths:
+        raise ValueError(f"snapshot has no committed partitions: {out_dir} v{version}")
+    return spark.read.parquet(*paths)
+
+
+def snapshots(out_dir: str) -> list[dict]:
+    """All archived snapshots, oldest first: version/committed_at/rows."""
+    d = os.path.join(out_dir, MANIFESTS_DIR)
+    out = []
+    for fname in sorted(os.listdir(d)) if os.path.isdir(d) else []:
+        if fname.startswith("manifest-") and fname.endswith(".json"):
+            with open(os.path.join(d, fname)) as f:
+                m = json.load(f)
+            out.append(
+                {
+                    "version": m.get("version"),
+                    "committed_at": m.get("committed_at"),
+                    "total_rows": m.get("total_rows"),
+                    "lineage": m.get("lineage"),
+                }
+            )
+    return out
+
+
+def vacuum(out_dir: str, keep_last: int = 1) -> dict:
+    """Expire old snapshots: keep the newest ``keep_last`` manifests,
+    delete part files referenced by none of them, drop expired manifest
+    archives. Returns {kept_versions, removed_files, removed_snapshots}."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the latest snapshot must survive)")
+    d = os.path.join(out_dir, MANIFESTS_DIR)
+    names = sorted(
+        f for f in (os.listdir(d) if os.path.isdir(d) else [])
+        if f.startswith("manifest-") and f.endswith(".json")
+    )
+    keep, expire = names[-keep_last:], names[:-keep_last]
+    referenced: set[str] = set()
+    kept_versions = []
+    for fname in keep:
+        with open(os.path.join(d, fname)) as f:
+            m = json.load(f)
+        kept_versions.append(m.get("version"))
+        referenced |= {meta["path"] for meta in m.get("partitions", {}).values()}
+    removed_files = 0
     for fname in os.listdir(out_dir):
         full = os.path.join(out_dir, fname)
-        if fname.startswith("part-") and fname.endswith(".parquet") and full not in valid:
+        if fname.startswith("part-") and fname.endswith(".parquet") and full not in referenced:
             os.remove(full)
-    return manifest
+            removed_files += 1
+    for fname in expire:
+        os.remove(os.path.join(d, fname))
+    return {
+        "kept_versions": kept_versions,
+        "removed_files": removed_files,
+        "removed_snapshots": len(expire),
+    }
 
 
 def simulate_partition_loss(out_dir: str, partition_id: int) -> None:

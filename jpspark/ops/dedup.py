@@ -86,7 +86,11 @@ def minhash_lsh_pairs(
     full k-long signatures never ride the 2*bands-way explode (at 10^12
     docs that would be ~16 KB of avoidable shuffle per doc). Signatures are
     re-joined once per side by id AFTER the candidate pairs are deduped,
-    so each signature crosses the wire once per surviving pair side."""
+    so each signature crosses the wire once per surviving pair side.
+
+    NOTE: ``sigs`` appears in THREE subtrees of the plan (band explode +
+    both re-joins); persist/checkpoint it before calling, or the signature
+    UDF recomputes per subtree."""
     k = bands * rows_per_band
     banded = sigs.select(
         "id",

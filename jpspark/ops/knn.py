@@ -96,17 +96,22 @@ def _knn_for_cell(idx: TargetIndex, qc: int, qx: np.ndarray, qy: np.ndarray, k: 
             d = np.sqrt(dx * dx + dy * dy)
             kk = min(k, d.shape[1])
             if d.shape[1] > 4 * kk:
-                # cheap unordered top-kk first, then sort the small slice
-                part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+                # cheap unordered top-kk first, then sort the small slice.
+                # Two pivots (kk-1, kk): position kk holds the (kk+1)-th
+                # smallest distance, giving an O(Q) boundary-tie test with
+                # no extra pass over the full distance matrix.
+                part_full = np.argpartition(d, (kk - 1, kk), axis=1)
+                part = part_full[:, :kk]
                 dpart = np.take_along_axis(d, part, axis=1)
                 # boundary-tie guard: argpartition picks an ARBITRARY subset
                 # of candidates whose distance ties exactly at the kth
                 # boundary, breaking the pinned (dist, id) tie-break. The
-                # selection is unambiguous iff exactly kk candidates have
-                # d <= kth distance; rows with extra boundary ties fall back
-                # to the full stable argsort (rare: needs exact dist ties).
+                # selection is unambiguous iff the (kk+1)-th smallest
+                # distance is strictly greater than the kth; tied rows fall
+                # back to the full stable argsort (rare: exact dist ties).
                 kth_d = dpart.max(axis=1)
-                ambiguous = np.count_nonzero(d <= kth_d[:, None], axis=1) > kk
+                next_d = np.take_along_axis(d, part_full[:, kk : kk + 1], axis=1)[:, 0]
+                ambiguous = next_d <= kth_d
                 # re-sort by (dist, id): stable argsort of dist over
                 # id-ascending columns needs id order restored first
                 id_in_part = np.argsort(part, axis=1, kind="stable")

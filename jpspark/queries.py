@@ -274,6 +274,74 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 custom stateful streaming operator: gap-based sessionization
+    (gap = 72h) via ``applyInPandasWithState`` with event-time timeout.
+    Determinism: the events table arrives as ONE micro-batch (single
+    file, maxFilesPerTrigger=1), then a far-future sentinel batch advances
+    the watermark so every real session closes via timeout; oracle is
+    batch lag/cumsum sessionization in DuckDB."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from . import streaming as st
+
+    tmp = tempfile.mkdtemp(prefix="jpspark_sess_")
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/b1")
+    sentinel = ev.limit(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        (F.col("ts") + F.expr("INTERVAL 400 DAYS")).alias("ts"),
+    )
+    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/b2")
+    os.makedirs(f"{tmp}/in")
+    f1 = f"{tmp}/in/000_events.parquet"
+    shutil.copy(glob.glob(f"{tmp}/b1/part-*.parquet")[0], f1)
+    f2 = f"{tmp}/in/999_sentinel.parquet"
+    shutil.copy(glob.glob(f"{tmp}/b2/part-*.parquet")[0], f2)
+    now = _time.time()
+    os.utime(f1, (now - 100, now - 100))
+    os.utime(f2, (now + 100, now + 100))
+    schema = spark.read.parquet(f1).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sess = st.sessionize(stream, gap_minutes=72 * 60, watermark_delay="1 minute")
+    qname = "jpspark_stream_sessions"
+    q = sess.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(qname).filter(F.col("user_id") >= 0)
+
+
+def o_stream_sessionize() -> str:
+    # batch sessionization: break where the per-user gap exceeds 72h,
+    # session id = running sum of breaks, then min/max/count per session
+    return """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 72 HOURS THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """
+
+
 def o_stream_window_counts() -> str:
     # Spark tumbling windows align to the 1970-01-01 epoch; replicate with
     # integer arithmetic on epoch days
@@ -843,7 +911,8 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates (custom signature kernel — no SQL
     oracle; pytest verifies recall/precision on planted duplicates)."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(docs, k=64)
+    # persist: the LSH join reads sigs from three plan subtrees
+    sigs = dedup.minhash_signatures(docs, k=64).persist()
     return dedup.minhash_lsh_pairs(sigs, bands=16, rows_per_band=4, min_jaccard_est=0.5)
 
 
@@ -1003,7 +1072,8 @@ def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard >= 0.7. Oracle: the same shingle Jaccard over ALL pairs in
     DuckDB SQL — catches both missed candidates and verify-kernel bugs."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(docs, k=64)
+    # persist: the LSH join reads sigs from three plan subtrees
+    sigs = dedup.minhash_signatures(docs, k=64).persist()
     cand = dedup.minhash_lsh_pairs(sigs, bands=16, rows_per_band=4, min_jaccard_est=0.0)
     return dedup.ngram_jaccard_pairs(docs, cand.select("id_a", "id_b"), min_jaccard=0.7)
 
@@ -1058,6 +1128,7 @@ QUERIES = {
     "geo_pip_shuffle": q_geo_pip_shuffle,
     "geo_knn_shuffle": q_geo_knn_shuffle,
     "stream_window_counts": q_stream_window_counts,
+    "stream_sessionize": q_stream_sessionize,
     "geo_tile_assign": q_geo_tile_assign,
     "geo_dissolve": q_geo_dissolve,
     # relational operators (SURVEY §2.2-2.5)
@@ -1120,6 +1191,7 @@ def _build_oracles() -> dict[str, str]:
     "geo_pip_shuffle": o_geo_pip_assign(),
     "geo_knn_shuffle": o_geo_knn(),
     "stream_window_counts": o_stream_window_counts(),
+    "stream_sessionize": o_stream_sessionize(),
     "geo_tile_assign": o_geo_tile_assign(),
     "geo_dissolve": o_geo_dissolve(),
     "pricing_summary": o_pricing_summary(),

@@ -47,10 +47,28 @@ class TableIO:
 
         return mf.write_checkpointed(df, self._path(name), lineage=lineage, num_partitions=partitions)
 
-    def read(self, name: str) -> DataFrame:
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        """Read the table; ``version`` time-travels to an archived snapshot
+        (Iceberg: VERSION AS OF; fallback: manifest-listed files only, so
+        orphaned part files from replaced versions can't leak rows)."""
         if self.catalog:
+            if version is not None:
+                return self.spark.read.option("versionAsOf", version).table(self._ident(name))
             return self.spark.table(self._ident(name))
-        return self.spark.read.parquet(os.path.join(self._path(name), "part-*.parquet"))
+        from . import manifest as mf
+
+        return mf.read_snapshot(self.spark, self._path(name), version=version)
+
+    def snapshots(self, name: str) -> list[dict]:
+        from . import manifest as mf
+
+        return mf.snapshots(self._path(name))
+
+    def vacuum(self, name: str, keep_last: int = 1) -> dict:
+        """Expire old snapshots + delete unreferenced part files."""
+        from . import manifest as mf
+
+        return mf.vacuum(self._path(name), keep_last=keep_last)
 
     def exists(self, name: str) -> bool:
         """S13 existence probe."""

@@ -70,6 +70,15 @@ def main() -> int:
             failures.append((name, f"rows {len(got)} vs {len(exp)}"))
             print(f"FAIL  {name}: row count {len(got)} vs {len(exp)}")
             continue
+        # dtype strictness: the driver hashes raw values — int64 vs float64
+        # (e.g. DuckDB HUGEINT sums) WILL hash-mismatch even when every
+        # number is equal, so flag dtype-kind differences loudly
+        kinds_g = [got[c].dtype.kind for c in sorted(got.columns)]
+        kinds_x = [exp[c].dtype.kind for c in sorted(exp.columns)]
+        if kinds_g != kinds_x:
+            failures.append((name, f"dtype kinds {kinds_g} vs {kinds_x}"))
+            print(f"FAIL  {name}: dtype kind mismatch {kinds_g} vs {kinds_x}")
+            continue
         g, x = normalize(got), normalize(exp)
         try:
             pd.testing.assert_frame_equal(g, x, check_dtype=False, check_exact=True)

@@ -230,8 +230,8 @@ def test_manifest_write_resume_and_partition_loss(spark, tmp_path):
     assert all(
         m3["partitions"][str(i)]["skipped_on_last_run"] for i in (0, 1, 3)
     )
-    # data integrity after resume
-    back = spark.read.parquet(f"{out_dir}/part-*.parquet")
+    # data integrity after resume (manifest-listed files, not a glob)
+    back = mf.read_snapshot(spark, out_dir)
     assert back.count() == 1000
     assert back.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(1000))
 

@@ -41,6 +41,61 @@ def test_stream_ingest_micro_batches(spark, tmp_path):
             assert all(p["status"] == "committed" for p in m["partitions"].values())
 
 
+def test_sessionize_stateful_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization: in-batch gap splits AND
+    event-time-timeout closure (flushed by a far-future sentinel batch)."""
+    import glob
+    import shutil
+    import time
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [(1, base + pd.Timedelta(minutes=m)) for m in (0, 30, 50, 200, 210)]
+    rows.append((2, base))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(tmp_path / "b1"))
+    f1 = str(in_dir / "000_events.parquet")
+    shutil.copy(glob.glob(str(tmp_path / "b1" / "part-*.parquet"))[0], f1)
+    sent = pd.DataFrame([(99, base + pd.Timedelta(days=10))], columns=["user_id", "ts"])
+    spark.createDataFrame(sent).coalesce(1).write.parquet(str(tmp_path / "b2"))
+    f2 = str(in_dir / "999_sentinel.parquet")
+    shutil.copy(glob.glob(str(tmp_path / "b2" / "part-*.parquet"))[0], f2)
+    now = time.time()
+    os.utime(f1, (now - 100, now - 100))
+    os.utime(f2, (now + 100, now + 100))
+
+    schema = spark.read.parquet(f1).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sess = streaming.sessionize(stream, gap_minutes=60, watermark_delay="1 minute")
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_unit")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = (
+        spark.table("sess_unit")
+        .filter("user_id < 99")
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    got = list(out.itertuples(index=False, name=None))
+    assert got == [
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:50:00", 3),
+        (1, "2024-01-01 03:20:00", "2024-01-01 03:30:00", 2),
+        (2, "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1),
+    ]
+
+
 def test_tableio_parquet_fallback(spark, tmp_path):
     tio = table_io.TableIO(spark, str(tmp_path / "tables"))
     assert tio.catalog is None  # no Iceberg jar in this environment
@@ -51,16 +106,30 @@ def test_tableio_parquet_fallback(spark, tmp_path):
     assert tio.read("t1").count() == 500
 
 
-def test_tableio_overwrite_removes_stale_parts(spark, tmp_path):
-    """createOrReplace semantics: rewriting a table with fewer partitions
-    must not leave phantom rows from the previous version's part files."""
+def test_tableio_overwrite_snapshots_and_time_travel(spark, tmp_path):
+    """createOrReplace semantics: a shrinking rewrite returns only the new
+    rows (manifest-listed reads, no phantom part files); the replaced
+    version stays readable via time travel until vacuumed."""
     tio = table_io.TableIO(spark, str(tmp_path / "tables_ovw"))
     big = spark.range(1000).withColumn("v", F.col("id") % 3).repartition(8)
     tio.write(big, "t")
     assert tio.read("t").count() == 1000
     small = spark.range(10).withColumn("v", F.col("id") % 3).repartition(2)
     tio.write(small, "t")
-    assert tio.read("t").count() == 10  # no stale part-* from the 8-way write
+    assert tio.read("t").count() == 10  # no stale rows from the 8-way write
+    # time travel: version 1 is the 1000-row table
+    snaps = tio.snapshots("t")
+    assert [s["version"] for s in snaps] == [1, 2]
+    assert tio.read("t", version=1).count() == 1000
+    # vacuum keeps the newest snapshot only; old data files are removed
+    res = tio.vacuum("t", keep_last=1)
+    assert res["kept_versions"] == [2] and res["removed_snapshots"] == 1
+    assert res["removed_files"] >= 8
+    assert tio.read("t").count() == 10
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        tio.read("t", version=1)
 
 
 def test_tableio_merge_upsert_fallback(spark, tmp_path):
