@@ -342,6 +342,45 @@ def o_stream_sessionize() -> str:
     """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (the pipeline staple on the streaming
+    surface): the events file is delivered TWICE as separate micro-batches
+    (an at-least-once redelivery, the real-world case); stateful
+    ``dropDuplicates`` on the key emits each event exactly once. Oracle:
+    the plain batch table."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    tmp = tempfile.mkdtemp(prefix="jpspark_sdedup_")
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/b1")
+    os.makedirs(f"{tmp}/in")
+    src = glob.glob(f"{tmp}/b1/part-*.parquet")[0]
+    f1, f2 = f"{tmp}/in/000_events.parquet", f"{tmp}/in/001_redelivery.parquet"
+    shutil.copy(src, f1)
+    shutil.copy(src, f2)
+    now = _time.time()
+    os.utime(f1, (now - 100, now - 100))
+    os.utime(f2, (now + 100, now + 100))
+    schema = spark.read.parquet(f1).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in")
+    )
+    deduped = stream.dropDuplicates(["event_id"])
+    qname = "jpspark_stream_dedup"
+    q = deduped.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(qname)
+
+
+def o_stream_dedup() -> str:
+    return "SELECT event_id, user_id, event_type FROM events"
+
+
 def o_stream_window_counts() -> str:
     # Spark tumbling windows align to the 1970-01-01 epoch; replicate with
     # integer arithmetic on epoch days
@@ -1129,6 +1168,7 @@ QUERIES = {
     "geo_knn_shuffle": q_geo_knn_shuffle,
     "stream_window_counts": q_stream_window_counts,
     "stream_sessionize": q_stream_sessionize,
+    "stream_dedup": q_stream_dedup,
     "geo_tile_assign": q_geo_tile_assign,
     "geo_dissolve": q_geo_dissolve,
     # relational operators (SURVEY §2.2-2.5)
@@ -1192,6 +1232,7 @@ def _build_oracles() -> dict[str, str]:
     "geo_knn_shuffle": o_geo_knn(),
     "stream_window_counts": o_stream_window_counts(),
     "stream_sessionize": o_stream_sessionize(),
+    "stream_dedup": o_stream_dedup(),
     "geo_tile_assign": o_geo_tile_assign(),
     "geo_dissolve": o_geo_dissolve(),
     "pricing_summary": o_pricing_summary(),
