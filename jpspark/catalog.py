@@ -25,6 +25,16 @@ from pyspark.sql import DataFrame
 ADMINI_FK = {"table": "admini_boundary_cd", "column": "改正後のコード"}
 FK_TRIGGER = "行政区域コード"
 
+# exact column order of the crosswalk table, /root/reference/data/
+# schema.sql:3-15 — also the xlsx row layout (the reference binds $1..$11
+# positionally, admini_boundary.rs:86-101)
+CROSSWALK_COLUMNS = [
+    "行政区域コード", "都道府県名（漢字）", "市区町村名（漢字）",
+    "都道府県名（カナ）", "市区町村名（カナ）", "コードの改定区分",
+    "改正年月日", "改正後のコード", "改正後の名称", "改正後の名称（カナ）",
+    "改正事由等",
+]
+
 _SPARK_TO_PG = {
     "string": "varchar",
     "int": "int4",

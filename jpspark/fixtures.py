@@ -23,6 +23,7 @@ import unicodedata
 import numpy as np
 import pandas as pd
 
+from .catalog import CROSSWALK_COLUMNS
 from .codec import image as img
 from .codec.phash import phash64
 from .geom import pip, wkb
@@ -311,46 +312,63 @@ def facilities(n: int = 300, polys: pd.DataFrame | None = None) -> pd.DataFrame:
 
 def admini_boundary_cd(polys: pd.DataFrame | None = None) -> pd.DataFrame:
     """Crosswalk table — exact 11 columns of
-    /root/reference/data/schema.sql:3-15; first row pinned to the
-    reference's golden assert (01000/北海道/NULL/ホッカイドウ,
+    /root/reference/data/schema.sql:3-15 in schema order; first row pinned
+    to the reference's golden assert (row[0]=01000, row[1]=北海道,
+    row[2]=NULL, row[3]=ホッカイドウ,
     /root/reference/src/loader/admini_boundary.rs:233-237). Cells include
-    pre-NFKC full-width digits to exercise normalization F1."""
+    pre-NFKC full-width digits/punctuation to exercise normalization F1."""
     if polys is None:
         polys = admin_polygons()
-    cols = [
-        "改正年月日", "改正事由", "改正前のコード", "改正前の名称",
-        "改正前の名称_ふりがな", "行政区域コード", "都道府県名（漢字）",
-        "市区町村名（漢字）", "政令市･郡･支庁･振興局等（漢字）",
-        "都道府県名（ふりがな）", "市区町村名（ふりがな）",
-    ]
+    cols = CROSSWALK_COLUMNS
     rows = [
-        dict(zip(cols, [None, None, None, None, None, "01000", "北海道", None, None, "ホッカイドウ", None]))
+        dict(zip(cols, ["01000", "北海道", None, "ホッカイドウ", None,
+                        None, None, "01000", "北海道", "ホッカイドウ", None]))
     ]
     for _, p in polys.iterrows():
-        fullwidth_code = str(p["全国地方公共団体コード"]).translate(
-            str.maketrans("0123456789", "０１２３４５６７８９")
-        )
+        code = str(p["全国地方公共団体コード"])
+        fullwidth_code = code.translate(str.maketrans("0123456789", "０１２３４５６７８９"))
         rows.append(
             dict(
                 zip(
                     cols,
                     [
-                        "２０１４．４．５",  # full-width date, NFKC target
-                        "編入",
-                        fullwidth_code,
-                        p["市区町村名"],
-                        "シクチョウソン",
-                        p["全国地方公共団体コード"],
+                        code,
                         p["都道府県名"],
                         p["市区町村名"],
-                        None,
                         "トドウフケン",
                         "シクチョウソン",
+                        "編入",
+                        "２０１４．４．５",  # full-width date, NFKC target
+                        fullwidth_code,  # full-width digits, NFKC target
+                        p["市区町村名"],
+                        "シクチョウソン",
+                        None,
                     ],
                 )
             )
         )
     return pd.DataFrame(rows)
+
+
+def admini_boundary_xlsx(polys: pd.DataFrame | None = None) -> bytes:
+    """The crosswalk as ACTUAL .xlsx bytes (codec/xlsx writer): title junk
+    rows before the 行政区域コード header sentinel (P9), a blank row (P8),
+    and a duplicate-code row (exercises ON CONFLICT DO NOTHING / S10)."""
+    from .codec import xlsx as xlsx_codec
+
+    pdf = admini_boundary_cd(polys)
+    rows: list[list] = [
+        ["行政区域コードの改正履歴", None],  # pre-header junk
+        [None, "この表は行政区域コードの新旧対応を示す"],
+        list(CROSSWALK_COLUMNS),  # header row: first cell IS the sentinel
+    ]
+    for _, r in pdf.iterrows():
+        rows.append([None if pd.isna(v) else v for v in r.tolist()])
+    rows.append([None] * len(CROSSWALK_COLUMNS))  # blank row (dropped)
+    dup = rows[3][:]  # duplicate of the golden first data row
+    dup[1] = "重複した北海道"  # different payload, same code: must lose
+    rows.append(dup)
+    return xlsx_codec.write_xlsx(rows, sheet_name="行政区域コード")
 
 
 def w09_raw() -> tuple[pd.DataFrame, pd.DataFrame]:

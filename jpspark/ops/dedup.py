@@ -279,6 +279,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    n_bits: int = 16,
+    band_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucketed — the 10^12-row scale path
+    that replaces embedding_neardup_pairs' all-pairs default: candidates
+    are pairs sharing >=1 hyperplane-LSH band (equi-join on (band, value),
+    ~n/2^band_bits per bucket), verified by exact cosine >= threshold.
+
+    Recall: structural for EXACT duplicates (identical vectors -> identical
+    sketch -> share every band) — the dominant dedup case (re-encoded /
+    re-crawled items); for merely-similar vectors recall is the standard
+    1-(1-p^r)^b LSH curve (measured against brute force in pytest).
+
+    Shuffle shape mirrors minhash_lsh_pairs: the band exchange carries
+    only (id, band, value); vectors re-join by id after pair dedup.
+    """
+    from .similarity import hyperplane_sketch
+
+    n_bands = n_bits // band_bits
+    mask = (1 << band_bits) - 1
+    sk = hyperplane_sketch(emb, n_bits, id_col=id_col, vec_col=vec_col)
+    banded = sk.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("sketch"), i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    a = banded.select(F.col("id").alias("id_a"), "band", "bval")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bval")
+    pairs = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    v = emb.select(
+        F.col(id_col).alias("id"), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+    )
+    pairs = pairs.join(v.select(F.col("id").alias("id_a"), F.col("v").alias("v_a")), "id_a").join(
+        v.select(F.col("id").alias("id_b"), F.col("v").alias("v_b")), "id_b"
+    )
+    dot = F.aggregate(F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("v_a", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("v_b", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        pairs.withColumn("cosine", dot / (na * nb))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding",
     bucket_expr=None,

@@ -188,6 +188,27 @@ def shapefile_scan(
     return pairs.mapInPandas(kernel, out_schema)
 
 
+def crosswalk_from_xlsx(spark: SparkSession, buf: bytes) -> DataFrame:
+    """S7: crosswalk scan from actual AdminiBoundary_CD.xlsx bytes — the
+    engine-native replacement for the reference's calamine parse
+    (/root/reference/src/loader/admini_boundary.rs:26-63): sheet
+    行政区域コード, header-sentinel scan start (P9), NFKC (F1),
+    empty->NULL + all-NULL-row drop (P8), then first-wins dedup on the
+    code — ON CONFLICT DO NOTHING parity (S10, admini_boundary.rs:97-99).
+    Parse is driver-side (the file is tiny, per SURVEY §2.1); the
+    returned DataFrame is the distributed surface."""
+    from ..catalog import CROSSWALK_COLUMNS
+    from ..codec import xlsx as xlsx_codec
+
+    rows = xlsx_codec.crosswalk_rows(buf)
+    pdf = pd.DataFrame(rows, columns=CROSSWALK_COLUMNS)
+    # ON CONFLICT (行政区域コード) DO NOTHING == first row in file order
+    # wins; sequential-insert parity requires the file-order dedup here,
+    # before the rows reach any distributed (unordered) stage
+    pdf = pdf.drop_duplicates(subset=[CROSSWALK_COLUMNS[0]], keep="first")
+    return spark.createDataFrame(pdf)
+
+
 def read_archives(spark: SparkSession, glob_path: str, n_slots: int = 15) -> DataFrame:
     """S2 analog: archive manifest scan. ``binaryFile`` gives (path,
     modificationTime, length, content); repartition to the reference's

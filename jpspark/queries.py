@@ -931,6 +931,34 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup_pairs(emb, threshold=0.2, bucket_expr=F.col("label"))
 
 
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, LSH-bucketed scale path: 10 exact re-encode
+    duplicates planted (vec_id+10000 for vec_id<10 — expressible in SQL so
+    the oracle sees the same input); identical vectors share every band,
+    so every planted pair is structurally guaranteed to surface, and the
+    exact-cosine filter makes the pair set equal the all-pairs oracle."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return dedup.embedding_neardup_lsh(emb.unionByName(dups), threshold=0.99)
+
+
+def o_embedding_neardup_lsh() -> str:
+    return """
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    allv AS (SELECT * FROM base
+             UNION ALL SELECT vec_id + 10000, v FROM base WHERE vec_id < 10)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+             AS cosine
+    FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+    """
+
+
 def o_embedding_neardup() -> str:
     return """
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -1200,6 +1228,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "ann_topk": q_ann_topk,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "minhash_verified_pairs": q_minhash_verified_pairs,
     "simhash_pairs": q_simhash_pairs,
     "image_validate": q_image_validate,
@@ -1261,6 +1290,7 @@ def _build_oracles() -> dict[str, str]:
     "fingerprint": o_fingerprint(),
     "ann_topk": o_ann_topk(),
     "embedding_neardup": o_embedding_neardup(),
+    "embedding_neardup_lsh": o_embedding_neardup_lsh(),
     "minhash_verified_pairs": o_minhash_verified_pairs(),
     "simhash_pairs": o_simhash_pairs(),
     "image_validate": o_image_validate(),

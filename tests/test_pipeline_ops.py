@@ -165,6 +165,19 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert top1_hits / len(top1_e) >= 0.6
 
 
+def test_embedding_neardup_lsh_planted(spark):
+    """LSH-bucketed embedding dedup: exact re-encode duplicates are
+    structurally guaranteed (identical sketch shares every band)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") < 12).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    pairs = dedup.embedding_neardup_lsh(emb.unionByName(dups), threshold=0.99).toPandas()
+    found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert {(i, i + 10000) for i in range(12)} <= found
+    assert (pairs["cosine"] >= 0.99).all()
+
+
 def test_phash_neardup_planted(spark):
     from jpspark import fixtures as fx
 

@@ -133,11 +133,11 @@ def test_nfkc_crosswalk(spark):
     assert cw.iloc[0]["行政区域コード"] == "01000"
     assert cw.iloc[0]["都道府県名（漢字）"] == "北海道"
     assert cw.iloc[0]["市区町村名（漢字）"] is None
-    assert cw.iloc[0]["都道府県名（ふりがな）"] == "ホッカイドウ"
+    assert cw.iloc[0]["都道府県名（カナ）"] == "ホッカイドウ"
     assert len(cw.columns) == 11
-    sdf = spark.createDataFrame(cw[["改正前のコード", "改正年月日"]])
+    sdf = spark.createDataFrame(cw[["改正後のコード", "改正年月日"]])
     out = sdf.select(
-        text.nfkc_udf(F.col("改正前のコード")).alias("code"),
+        text.nfkc_udf(F.col("改正後のコード")).alias("code"),
         text.nfkc_udf(F.col("改正年月日")).alias("date"),
     ).toPandas()
     # full-width digits normalized
