@@ -156,9 +156,11 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
 
     # --- image decode: Arrow-batched binary-kernel throughput over the
     # payload table (real codecs; the input_hint hot path)
+    # x128 replication (64k images, ~250 MB of pixels): large enough that
+    # the stage measures Arrow transfer + decode, not per-task fixed costs
     imgs = fx.images(500, polys)
     img_sdf = spark.createDataFrame(imgs[["image_id", "bytes", "fmt"]])
-    rep_img = spark.range(16).select(F.col("id").alias("rp"))
+    rep_img = spark.range(128).select(F.col("id").alias("rp"))
     img_big = (
         img_sdf.crossJoin(rep_img)
         .withColumn("image_id", F.concat_ws("_", "image_id", F.col("rp").cast("string")))

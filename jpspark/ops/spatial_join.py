@@ -156,9 +156,16 @@ def pip_join_broadcast(
     spark = points.sparkSession
     index = PolygonIndex.from_pandas(polys_pdf, poly_id_col, res=res)
     bc = spark.sparkContext.broadcast(index)
-    out_schema = T.StructType(
-        points.schema.fields + [T.StructField(out_col, out_type or T.StringType())]
-    )
+    if out_type is None:
+        # infer from the polygon id dtype (a string default would make the
+        # Arrow id array silently mis-typed for integer-keyed layers)
+        kind = polys_pdf[poly_id_col].dtype.kind
+        out_type = (
+            T.LongType() if kind in "iu"
+            else T.DoubleType() if kind == "f"
+            else T.StringType()
+        )
+    out_schema = T.StructType(points.schema.fields + [T.StructField(out_col, out_type)])
 
     # Hot path uses mapInArrow (not mapInPandas): Arrow batches are sized
     # for fat image rows (maxRecordsPerBatch=2048), and constructing a
