@@ -114,22 +114,34 @@ VIDEO_FRAME_SCHEMA = "media_id string, frame_idx int, bytes binary, w int, h int
 
 
 def decode_audio_stats(media: DataFrame, strict: bool = False) -> DataFrame:
-    """STUB: audio decode. No audio codec library ships in this image, so
-    the kernel raises NotImplementedError in strict mode, or emits a
-    deterministic fake (rate 16 kHz, n_samples = len(bytes)//2, rms from a
-    byte checksum) so downstream plumbing is exercisable end-to-end."""
+    """Audio decode: REAL for RIFF/WAVE integer PCM (codec/audio.py — the
+    container is plain struct+NumPy parsing, no codec library needed).
+    Compressed codecs (mp3/aac/opus/...) genuinely require libraries
+    absent from this environment and stay STUBBED: strict mode raises
+    NotImplementedError for non-WAV bytes, otherwise a deterministic fake
+    (rate 16 kHz, n_samples = len//2, rms from a byte checksum) keeps the
+    downstream plumbing exercisable end-to-end."""
+    from ..codec import audio as aud
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "audio decode requires a codec library not present in this "
-                    "environment; plug a real decoder into decode_audio_stats.kernel"
-                )
             rows = []
             for mid, buf in zip(pdf["media_id"].to_numpy(), pdf["bytes"].to_numpy()):
                 b = bytes(buf)
-                rows.append((mid, 16000, len(b) // 2, float((sum(b[:1024]) % 1000) / 1000.0)))
+                if b[:4] == b"RIFF":
+                    wav = aud.parse_wav(b)  # real decode path
+                    rows.append(
+                        (mid, wav["sample_rate"], len(wav["samples"]), aud.rms(wav["samples"]))
+                    )
+                elif strict:
+                    raise NotImplementedError(
+                        "non-WAV audio decode requires a codec library not present "
+                        "in this environment; WAV/PCM decodes for real"
+                    )
+                else:
+                    rows.append(
+                        (mid, 16000, len(b) // 2, float((sum(b[:1024]) % 1000) / 1000.0))
+                    )
             yield pd.DataFrame(rows, columns=["media_id", "sample_rate", "n_samples", "rms"])
 
     return media.select("media_id", "bytes").mapInPandas(kernel, AUDIO_SCHEMA)

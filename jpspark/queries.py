@@ -1075,6 +1075,47 @@ def _phash_fixture_pdf() -> pd.DataFrame:
     return pd.concat([pdf, planted], ignore_index=True)
 
 
+def q_audio_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fidelity gate on REAL RIFF/WAVE PCM bytes (codec/audio.py):
+    20 deterministic 1-second sine WAVs (rate 8000+100i, amplitude
+    0.1+0.04i, 440 Hz = whole periods) decoded strict (non-WAV would fail
+    the job); rms must equal amplitude/sqrt(2) within 16-bit quantization.
+    The oracle is the closed-form expectation per row."""
+    import math
+
+    from .codec import audio as aud
+    from .ops import multimodal as mm
+
+    rows = []
+    for i in range(20):
+        rate = 8000 + i * 100
+        amp = 0.1 + 0.04 * i
+        t = np.arange(rate) / rate  # exactly 1 second -> 440 full periods
+        rows.append(
+            {
+                "media_id": f"wav{i:03d}",
+                "bytes": aud.encode_wav(amp * np.sin(2 * np.pi * 440 * t), rate),
+                "amp": amp,
+            }
+        )
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    stats = mm.decode_audio_stats(sdf.select("media_id", "bytes"), strict=True)
+    return stats.join(sdf.select("media_id", "amp"), "media_id").select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        (F.abs(F.col("rms") - F.col("amp") / math.sqrt(2.0)) < 1e-3).alias("rms_ok"),
+    )
+
+
+def o_audio_validate() -> str:
+    vals = ",".join(
+        f"('wav{i:03d}',{8000 + i * 100},CAST({8000 + i * 100} AS BIGINT),true)"
+        for i in range(20)
+    )
+    return f"SELECT * FROM (VALUES {vals}) AS t(media_id, sample_rate, n_samples, rms_ok)"
+
+
 def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pHash Hamming near-dup over the payload table. The Spark side runs
     the guaranteed-recall LSH block join; the oracle brute-forces the full
@@ -1232,6 +1273,7 @@ QUERIES = {
     "minhash_verified_pairs": q_minhash_verified_pairs,
     "simhash_pairs": q_simhash_pairs,
     "image_validate": q_image_validate,
+    "audio_validate": q_audio_validate,
     "phash_neardup": q_phash_neardup,
     "ann_ivf_topk": q_ann_ivf_topk,
     # rows-only (approximate regimes whose exact twin is oracled above;
@@ -1294,6 +1336,7 @@ def _build_oracles() -> dict[str, str]:
     "minhash_verified_pairs": o_minhash_verified_pairs(),
     "simhash_pairs": o_simhash_pairs(),
     "image_validate": o_image_validate(),
+    "audio_validate": o_audio_validate(),
     "phash_neardup": o_phash_neardup(),
     "ann_ivf_topk": o_ann_topk(),
     }

@@ -87,6 +87,47 @@ def test_audio_stub_fake_and_strict(spark):
         multimodal.decode_audio_stats(media, strict=True).collect()
 
 
+def test_wav_codec_spec_and_roundtrip():
+    import struct
+
+    from jpspark.codec import audio as aud
+
+    t = np.arange(16000) / 16000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    buf = aud.encode_wav(sine, sample_rate=16000, bits=16)
+    # spec'd byte positions: RIFF/WAVE magic, fmt tag PCM=1, rate, bits
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE" and buf[12:16] == b"fmt "
+    assert struct.unpack_from("<H", buf, 20)[0] == 1  # PCM
+    assert struct.unpack_from("<I", buf, 24)[0] == 16000  # sample rate
+    assert struct.unpack_from("<H", buf, 34)[0] == 16  # bits
+    wav = aud.parse_wav(buf)
+    assert wav["sample_rate"] == 16000 and wav["n_channels"] == 1
+    assert len(wav["samples"]) == 16000
+    # sine RMS = amplitude / sqrt(2), within 16-bit quantization
+    assert abs(aud.rms(wav["samples"]) - 0.5 / np.sqrt(2)) < 1e-3
+    # stereo + 8-bit round trips too
+    st = np.stack([sine, -sine], axis=1)
+    wav2 = aud.parse_wav(aud.encode_wav(st, 8000, bits=8))
+    assert wav2["n_channels"] == 2 and wav2["sample_rate"] == 8000
+    assert np.allclose(wav2["samples"], st, atol=1 / 128)
+
+
+def test_audio_real_wav_decode_in_operator(spark):
+    from jpspark.codec import audio as aud
+
+    t = np.arange(8000) / 8000.0
+    sine = 0.25 * np.sin(2 * np.pi * 220 * t)
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": ["w1"], "bytes": [aud.encode_wav(sine, 8000)]})
+    )
+    # WAV decodes for REAL in both modes (strict included)
+    for strict in (False, True):
+        out = multimodal.decode_audio_stats(media, strict=strict).toPandas()
+        assert out.iloc[0]["sample_rate"] == 8000
+        assert out.iloc[0]["n_samples"] == 8000
+        assert abs(out.iloc[0]["rms"] - 0.25 / np.sqrt(2)) < 1e-3
+
+
 def test_video_frame_sampling_fake_container(spark):
     frames = [img.encode(fx.pixel_pattern(i, 16, 16), "raw") for i in range(25)]
     media = spark.createDataFrame(
