@@ -148,20 +148,35 @@ def decode_audio_stats(media: DataFrame, strict: bool = False) -> DataFrame:
 
 
 def sample_video_frames(media: DataFrame, every_n: int = 10, strict: bool = False) -> DataFrame:
-    """STUB: video frame sampling. The deterministic fake treats the bytes
-    as a concatenation of our raw-format images (a real container parser
-    slots in here); frame cadence, schema, and explode shape are real."""
+    """Video frame sampling: REAL for uncompressed RIFF/AVI (codec/
+    video.py — DIB/BI_RGB frames are struct+NumPy parsing, no codec
+    library); sampled frames re-encode as our 'raw' image format so the
+    whole image pipeline (decode/resize/features/pHash) composes
+    downstream. Compressed codecs remain STUBBED: strict mode raises for
+    non-AVI bytes, otherwise the deterministic RAW1 fake container keeps
+    the plumbing exercisable."""
+    from ..codec import video as vid
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "video decode requires a codec library not present in this "
-                    "environment; plug a real demuxer into sample_video_frames.kernel"
-                )
             rows = []
             for mid, buf in zip(pdf["media_id"].to_numpy(), pdf["bytes"].to_numpy()):
                 b = bytes(buf)
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    avi = vid.parse_avi(b)  # real demux path
+                    for idx, frame in enumerate(avi["frames"]):
+                        if idx % every_n == 0:
+                            rows.append(
+                                (mid, idx, img.encode(frame, "raw"),
+                                 avi["width"], avi["height"], "raw")
+                            )
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "compressed video decode requires a codec library not "
+                        "present in this environment; uncompressed AVI demuxes "
+                        "for real"
+                    )
                 # fake container: RAW1 frames back-to-back
                 off, idx = 0, 0
                 while off + 8 <= len(b) and b[off : off + 4] == b"RAW1":

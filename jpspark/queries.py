@@ -897,6 +897,47 @@ def o_fingerprint() -> str:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation pass a pipeline user actually
+    runs: normalized-fingerprint dedup (first doc_id wins) -> language
+    gate (en) -> length gate (>= 5 tokens); emits the surviving rows.
+    Every stage is an existing operator; the oracle re-derives the whole
+    chain in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(textstats.fingerprint(F.col("text")))
+    return (
+        d.withColumn("pred_lang", textstats.lang_id_heuristic(F.col("text")))
+        .withColumn("n_tokens", textstats.token_count(F.col("text")).cast("long"))
+        .withColumn("keeper", F.min("doc_id").over(w))
+        .filter(
+            (F.col("doc_id") == F.col("keeper"))
+            & (F.col("pred_lang") == "en")
+            & (F.col("n_tokens") >= 5)
+        )
+        .select("doc_id", "pred_lang", "n_tokens")
+    )
+
+
+def o_curation_pipeline() -> str:
+    return rf"""
+    WITH f AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             CASE WHEN length(regexp_replace(text, '[^{_CJK}]', '', 'g')) > 0 THEN 'zh'
+                  WHEN (CASE WHEN length(text) = 0 THEN 1.0
+                             ELSE length(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))
+                                  / length(text) END) < 0.7 THEN 'other'
+                  WHEN regexp_matches(' ' || lower(text) || ' ', '.*\s(the|and|of|is)\s.*') THEN 'en'
+                  ELSE 'latin' END AS pred_lang,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+      FROM documents),
+    k AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM f)
+    SELECT doc_id, pred_lang, n_tokens
+    FROM k WHERE doc_id = keeper AND pred_lang = 'en' AND n_tokens >= 5
+    """
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (exact ANN baseline), queries = vec_id < 8."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1116,6 +1157,50 @@ def o_audio_validate() -> str:
     return f"SELECT * FROM (VALUES {vals}) AS t(media_id, sample_rate, n_samples, rms_ok)"
 
 
+def q_video_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video fidelity gate on REAL uncompressed AVI bytes (codec/video.py):
+    6 deterministic clips (12+m frames of known pixel patterns), strict
+    demux + every-4th-frame sampling, each sampled frame decoded and
+    compared pixel-exact to its expected pattern; per-clip totals against
+    the closed-form oracle (ceil(n_frames/4) sampled, all exact)."""
+    from . import fixtures as fx
+    from .codec import image as img
+    from .codec import video as vid
+    from .ops import multimodal as mm
+
+    rows = []
+    for m in range(6):
+        frames = [fx.pixel_pattern(m * 100 + i, 16, 16) for i in range(12 + m)]
+        rows.append({"media_id": f"avi{m:02d}", "bytes": vid.encode_avi(frames, fps=10)})
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    sampled = mm.sample_video_frames(sdf, every_n=4, strict=True)
+
+    def check(batches):
+        for b in batches:
+            ok = []
+            for mid, idx, buf in zip(
+                b["media_id"].to_numpy(), b["frame_idx"].to_numpy(), b["bytes"].to_numpy()
+            ):
+                px = img.decode(bytes(buf), "raw")
+                expected = fx.pixel_pattern(int(mid[3:]) * 100 + int(idx), 16, 16)
+                ok.append(bool(np.array_equal(px, expected)))
+            yield pd.DataFrame({"media_id": b["media_id"], "frame_ok": ok})
+
+    checked = sampled.mapInPandas(check, "media_id string, frame_ok boolean")
+    return checked.groupBy("media_id").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum(F.col("frame_ok").cast("long")).alias("n_pixel_exact"),
+    )
+
+
+def o_video_validate() -> str:
+    vals = ",".join(
+        f"('avi{m:02d}',CAST({-(-(12 + m) // 4)} AS BIGINT),CAST({-(-(12 + m) // 4)} AS BIGINT))"
+        for m in range(6)
+    )
+    return f"SELECT * FROM (VALUES {vals}) AS t(media_id, n_sampled, n_pixel_exact)"
+
+
 def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pHash Hamming near-dup over the payload table. The Spark side runs
     the guaranteed-recall LSH block join; the oracle brute-forces the full
@@ -1267,6 +1352,7 @@ QUERIES = {
     "token_count_by_lang": q_token_count_by_lang,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "curation_pipeline": q_curation_pipeline,
     "ann_topk": q_ann_topk,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1274,6 +1360,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "image_validate": q_image_validate,
     "audio_validate": q_audio_validate,
+    "video_validate": q_video_validate,
     "phash_neardup": q_phash_neardup,
     "ann_ivf_topk": q_ann_ivf_topk,
     # rows-only (approximate regimes whose exact twin is oracled above;
@@ -1330,6 +1417,7 @@ def _build_oracles() -> dict[str, str]:
     "token_count_by_lang": o_token_count_by_lang(),
     "lang_id": o_lang_id(),
     "fingerprint": o_fingerprint(),
+    "curation_pipeline": o_curation_pipeline(),
     "ann_topk": o_ann_topk(),
     "embedding_neardup": o_embedding_neardup(),
     "embedding_neardup_lsh": o_embedding_neardup_lsh(),
@@ -1337,6 +1425,7 @@ def _build_oracles() -> dict[str, str]:
     "simhash_pairs": o_simhash_pairs(),
     "image_validate": o_image_validate(),
     "audio_validate": o_audio_validate(),
+    "video_validate": o_video_validate(),
     "phash_neardup": o_phash_neardup(),
     "ann_ivf_topk": o_ann_topk(),
     }

@@ -128,6 +128,44 @@ def test_audio_real_wav_decode_in_operator(spark):
         assert abs(out.iloc[0]["rms"] - 0.25 / np.sqrt(2)) < 1e-3
 
 
+def test_avi_codec_spec_and_roundtrip():
+    import struct
+
+    from jpspark.codec import video as vid
+
+    frames = [fx.pixel_pattern(i, 18, 12) for i in range(7)]  # w=18: row padding hits
+    buf = vid.encode_avi(frames, fps=5)
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"AVI "
+    assert b"avih" in buf[:64] and b"movi" in buf
+    out = vid.parse_avi(buf)
+    assert out["width"] == 18 and out["height"] == 12 and out["fps"] == 5.0
+    assert len(out["frames"]) == 7
+    for got, orig in zip(out["frames"], frames):
+        assert np.array_equal(got, orig)  # pixel-exact through BGR/flip/padding
+    # compressed AVI must refuse loudly, not return garbage
+    bad = bytearray(buf)
+    strf_at = buf.index(b"strf")
+    struct.pack_into("<I", bad, strf_at + 8 + 16, 0x47504A4D)  # 'MJPG'
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="compressed AVI"):
+        vid.parse_avi(bytes(bad))
+
+
+def test_video_real_avi_demux_in_operator(spark):
+    from jpspark.codec import video as vid
+
+    frames = [fx.pixel_pattern(i, 16, 16) for i in range(25)]
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": ["v2"], "bytes": [vid.encode_avi(frames, fps=10)]})
+    )
+    for strict in (False, True):  # AVI demuxes for real in both modes
+        out = multimodal.sample_video_frames(media, every_n=10, strict=strict).toPandas()
+        assert list(out["frame_idx"]) == [0, 10, 20]
+        px = img.decode(bytes(out.iloc[1]["bytes"]), "raw")
+        assert np.array_equal(px, fx.pixel_pattern(10, 16, 16))
+
+
 def test_video_frame_sampling_fake_container(spark):
     frames = [img.encode(fx.pixel_pattern(i, 16, 16), "raw") for i in range(25)]
     media = spark.createDataFrame(
