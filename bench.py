@@ -35,6 +35,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "32"))  # events x32 -> 3.2M points at sf0.1
 BIG_AMPLIFY = int(os.environ.get("SPARK_GRAFT_BENCH_BIG_AMPLIFY", "256"))
+# interior-cell fast-path budget for the PIP index; "0" disables (the
+# compute-bound engine mode the scaling evidence also measures)
+_SETTLED = int(os.environ.get("SPARK_GRAFT_SETTLED_CELLS", str(4_000_000)))
+SETTLED_CELLS = _SETTLED if _SETTLED > 0 else None
 
 
 def amplified_points(spark, sf_dir: str, amplify: int = AMPLIFY):
@@ -92,12 +96,26 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
 
     def spatial_stages(pts, n_points: int, amplify: int, tdict: dict, xdict: dict):
         """The three flagship spatial stages over a cached point set."""
-        # --- PIP: flagship ray-casting join (broadcast index, no shuffle
-        # of the point side)
+        # --- PIP: flagship ray-casting count-per-municipality (broadcast
+        # index, aggregate pushdown: only lon/lat cross the Arrow boundary)
         n_assigned = timed(
             "pip_join",
+            lambda: sj.pip_count_broadcast(
+                pts, polys, "全国地方公共団体コード", out_col="muni",
+                settled_cells=SETTLED_CELLS,
+            )
+            .agg(F.sum("n_points"))
+            .collect()[0][0],
+            tdict,
+        )
+        xdict["pip_rows_per_sec"] = round(n_points / tdict["pip_join"], 1)
+        # row-annotating form (per-row assignments shipped back through
+        # Arrow — the shape row-level consumers pay for)
+        timed(
+            "pip_join_rows",
             lambda: sj.pip_join_broadcast(
-                pts, polys, "全国地方公共団体コード", out_col="muni"
+                pts, polys, "全国地方公共団体コード", out_col="muni",
+                settled_cells=SETTLED_CELLS,
             )
             .groupBy("muni")
             .count()
@@ -105,7 +123,7 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
             .collect()[0][0],
             tdict,
         )
-        xdict["pip_rows_per_sec"] = round(n_points / tdict["pip_join"], 1)
+        xdict["pip_rows_annotate_per_sec"] = round(n_points / tdict["pip_join_rows"], 1)
 
         # --- tiles: assignment + render manifest + rollup; pure JVM
         # codegen, fed 8x the points (JVM-side explode, no Python)

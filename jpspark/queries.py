@@ -85,12 +85,13 @@ def _grid_polys_pdf(nx: int = 8, ny: int = 8) -> pd.DataFrame:
 # =========================================================== geo queries
 
 def q_geo_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4: ray-casting PIP join (broadcast polygon index), counts per poly."""
+    """J4: ray-casting PIP join (broadcast polygon index) with aggregate
+    pushdown — per-polygon counts computed inside the Arrow kernel, so
+    only (lon, lat) ever cross the JVM<->Python boundary."""
     pts = _event_points(spark, sf_dir)
-    assigned = spatial_join.pip_join_broadcast(
+    return spatial_join.pip_count_broadcast(
         pts, _grid_polys_pdf(), "poly_id", out_col="poly_id", out_type=T.LongType()
     )
-    return assigned.groupBy("poly_id").agg(F.count("*").alias("n_points"))
 
 
 def o_geo_pip_join() -> str:

@@ -136,6 +136,54 @@ def test_knn_shuffle_matches_oracle(spark, polys, images_pdf, points_sdf):
     )
 
 
+def test_pip_count_pushdown_matches_row_form(spark, polys, points_sdf):
+    """Aggregate-pushdown counts must equal groupBy over the
+    row-annotating join exactly."""
+    via_rows = (
+        sj.pip_join_broadcast(points_sdf, polys, "全国地方公共団体コード", out_col="muni")
+        .groupBy("muni")
+        .count()
+        .withColumnRenamed("count", "n_points")
+        .toPandas()
+        .sort_values("muni")
+        .reset_index(drop=True)
+    )
+    pushed = (
+        sj.pip_count_broadcast(points_sdf, polys, "全国地方公共団体コード", out_col="muni")
+        .toPandas()
+        .sort_values("muni")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(pushed, via_rows)
+
+
+def test_settled_grid_matches_exact_path(polys):
+    """The settled-cell fast path must agree with the exact ray-cast path
+    everywhere, including points ON polygon boundaries and exactly on
+    fine-grid cell borders (the half-open convention territory)."""
+    rng = np.random.default_rng(17)
+    n = 4000
+    lon = rng.uniform(121.0, 155.0, n)  # includes outside-all margins
+    lat = rng.uniform(19.0, 47.0, n)
+    # adversarial extras: polygon vertices themselves + fine-grid borders
+    verts = np.vstack(
+        [wkb.parse_multipolygon(g)[0][0][:50] for g in polys["geom"]]
+    )[:500]
+    fast = sj.PolygonIndex.from_pandas(polys, "ogc_fid")
+    slow = sj.PolygonIndex.from_pandas(polys, "ogc_fid", settled_cells=None)
+    assert fast.settled_grid is not None and slow.settled_grid is None
+    grid_n = 1 << fast.settled_res
+    border_lon = (
+        -180.0 + np.arange(fast._win[0] + 10, fast._win[0] + 60) * (360.0 / grid_n)
+    )  # exact fine-cell edges inside the window
+    border_lat = np.full(50, 35.0)
+    lon = np.concatenate([lon, verts[:, 0], border_lon])
+    lat = np.concatenate([lat, verts[:, 1], border_lat])
+    a = fast.assign_ordinals(lon, lat)
+    b = slow.assign_ordinals(lon, lat)
+    assert np.array_equal(a, b)
+
+
 def test_knn_shuffle_guard_errors_when_ring_too_small(spark):
     """Deliberately undersized max_ring: the kth neighbor lies outside the
     replicated disk. The guard must fail the job loudly instead of
