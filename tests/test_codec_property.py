@@ -1,0 +1,151 @@
+"""Property-based round trips for the from-scratch codecs (hypothesis):
+random payloads through FlatGeobuf, shapefile, XLSX, WAV, and the
+flatbuffer builder; plus settled-grid vs exact-path PIP equivalence on
+random polygon sets. Spark-free — pure codec/kernel properties."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from jpspark.codec import audio as aud
+from jpspark.codec import fgb
+from jpspark.codec import flatbuf as fb
+from jpspark.codec import shp as shp_codec
+from jpspark.codec import xlsx
+from jpspark.geom import wkb
+
+FINITE = st.floats(min_value=-170.0, max_value=170.0, allow_nan=False, width=64)
+
+
+def _convex_ring(cx: float, cy: float, radii: list[float], ccw: bool = True) -> np.ndarray:
+    """Non-degenerate convex-ish ring from per-vertex radii (closed)."""
+    n = len(radii)
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    xs = cx + np.asarray(radii) * np.cos(ang)
+    ys = cy + np.asarray(radii) * np.sin(ang)
+    ring = np.stack([xs, ys], axis=1)
+    if not ccw:
+        ring = ring[::-1]
+    return np.vstack([ring, ring[:1]])
+
+
+ring_strategy = st.builds(
+    _convex_ring,
+    cx=st.floats(min_value=-90, max_value=90, allow_nan=False),
+    cy=st.floats(min_value=-40, max_value=40, allow_nan=False),
+    radii=st.lists(st.floats(min_value=0.5, max_value=8.0, allow_nan=False), min_size=3, max_size=12),
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(ring_strategy, min_size=1, max_size=4))
+def test_fgb_geometry_roundtrip_random_multipolygons(rings):
+    geom = wkb.encode_multipolygon([[r] for r in rings])
+    b = fb.Builder()
+    off = fgb._build_geometry(b, geom)
+    data = b.finish(off)
+    got = fgb._decode_geometry(fb.root_table(data))
+    assert got["type"] == fgb.GT_MULTIPOLYGON
+    assert len(got["parts"]) == len(rings)
+    for part, ring in zip(got["parts"], rings):
+        assert np.array_equal(part["rings"][0], ring)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(ring_strategy, min_size=1, max_size=3))
+def test_shp_roundtrip_random_polygons(rings):
+    geoms = [wkb.encode_multipolygon([[r]]) for r in rings]
+    recs = shp_codec.parse_shp(shp_codec.write_shp(geoms))
+    assert [r for r, _ in recs] == list(range(1, len(rings) + 1))
+    for (_, buf), ring in zip(recs, rings):
+        polys = wkb.parse_multipolygon(buf)
+        assert len(polys) == 1
+        got = polys[0][0]
+        # writer enforces CW outers; traversal direction may flip
+        assert np.array_equal(got, ring) or np.array_equal(got, ring[::-1])
+        assert abs(abs(wkb.ring_area(got)) - abs(wkb.ring_area(ring))) < 1e-9
+
+
+_cell_text = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs", "Cc"), max_codepoint=0xFFFF
+        ),
+        max_size=20,
+    ),
+    st.integers(min_value=-(10**12), max_value=10**12),
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.lists(_cell_text, min_size=1, max_size=6), min_size=1, max_size=8))
+def test_xlsx_roundtrip_random_cells(rows):
+    got = xlsx.parse_xlsx(xlsx.write_xlsx(rows, sheet_name="t"), "t")
+    assert len(got) == len(rows)
+    for got_row, row in zip(got, rows):
+        # trailing Nones are not materialized as cells
+        want = [None if (v is None or v == "") else str(v) for v in row]
+        while want and want[-1] is None:
+            want.pop()
+        assert got_row == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+             min_size=1, max_size=500),
+    st.sampled_from([8000, 16000, 44100]),
+    st.sampled_from([1, 2, 3]),
+)
+def test_wav_roundtrip_random_signals(samples, rate, channels):
+    s = np.asarray(samples, dtype=np.float64)
+    s = np.stack([s * (i + 1) / channels for i in range(channels)], axis=1)
+    wav = aud.parse_wav(aud.encode_wav(s, rate, bits=16))
+    assert wav["sample_rate"] == rate and wav["n_channels"] == channels
+    assert np.allclose(wav["samples"], np.clip(s, -1.0, 32767 / 32768), atol=1 / 32768)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.text(max_size=30),
+    st.integers(min_value=0, max_value=2**63 - 1),
+    st.lists(st.floats(allow_nan=False, allow_infinity=False, width=64), max_size=10),
+)
+def test_flatbuf_table_roundtrip(s, u, vec):
+    b = fb.Builder()
+    s_off = b.create_string(s)
+    v_off = b.create_scalar_vector("float64", vec) if vec else None
+    b.start_table()
+    b.add_offset(0, s_off)
+    b.add_scalar(1, "uint64", u, default=0)
+    if v_off:
+        b.add_offset(2, v_off)
+    data = b.finish(b.end_table())
+    t = fb.root_table(data)
+    assert t.string(0) == s
+    assert t.scalar(1, "uint64", 0) == u
+    assert t.scalar_vector(2, "float64") == vec
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(ring_strategy, min_size=1, max_size=5),
+    st.lists(st.tuples(FINITE, st.floats(min_value=-80, max_value=80, allow_nan=False)),
+             min_size=1, max_size=200),
+)
+def test_settled_grid_equals_exact_on_random_layers(rings, pts):
+    from jpspark.ops.spatial_join import PolygonIndex
+
+    ids = list(range(len(rings)))
+    geoms = [wkb.encode_multipolygon([[r]]) for r in rings]
+    fast = PolygonIndex(ids, geoms, settled_cells=5000)
+    slow = PolygonIndex(ids, geoms, settled_cells=None)
+    px = np.array([p[0] for p in pts])
+    py = np.array([p[1] for p in pts])
+    # also probe the polygons' own vertices (boundary adversaries)
+    px = np.concatenate([px] + [r[:, 0] for r in rings])
+    py = np.concatenate([py] + [r[:, 1] for r in rings])
+    assert np.array_equal(fast.assign_ordinals(px, py), slow.assign_ordinals(px, py))
