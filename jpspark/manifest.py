@@ -235,6 +235,29 @@ def snapshots(out_dir: str) -> list[dict]:
     return out
 
 
+def compact(spark, out_dir: str, target_bytes: int = 128 << 20, storage=None) -> dict:
+    """Small-files compaction (Iceberg ``rewrite_data_files`` analog):
+    read the current snapshot, rewrite it into partitions sized to
+    ~``target_bytes`` (estimated from the manifest's measured bytes/row),
+    and commit as a NEW snapshot. The replaced snapshot stays readable
+    via time travel until ``vacuum`` expires it — compaction is just
+    another commit, never an in-place mutation."""
+    m = load_manifest(out_dir)
+    parts = m.get("partitions", {})
+    if not parts:
+        raise ValueError(f"nothing to compact: no committed snapshot under {out_dir}")
+    total_bytes = sum(int(p["bytes"]) for p in parts.values())
+    n_parts = max(1, round(total_bytes / target_bytes))
+    df = read_snapshot(spark, out_dir)
+    return write_checkpointed(
+        df,
+        out_dir,
+        lineage=f"compact v{m.get('version')} ({len(parts)} -> {n_parts} files)",
+        num_partitions=n_parts,
+        storage=storage,
+    )
+
+
 def vacuum(out_dir: str, keep_last: int = 1) -> dict:
     """Expire old snapshots: keep the newest ``keep_last`` manifests,
     delete part files referenced by none of them, drop expired manifest

@@ -70,6 +70,18 @@ class TableIO:
 
         return mf.vacuum(self._path(name), keep_last=keep_last)
 
+    def compact(self, name: str, target_bytes: int = 128 << 20) -> dict:
+        """Rewrite small files into ~target_bytes partitions as a new
+        snapshot (Iceberg: rewrite_data_files; fallback: manifest-backed
+        rewrite — see manifest.compact)."""
+        if self.catalog:
+            return self.spark.sql(
+                f"CALL {self.catalog}.system.rewrite_data_files('{self.namespace}.{name}')"
+            ).collect()
+        from . import manifest as mf
+
+        return mf.compact(self.spark, self._path(name), target_bytes=target_bytes)
+
     def exists(self, name: str) -> bool:
         """S13 existence probe."""
         if self.catalog:

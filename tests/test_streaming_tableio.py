@@ -132,6 +132,31 @@ def test_tableio_overwrite_snapshots_and_time_travel(spark, tmp_path):
         tio.read("t", version=1)
 
 
+def test_tableio_compact_small_files(spark, tmp_path):
+    """Compaction rewrites many small files into few, as a new snapshot:
+    rows identical, old snapshot time-travelable until vacuumed."""
+    import os
+
+    tio = table_io.TableIO(spark, str(tmp_path / "tables_cmp"))
+    df = spark.range(50_000).withColumn("v", F.col("id") % 7).repartition(16)
+    tio.write(df, "t")
+    d = str(tmp_path / "tables_cmp" / "t")
+    n_before = len([f for f in os.listdir(d) if f.startswith("part-")])
+    assert n_before == 16
+    total = sum(
+        os.path.getsize(os.path.join(d, f)) for f in os.listdir(d) if f.startswith("part-")
+    )
+    m = tio.compact("t", target_bytes=total // 2)  # -> ~2 files
+    assert m["version"] == 2
+    assert len(m["partitions"]) <= 4
+    got = tio.read("t")
+    assert got.count() == 50_000
+    assert got.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
+    assert tio.read("t", version=1).count() == 50_000  # old snapshot intact
+    res = tio.vacuum("t", keep_last=1)
+    assert res["removed_files"] >= 16
+
+
 def test_tableio_merge_upsert_fallback(spark, tmp_path):
     tio = table_io.TableIO(spark, str(tmp_path / "tables2"))
     base = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"]}))
