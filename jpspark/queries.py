@@ -1249,12 +1249,15 @@ def o_simhash_pairs() -> str:
 
 
 def _documents_pdf() -> pd.DataFrame:
-    """documents table at the driver's correctness SF (identical content
-    at every SF in this testdata — see TESTDATA.md)."""
+    """documents table for oracle-literal baking. Default: the driver's
+    correctness SF (sf0.01); harnesses running the gate at another SF set
+    JPSPARK_ORACLE_SF so the baked signatures match their input."""
     import os
 
-    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.001", "/root/testdata/sf0.1"):
-        p = f"{sf}/documents.parquet"
+    dirs = [os.environ.get("JPSPARK_ORACLE_SF", "")] if os.environ.get("JPSPARK_ORACLE_SF") else []
+    dirs += ["/root/testdata/sf0.01", "/root/testdata/sf0.001", "/root/testdata/sf0.1"]
+    for sf in dirs:
+        p = f"{sf.rstrip('/')}/documents.parquet"
         if os.path.exists(p):
             return pd.read_parquet(p)
     raise FileNotFoundError("no documents.parquet under /root/testdata/sf*")

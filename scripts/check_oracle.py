@@ -32,6 +32,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import os
+
+    # oracle literals (e.g. baked simhash signatures) must derive from the
+    # same SF this gate runs at — documents differ slightly across SFs
+    os.environ["JPSPARK_ORACLE_SF"] = sf_dir
     import __spark_entry__ as e
     from jpspark.session import get_spark
 
