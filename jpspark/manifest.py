@@ -7,12 +7,12 @@ The reference's crash-safety idiom is *commit-marker-after-data*: the
 the target before re-running (/root/reference/src/loader/load_queue.rs:64-106,
 gdal.rs:253-265). This module generalizes that to Spark partitions:
 
-  * each task writes its partition to its own parquet file
-    ``part-{pid:05d}.parquet`` (executor-side pyarrow write — the
-    distributed COPY path),
+  * each task writes its partition to its own parquet object
+    ``part-{pid:05d}-{fingerprint:016x}.parquet`` (executor-side pyarrow
+    write — the distributed COPY path),
   * the task emits a manifest row (partition_id, input fingerprint,
-    row_count, bytes, output path, lineage) only after the file is fully
-    written and fsync'd,
+    row_count, bytes, output key, lineage) only after the object is fully
+    written,
   * the driver persists ``_manifest.json`` only after ALL tasks succeed —
     a crash anywhere leaves either no manifest entry or a complete one,
     never a "valid" partial,
@@ -24,13 +24,24 @@ Fingerprints are content-based (order-insensitive xxhash-style fold over
 row hashes), so resume is correct even if Spark re-plans partitioning of
 an unchanged input — a changed fingerprint simply re-writes that partition.
 
-Storage backend: tasks write through a ``Storage`` seam (below). The
-default ``LocalStorage`` uses plain ``os`` calls and therefore REQUIRES a
-filesystem shared between driver and executors (true in local mode, NFS,
-or a FUSE-mounted object store). On a real cluster, pass a Storage whose
-``write_atomic``/``exists`` target the shared object store (e.g. s3/gs via
-fsspec) — the commit protocol (data complete before visible, manifest
-last) only needs those two primitives plus ``size``.
+Storage backend: ALL I/O — part files, manifest JSON, listing, deletion —
+goes through the ``Storage`` seam below, whose contract is an OBJECT STORE,
+not a POSIX filesystem: flat ``(root, key)`` namespace, atomic whole-object
+PUT, list-by-prefix, no rename/mkdir/partial-write anywhere in the
+protocol. The default ``LocalStorage`` maps keys onto a filesystem shared
+between driver and executors (true in local mode, NFS, or a FUSE-mounted
+object store); ``ObjectStorage`` emulates an S3-style store (flat keys,
+PUT-is-atomic, no directories) and is the template for a real fsspec/s3
+implementation (the ``fsspec`` package itself is absent from this
+environment, so the non-POSIX contract is proven against the emulation —
+same interface, same test suite, see tests/test_reference_semantics.py).
+Storage objects ship to executors, so they must be picklable.
+
+Manifests store part-file KEYS relative to the table root (never absolute
+paths), so a table directory can be renamed/moved — or addressed with a
+differently-spelled root (relative vs absolute) — and every read, compact,
+and vacuum still resolves the same objects. Absolute paths written by
+pre-seam manifests are normalized to their key on read.
 
 Snapshots (the Iceberg-shaped behaviors the north_star's 10^12-row table
 relies on, without the Iceberg runtime): part files are content-addressed
@@ -38,7 +49,9 @@ relies on, without the Iceberg runtime): part files are content-addressed
 as ``_manifests/manifest-{version}.json``, readers resolve EXACTLY the
 files their manifest lists (never a glob — concurrent/failed writers
 can't leak phantom rows), ``read_snapshot(version=...)`` time-travels,
-and ``vacuum`` deletes files unreferenced by the kept snapshots.
+and ``vacuum`` deletes files unreferenced by the kept snapshots AND the
+live manifest pointer (so the crash window between archive-write and
+pointer-replace can never expire the snapshot the pointer references).
 """
 
 from __future__ import annotations
@@ -62,21 +75,132 @@ MANIFESTS_DIR = "_manifests"
 class LocalStorage:
     """Default storage backend: local/shared POSIX filesystem.
 
-    The three primitives the checkpoint protocol needs; swap this object
-    for an object-store implementation (same signatures) on clusters
-    without a shared FS. Must be picklable (it ships to executors).
+    Implements the object-store contract (atomic PUT, prefix list) with
+    plain ``os`` calls — keys map to paths under the table root. Requires
+    a filesystem shared between driver and executors. Must be picklable
+    (it ships to executors).
     """
 
-    def write_atomic(self, path: str, table: "pa.Table") -> None:
+    def _p(self, root: str, key: str) -> str:
+        return os.path.join(root, key)
+
+    def put_table(self, root: str, key: str, table: "pa.Table") -> None:
+        path = self._p(root, key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
         pq.write_table(table, tmp)
         os.replace(tmp, path)  # atomic: data complete before visible
 
-    def exists(self, path: str) -> bool:
-        return os.path.exists(path)
+    def put_text(self, root: str, key: str, text: str) -> None:
+        path = self._p(root, key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
 
-    def size(self, path: str) -> int:
-        return os.path.getsize(path)
+    def get_text(self, root: str, key: str) -> str | None:
+        path = self._p(root, key)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return f.read()
+
+    def exists(self, root: str, key: str) -> bool:
+        return os.path.exists(self._p(root, key))
+
+    def size(self, root: str, key: str) -> int:
+        return os.path.getsize(self._p(root, key))
+
+    def list(self, root: str, prefix: str) -> list[str]:
+        """All keys under ``root`` starting with ``prefix`` (which may
+        contain '/'), sorted."""
+        base, _, name_prefix = prefix.rpartition("/")
+        d = os.path.join(root, base) if base else root
+        if not os.path.isdir(d):
+            return []
+        out = [
+            (f"{base}/{f}" if base else f)
+            for f in os.listdir(d)
+            if f.startswith(name_prefix) and os.path.isfile(os.path.join(d, f))
+        ]
+        return sorted(out)
+
+    def delete(self, root: str, key: str) -> None:
+        os.remove(self._p(root, key))
+
+    def uri(self, root: str, key: str) -> str:
+        """Location Spark's parquet reader resolves for this object."""
+        return self._p(root, key)
+
+
+class ObjectStorage:
+    """Emulated object store: flat key→blob namespace rooted at ``base``.
+
+    S3-style semantics the protocol is proven against: no directories
+    (keys are opaque strings; '/' is not special), whole-object atomic
+    PUT, existence/size/list-by-prefix, delete. Blobs are physically
+    single flat files named by the percent-quoted full key, so Spark's
+    parquet reader can open them via ``uri()`` — exactly how a real
+    s3a://-backed store is consumed. A production fsspec/boto3 backend
+    implements this same interface with remote calls.
+    """
+
+    def __init__(self, base: str):
+        self.base = base
+
+    def _k(self, root: str, key: str) -> str:
+        # one flat namespace: the table root is just a key prefix
+        return f"{root}/{key}".replace("//", "/")
+
+    def _blob(self, root: str, key: str) -> str:
+        quoted = self._k(root, key).replace("%", "%25").replace("/", "%2F")
+        return os.path.join(self.base, quoted)
+
+    def put_table(self, root: str, key: str, table: "pa.Table") -> None:
+        os.makedirs(self.base, exist_ok=True)
+        blob = self._blob(root, key)
+        tmp = blob + ".staging"  # internal emulation of PUT atomicity
+        pq.write_table(table, tmp)
+        os.replace(tmp, blob)
+
+    def put_text(self, root: str, key: str, text: str) -> None:
+        os.makedirs(self.base, exist_ok=True)
+        blob = self._blob(root, key)
+        tmp = blob + ".staging"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, blob)
+
+    def get_text(self, root: str, key: str) -> str | None:
+        blob = self._blob(root, key)
+        if not os.path.exists(blob):
+            return None
+        with open(blob) as f:
+            return f.read()
+
+    def exists(self, root: str, key: str) -> bool:
+        return os.path.exists(self._blob(root, key))
+
+    def size(self, root: str, key: str) -> int:
+        return os.path.getsize(self._blob(root, key))
+
+    def list(self, root: str, prefix: str) -> list[str]:
+        full = self._k(root, prefix)
+        out = []
+        for f in os.listdir(self.base) if os.path.isdir(self.base) else []:
+            if f.endswith(".staging"):
+                continue
+            key = f.replace("%2F", "/").replace("%25", "%")
+            if key.startswith(full):
+                out.append(key[len(self._k(root, "")):])
+        return sorted(out)
+
+    def delete(self, root: str, key: str) -> None:
+        os.remove(self._blob(root, key))
+
+    def uri(self, root: str, key: str) -> str:
+        return self._blob(root, key)
 
 
 def _fingerprint_pdf(pdf: pd.DataFrame) -> int:
@@ -95,11 +219,18 @@ def _fingerprint_pdf(pdf: pd.DataFrame) -> int:
     return int(mix)
 
 
-def load_manifest(out_dir: str) -> dict:
-    path = os.path.join(out_dir, MANIFEST_NAME)
-    if os.path.exists(path):
-        with open(path) as f:
-            return json.load(f)
+def _part_key(stored_path: str) -> str:
+    """Manifest 'path' → storage key. New manifests store relative keys;
+    pre-seam manifests stored absolute paths whose part files always sat
+    directly under the table root, so the basename IS the key."""
+    return os.path.basename(stored_path) if os.path.isabs(stored_path) else stored_path
+
+
+def load_manifest(out_dir: str, storage=None) -> dict:
+    store = storage or LocalStorage()
+    text = store.get_text(out_dir, MANIFEST_NAME)
+    if text is not None:
+        return json.loads(text)
     return {"partitions": {}, "committed_at": None, "schema": None}
 
 
@@ -108,7 +239,7 @@ def write_checkpointed(
     out_dir: str,
     lineage: str = "",
     num_partitions: int | None = None,
-    storage: "LocalStorage | None" = None,
+    storage=None,
 ) -> dict:
     """Write ``df`` to ``out_dir`` with per-partition commit semantics.
 
@@ -118,8 +249,7 @@ def write_checkpointed(
     partitions are re-written.
     """
     store = storage or LocalStorage()
-    os.makedirs(out_dir, exist_ok=True)
-    prior = load_manifest(out_dir)
+    prior = load_manifest(out_dir, store)
     committed = {
         int(pid): meta["fingerprint"]
         for pid, meta in prior.get("partitions", {}).items()
@@ -137,24 +267,24 @@ def write_checkpointed(
         parts = [b for b in batches if len(b)]
         pdf = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
         fp = _fingerprint_pdf(pdf)
-        # content-addressed: a changed partition writes a NEW file, the
+        # content-addressed: a changed partition writes a NEW object, the
         # old one stays referenced by the previous snapshot (time travel)
-        path = os.path.join(out_dir, f"part-{pid:05d}-{fp:016x}.parquet")
-        skipped = bc_committed.value.get(pid) == fp and store.exists(path)
+        key = f"part-{pid:05d}-{fp:016x}.parquet"
+        skipped = bc_committed.value.get(pid) == fp and store.exists(out_dir, key)
         if not skipped:
             table = (
                 pa.Table.from_pandas(pdf, preserve_index=False)
                 if len(pdf)
                 else arrow_schema.empty_table()
             )
-            store.write_atomic(path, table)
+            store.put_table(out_dir, key, table)
         yield pd.DataFrame(
             {
                 "partition_id": [pid],
                 "fingerprint": [fp],
                 "row_count": [len(pdf)],
-                "bytes": [store.size(path)],
-                "path": [path],
+                "bytes": [store.size(out_dir, key)],
+                "path": [key],
                 "skipped": [skipped],
             }
         )
@@ -185,53 +315,52 @@ def write_checkpointed(
     }
     # snapshot commit order: archived copy first, then the latest pointer
     # (a crash between the two leaves a readable previous state)
-    os.makedirs(os.path.join(out_dir, MANIFESTS_DIR), exist_ok=True)
-    archived = os.path.join(
-        out_dir, MANIFESTS_DIR, f"manifest-{manifest['version']:06d}.json"
+    body = json.dumps(manifest, ensure_ascii=False, indent=1)
+    store.put_text(
+        out_dir, f"{MANIFESTS_DIR}/manifest-{manifest['version']:06d}.json", body
     )
-    for target in (archived, os.path.join(out_dir, MANIFEST_NAME)):
-        tmp = target + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, ensure_ascii=False, indent=1)
-        os.replace(tmp, target)
+    store.put_text(out_dir, MANIFEST_NAME, body)
     return manifest
 
 
-def read_snapshot(spark, out_dir: str, version: int | None = None) -> "DataFrame":
+def read_snapshot(spark, out_dir: str, version: int | None = None, storage=None) -> "DataFrame":
     """Read exactly the part files a snapshot's manifest lists (never a
     glob — stale/orphaned files from replaced table versions can't leak
     phantom rows). ``version=None`` reads the latest commit; an integer
     time-travels to that archived snapshot."""
+    store = storage or LocalStorage()
     if version is None:
-        m = load_manifest(out_dir)
+        m = load_manifest(out_dir, store)
     else:
-        path = os.path.join(out_dir, MANIFESTS_DIR, f"manifest-{version:06d}.json")
-        if not os.path.exists(path):
+        text = store.get_text(out_dir, f"{MANIFESTS_DIR}/manifest-{version:06d}.json")
+        if text is None:
             raise FileNotFoundError(f"no snapshot version {version} under {out_dir}")
-        with open(path) as f:
-            m = json.load(f)
-    paths = [meta["path"] for meta in m.get("partitions", {}).values()]
-    if not paths:
+        m = json.loads(text)
+    uris = [
+        store.uri(out_dir, _part_key(meta["path"]))
+        for meta in m.get("partitions", {}).values()
+    ]
+    if not uris:
         raise ValueError(f"snapshot has no committed partitions: {out_dir} v{version}")
-    return spark.read.parquet(*paths)
+    return spark.read.parquet(*uris)
 
 
-def snapshots(out_dir: str) -> list[dict]:
+def snapshots(out_dir: str, storage=None) -> list[dict]:
     """All archived snapshots, oldest first: version/committed_at/rows."""
-    d = os.path.join(out_dir, MANIFESTS_DIR)
+    store = storage or LocalStorage()
     out = []
-    for fname in sorted(os.listdir(d)) if os.path.isdir(d) else []:
-        if fname.startswith("manifest-") and fname.endswith(".json"):
-            with open(os.path.join(d, fname)) as f:
-                m = json.load(f)
-            out.append(
-                {
-                    "version": m.get("version"),
-                    "committed_at": m.get("committed_at"),
-                    "total_rows": m.get("total_rows"),
-                    "lineage": m.get("lineage"),
-                }
-            )
+    for key in store.list(out_dir, f"{MANIFESTS_DIR}/manifest-"):
+        if not key.endswith(".json"):
+            continue
+        m = json.loads(store.get_text(out_dir, key))
+        out.append(
+            {
+                "version": m.get("version"),
+                "committed_at": m.get("committed_at"),
+                "total_rows": m.get("total_rows"),
+                "lineage": m.get("lineage"),
+            }
+        )
     return out
 
 
@@ -242,13 +371,13 @@ def compact(spark, out_dir: str, target_bytes: int = 128 << 20, storage=None) ->
     and commit as a NEW snapshot. The replaced snapshot stays readable
     via time travel until ``vacuum`` expires it — compaction is just
     another commit, never an in-place mutation."""
-    m = load_manifest(out_dir)
+    m = load_manifest(out_dir, storage)
     parts = m.get("partitions", {})
     if not parts:
         raise ValueError(f"nothing to compact: no committed snapshot under {out_dir}")
     total_bytes = sum(int(p["bytes"]) for p in parts.values())
     n_parts = max(1, round(total_bytes / target_bytes))
-    df = read_snapshot(spark, out_dir)
+    df = read_snapshot(spark, out_dir, storage=storage)
     return write_checkpointed(
         df,
         out_dir,
@@ -258,33 +387,41 @@ def compact(spark, out_dir: str, target_bytes: int = 128 << 20, storage=None) ->
     )
 
 
-def vacuum(out_dir: str, keep_last: int = 1) -> dict:
-    """Expire old snapshots: keep the newest ``keep_last`` manifests,
-    delete part files referenced by none of them, drop expired manifest
-    archives. Returns {kept_versions, removed_files, removed_snapshots}."""
+def vacuum(out_dir: str, keep_last: int = 1, storage=None) -> dict:
+    """Expire old snapshots: keep the newest ``keep_last`` manifest
+    archives, delete part files referenced by none of them, drop expired
+    manifest archives. The LIVE ``_manifest.json`` is always unioned into
+    the referenced set — so a table written before snapshot archiving
+    existed, or caught in the crash window where the archive is written
+    but the latest pointer still names the previous version, never loses
+    the data its pointer references. Part files are matched by storage
+    KEY (root-relative), so a moved/renamed table root or a relative-vs-
+    absolute spelling of ``out_dir`` cannot misclassify live files.
+    Returns {kept_versions, removed_files, removed_snapshots}."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the latest snapshot must survive)")
-    d = os.path.join(out_dir, MANIFESTS_DIR)
-    names = sorted(
-        f for f in (os.listdir(d) if os.path.isdir(d) else [])
-        if f.startswith("manifest-") and f.endswith(".json")
-    )
+    store = storage or LocalStorage()
+    names = [
+        k for k in store.list(out_dir, f"{MANIFESTS_DIR}/manifest-") if k.endswith(".json")
+    ]
     keep, expire = names[-keep_last:], names[:-keep_last]
     referenced: set[str] = set()
     kept_versions = []
-    for fname in keep:
-        with open(os.path.join(d, fname)) as f:
-            m = json.load(f)
+    for key in keep:
+        m = json.loads(store.get_text(out_dir, key))
         kept_versions.append(m.get("version"))
-        referenced |= {meta["path"] for meta in m.get("partitions", {}).values()}
+        referenced |= {_part_key(meta["path"]) for meta in m.get("partitions", {}).values()}
+    # the live pointer's snapshot must survive even if its archive is
+    # missing (pre-archive table) or already rotated out (crash window)
+    live = load_manifest(out_dir, store)
+    referenced |= {_part_key(meta["path"]) for meta in live.get("partitions", {}).values()}
     removed_files = 0
-    for fname in os.listdir(out_dir):
-        full = os.path.join(out_dir, fname)
-        if fname.startswith("part-") and fname.endswith(".parquet") and full not in referenced:
-            os.remove(full)
+    for key in store.list(out_dir, "part-"):
+        if key.endswith(".parquet") and key not in referenced:
+            store.delete(out_dir, key)
             removed_files += 1
-    for fname in expire:
-        os.remove(os.path.join(d, fname))
+    for key in expire:
+        store.delete(out_dir, key)
     return {
         "kept_versions": kept_versions,
         "removed_files": removed_files,
@@ -292,15 +429,17 @@ def vacuum(out_dir: str, keep_last: int = 1) -> dict:
     }
 
 
-def simulate_partition_loss(out_dir: str, partition_id: int) -> None:
+def simulate_partition_loss(out_dir: str, partition_id: int, storage=None) -> None:
     """Test helper: delete one partition's data file + manifest entry,
     as if its task died before commit."""
-    m = load_manifest(out_dir)
+    store = storage or LocalStorage()
+    m = load_manifest(out_dir, store)
     meta = m["partitions"].pop(str(partition_id), None)
-    if meta and os.path.exists(meta["path"]):
-        os.remove(meta["path"])
-    with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
-        json.dump(m, f)
+    if meta is not None:
+        key = _part_key(meta["path"])
+        if store.exists(out_dir, key):
+            store.delete(out_dir, key)
+    store.put_text(out_dir, MANIFEST_NAME, json.dumps(m))
 
 
 def observe_metrics(df: DataFrame, name: str = "metrics"):

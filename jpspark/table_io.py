@@ -24,11 +24,15 @@ def iceberg_catalog(spark: SparkSession) -> str | None:
 
 
 class TableIO:
-    def __init__(self, spark: SparkSession, root: str, namespace: str = "jpksj"):
+    def __init__(self, spark: SparkSession, root: str, namespace: str = "jpksj", storage=None):
+        """``storage``: a manifest.Storage-shaped backend for the parquet
+        fallback (default LocalStorage; pass manifest.ObjectStorage or an
+        fsspec/s3 implementation for non-POSIX stores)."""
         self.spark = spark
         self.root = root
         self.namespace = namespace
         self.catalog = iceberg_catalog(spark)
+        self.storage = storage
 
     def _ident(self, name: str) -> str:
         return f"{self.catalog}.{self.namespace}.{name}"
@@ -45,7 +49,9 @@ class TableIO:
             return {"backend": "iceberg", "table": self._ident(name)}
         from . import manifest as mf
 
-        return mf.write_checkpointed(df, self._path(name), lineage=lineage, num_partitions=partitions)
+        return mf.write_checkpointed(
+            df, self._path(name), lineage=lineage, num_partitions=partitions, storage=self.storage
+        )
 
     def read(self, name: str, version: int | None = None) -> DataFrame:
         """Read the table; ``version`` time-travels to an archived snapshot
@@ -57,18 +63,18 @@ class TableIO:
             return self.spark.table(self._ident(name))
         from . import manifest as mf
 
-        return mf.read_snapshot(self.spark, self._path(name), version=version)
+        return mf.read_snapshot(self.spark, self._path(name), version=version, storage=self.storage)
 
     def snapshots(self, name: str) -> list[dict]:
         from . import manifest as mf
 
-        return mf.snapshots(self._path(name))
+        return mf.snapshots(self._path(name), storage=self.storage)
 
     def vacuum(self, name: str, keep_last: int = 1) -> dict:
         """Expire old snapshots + delete unreferenced part files."""
         from . import manifest as mf
 
-        return mf.vacuum(self._path(name), keep_last=keep_last)
+        return mf.vacuum(self._path(name), keep_last=keep_last, storage=self.storage)
 
     def compact(self, name: str, target_bytes: int = 128 << 20) -> dict:
         """Rewrite small files into ~target_bytes partitions as a new
@@ -80,15 +86,16 @@ class TableIO:
             ).collect()
         from . import manifest as mf
 
-        return mf.compact(self.spark, self._path(name), target_bytes=target_bytes)
+        return mf.compact(self.spark, self._path(name), target_bytes=target_bytes, storage=self.storage)
 
     def exists(self, name: str) -> bool:
         """S13 existence probe."""
         if self.catalog:
             return self.spark.catalog.tableExists(self._ident(name))
-        from .manifest import MANIFEST_NAME
+        from .manifest import MANIFEST_NAME, LocalStorage
 
-        return os.path.exists(os.path.join(self._path(name), MANIFEST_NAME))
+        store = self.storage or LocalStorage()
+        return store.exists(self._path(name), MANIFEST_NAME)
 
     def merge_upsert(self, df: DataFrame, name: str, key: str):
         """S10/S11 upsert: Iceberg MERGE INTO; fallback: read-modify-write

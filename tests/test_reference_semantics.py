@@ -245,6 +245,95 @@ def test_manifest_fingerprint_changes_on_data_change(spark, tmp_path):
     assert not any(p["skipped_on_last_run"] for p in m["partitions"].values())
 
 
+def _storage_for(kind: str, tmp_path):
+    return None if kind == "local" else mf.ObjectStorage(str(tmp_path / "objstore"))
+
+
+@pytest.mark.parametrize("kind", ["local", "object"])
+def test_manifest_protocol_on_both_backends(spark, tmp_path, kind):
+    """The full commit protocol — write, idempotent resume, partition-loss
+    recovery, snapshot archive, vacuum — driven purely through the Storage
+    seam, proven on POSIX (LocalStorage) and on the emulated object store
+    (flat keys, atomic PUT, no rename/mkdir in the protocol)."""
+    store = _storage_for(kind, tmp_path)
+    out_dir = str(tmp_path / "tbl")
+    df = spark.range(400).withColumn("v", F.col("id") * 3)
+    m1 = mf.write_checkpointed(df, out_dir, num_partitions=4, storage=store)
+    assert m1["total_rows"] == 400
+    # keys are root-relative in the manifest (rename-proof)
+    assert all(not p["path"].startswith("/") for p in m1["partitions"].values())
+    m2 = mf.write_checkpointed(df, out_dir, num_partitions=4, storage=store)
+    assert all(p["skipped_on_last_run"] for p in m2["partitions"].values())
+    mf.simulate_partition_loss(out_dir, 1, storage=store)
+    m3 = mf.write_checkpointed(df, out_dir, num_partitions=4, storage=store)
+    assert m3["partitions"]["1"]["skipped_on_last_run"] is False
+    back = mf.read_snapshot(spark, out_dir, storage=store)
+    assert back.count() == 400
+    assert back.agg(F.sum("v")).collect()[0][0] == 3 * sum(range(400))
+    # overwrite with fewer rows -> time travel to v3, then vacuum expires it
+    small = spark.range(10).withColumn("v", F.col("id") * 3)
+    mf.write_checkpointed(small, out_dir, num_partitions=2, storage=store)
+    versions = [s["version"] for s in mf.snapshots(out_dir, storage=store)]
+    assert versions[-1] == 4 and 3 in versions
+    assert mf.read_snapshot(spark, out_dir, version=3, storage=store).count() == 400
+    res = mf.vacuum(out_dir, keep_last=1, storage=store)
+    assert res["removed_files"] >= 4 and res["removed_snapshots"] >= 1
+    assert mf.read_snapshot(spark, out_dir, storage=store).count() == 10
+
+
+def test_vacuum_keeps_live_manifest_files_without_archives(spark, tmp_path):
+    """Regression (round-3 ADVICE): a table written before snapshot
+    archiving existed has no _manifests/ dir; vacuum must union the live
+    _manifest.json into the referenced set, not delete everything."""
+    import os
+    import shutil
+
+    out_dir = str(tmp_path / "pre_archive")
+    df = spark.range(200).withColumn("v", F.col("id"))
+    mf.write_checkpointed(df, out_dir, num_partitions=3)
+    shutil.rmtree(os.path.join(out_dir, mf.MANIFESTS_DIR))  # pre-archive era
+    res = mf.vacuum(out_dir, keep_last=1)
+    assert res["removed_files"] == 0
+    assert mf.read_snapshot(spark, out_dir).count() == 200
+
+
+def test_vacuum_crash_window_keeps_pointer_snapshot(spark, tmp_path):
+    """Regression (round-3 ADVICE): crash between archive-write and
+    pointer-replace — the archive says v2 but _manifest.json still points
+    at v1. vacuum(keep_last=1) must not expire the files v1 references."""
+    import json
+    import os
+
+    out_dir = str(tmp_path / "crashwin")
+    df1 = spark.range(100).withColumn("v", F.col("id"))
+    m1 = mf.write_checkpointed(df1, out_dir, num_partitions=2)
+    df2 = spark.range(50).withColumn("v", F.col("id") + 7)
+    mf.write_checkpointed(df2, out_dir, num_partitions=2)
+    # rewind the live pointer to v1 (simulating the crash window)
+    with open(os.path.join(out_dir, mf.MANIFEST_NAME), "w") as f:
+        json.dump(m1, f)
+    mf.vacuum(out_dir, keep_last=1)
+    assert mf.read_snapshot(spark, out_dir).count() == 100  # v1 still reads
+
+
+def test_manifest_survives_table_move_and_root_spelling(spark, tmp_path):
+    """Regression (round-3 ADVICE): manifests store root-relative keys, so
+    a moved table directory still reads, and vacuum with a differently-
+    spelled root (trailing slash) misclassifies nothing."""
+    import os
+    import shutil
+
+    out_dir = str(tmp_path / "orig")
+    df = spark.range(120).withColumn("v", F.col("id"))
+    mf.write_checkpointed(df, out_dir, num_partitions=2)
+    moved = str(tmp_path / "moved")
+    shutil.move(out_dir, moved)
+    assert mf.read_snapshot(spark, moved).count() == 120
+    res = mf.vacuum(moved + os.sep, keep_last=1)  # alternate spelling
+    assert res["removed_files"] == 0
+    assert mf.read_snapshot(spark, moved).count() == 120
+
+
 # ------------------------------------------------------------- catalog
 
 
