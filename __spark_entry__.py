@@ -6,7 +6,9 @@ entry(spark)   — flagship: ray-casting PIP spatial join of event-derived
                  SURVEY.md §7 step 4, on sf0.001).
 queries()      — one entry per implemented operator (SURVEY.md §2 +
                  training-data ops); see jpspark/queries.py.
-oracle_sql()   — matching DuckDB SQL; keys absent here are rows-only.
+oracle_sql()   — matching DuckDB SQL for EVERY query key (48/48 since
+                 round 3: the approximate regimes are gated on candidate-
+                 superset audits / recall@k numbers vs exhaustive SQL).
 """
 
 from __future__ import annotations

@@ -347,11 +347,20 @@ def embedding_neardup_lsh(
 
 def embedding_neardup_pairs(
     emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding",
-    bucket_expr=None,
+    bucket_expr=None, allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine similarity. ``bucket_expr``
-    restricts the pair space (e.g. an LSH bucket or a label); default
-    all-pairs (small inputs only — callers at scale pass a bucket)."""
+    restricts the pair space (e.g. an LSH bucket or a label) and is
+    REQUIRED: the all-pairs regime is O(n^2) shuffle and only sane as an
+    exactness baseline on bounded inputs, so it must be opted into
+    explicitly with ``allow_all_pairs=True`` (the scale path is
+    embedding_neardup_lsh). The contract is mechanical, not a docstring."""
+    if bucket_expr is None and not allow_all_pairs:
+        raise ValueError(
+            "embedding_neardup_pairs without bucket_expr is an O(n^2) cross "
+            "join; pass bucket_expr=... (or allow_all_pairs=True for a "
+            "bounded exact baseline, or use embedding_neardup_lsh at scale)"
+        )
     e = emb.select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),

@@ -1014,15 +1014,62 @@ def o_embedding_neardup() -> str:
     """
 
 
-# ----------------------------------------- non-SQL-expressible (rows-only)
-
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (custom signature kernel — no SQL
-    oracle; pytest verifies recall/precision on planted duplicates)."""
+    """MinHash LSH candidate-generation audit — the hard recall gate for
+    the banded join (round-3: replaces the former rows-only candidate
+    listing). The candidate set (banded LSH, no est filter — the
+    configuration minhash_verified_pairs feeds) must COVER every truly
+    near-dup pair, where truth = exact word-3-gram-shingle Jaccard >= 0.7
+    over ALL pairs, computed independently of the candidates with
+    JVM-side array ops. Output: one row (n_verified, missed_verified).
+    The oracle recomputes n_verified by exhaustive SQL Jaccard and pins
+    missed_verified = 0 — any true pair the banded join loses turns the
+    row red."""
     docs = _t(spark, sf_dir, "documents")
     # persist: the LSH join reads sigs from three plan subtrees
     sigs = dedup.minhash_signatures(docs, k=64).persist()
-    return dedup.minhash_lsh_pairs(sigs, bands=16, rows_per_band=4, min_jaccard_est=0.5)
+    cand = dedup.minhash_lsh_pairs(
+        sigs, bands=16, rows_per_band=4, min_jaccard_est=0.0
+    ).select("id_a", "id_b")
+    # independent truth: distinct word-3-gram sets per doc (JVM-side, no
+    # Python kernel shared with the candidate path), all-pairs Jaccard
+    grams = F.expr(
+        "CASE WHEN size(ws) < 3 THEN array(concat_ws(' ', ws)) "
+        "ELSE array_distinct(transform(sequence(0, size(ws)-3), "
+        "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) END"
+    )
+    g = docs.select(
+        F.col("doc_id").alias("id"),
+        F.split(F.trim("text"), r"\s+").alias("ws"),
+    ).select("id", grams.alias("grams"))
+    a = g.select(F.col("id").alias("id_a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("id").alias("id_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    jac = inter.cast("double") / (F.size("ga") + F.size("gb") - inter)
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.7)
+        .select("id_a", "id_b")
+    )
+    audited = truth.join(cand.withColumn("is_cand", F.lit(1)), ["id_a", "id_b"], "left")
+    return audited.agg(
+        F.count("*").cast("long").alias("n_verified"),
+        F.coalesce(F.sum(F.when(F.col("is_cand").isNull(), 1)), F.lit(0))
+        .cast("long")
+        .alias("missed_verified"),
+    )
+
+
+def o_minhash_lsh_pairs() -> str:
+    # truth side = the exhaustive all-pairs shingle-Jaccard SQL already
+    # proven against the verify kernel; missed_verified is PINNED to 0 —
+    # the superset property is the claim under test
+    return (
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_verified, "
+        "CAST(0 AS BIGINT) AS missed_verified "
+        f"FROM ({o_minhash_verified_pairs()})"
+    )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1307,12 +1354,149 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_ivf(q, emb, k=5, n_clusters=16, nprobe=16)
 
 
+def _recall_vs_brute(q: DataFrame, emb: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Per-query recall@k of an approximate top-k result against the exact
+    brute-force baseline: (query_id, recall_at_k). Queries the approximate
+    path returned nothing for still appear (recall 0.0)."""
+    brute = similarity.cosine_topk_bruteforce(q, emb, k=k)
+    hits = approx.select("query_id", "target_id").join(
+        brute.select("query_id", "target_id"), ["query_id", "target_id"]
+    )
+    per_q = hits.groupBy("query_id").agg(F.count("*").alias("n_hit"))
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(k))).alias(f"recall_at_{k}"),
+        )
+    )
+
+
 def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (scale path) — rows-only; recall vs brute force
-    is asserted in pytest."""
+    """LSH-bucketed ANN (scale path), gated on its recall NUMBER (round-3:
+    replaces the former rows-only listing): per-query recall@5 of the
+    banded hyperplane-LSH top-k against the exact brute-force baseline.
+    Oracle: the LSH result ids are re-derived by the same audited NumPy
+    kernel (hyperplane sketch + band candidates + cosine re-rank — the
+    randomness is a pinned seed) and baked as literals; the TRUE top-k
+    they are scored against is independent brute-force SQL, so a Spark-
+    side band-join bug changes the recall values and turns the row red."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
-    return similarity.cosine_topk_lsh(q, emb, k=5, n_bits=32, band_bits=4)
+    approx = similarity.cosine_topk_lsh(q, emb, k=5, n_bits=32, band_bits=4)
+    return _recall_vs_brute(q, emb, approx, k=5)
+
+
+def _lsh_topk_np(pdf: pd.DataFrame, k: int, n_bits: int, band_bits: int) -> list[tuple[int, int]]:
+    """Driver-side NumPy mirror of similarity.cosine_topk_lsh for oracle
+    baking: same pinned hyperplanes (seed 7, SURVEY F15 precedent — the
+    kernel is pytest-audited; the Spark BAND JOIN is what the oracle
+    checks), same band candidates, same (cosine desc, target_id) order."""
+    ids = pdf["vec_id"].to_numpy()
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    rng = np.random.Generator(np.random.PCG64(7))
+    planes = rng.standard_normal((V.shape[1], n_bits))
+    bits = (V @ planes) > 0
+    weights = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))[None, :]
+    sk = (bits * weights).sum(axis=1).astype(np.uint64)
+    n_bands = n_bits // band_bits
+    mask = np.uint64((1 << band_bits) - 1)
+    bandvals = np.stack(
+        [(sk >> np.uint64(i * band_bits)) & mask for i in range(n_bands)], axis=1
+    )
+    out = []
+    for qpos in np.where(ids < 8)[0]:
+        cand = (bandvals == bandvals[qpos][None, :]).any(axis=1)
+        cand[qpos] = False
+        idx = np.where(cand)[0]
+        # exact formula mirrored (dot / (na*nb), not normalized-dot) so
+        # float rounding can't flip a near-tie vs the Spark ordering
+        cos = (V[idx] @ V[qpos]) / (
+            np.linalg.norm(V[idx], axis=1) * np.linalg.norm(V[qpos])
+        )
+        top = np.lexsort((ids[idx], -cos))[:k]
+        out += [(int(ids[qpos]), int(ids[idx][t])) for t in top]
+    return out
+
+
+def _recall_oracle_sql(approx_pairs: list[tuple[int, int]], k: int) -> str:
+    """recall@k SQL: baked approximate (query_id, target_id) hits scored
+    against the independent brute-force top-k (o_ann_topk)."""
+    vals = ",".join(
+        f"(CAST({q} AS BIGINT),CAST({t} AS BIGINT))" for q, t in approx_pairs
+    )
+    return f"""
+    WITH brute AS ({o_ann_topk()}),
+    approx(query_id, target_id) AS (VALUES {vals}),
+    h AS (SELECT a.query_id, COUNT(*) AS n FROM approx a
+          JOIN brute b ON a.query_id = b.query_id AND a.target_id = b.target_id
+          GROUP BY a.query_id)
+    SELECT q.vec_id AS query_id,
+           CAST(COALESCE(h.n, 0) AS DOUBLE) / CAST({k} AS DOUBLE) AS recall_at_{k}
+    FROM (SELECT vec_id FROM embeddings WHERE vec_id < 8) q
+    LEFT JOIN h ON h.query_id = q.vec_id
+    """
+
+
+def o_ann_lsh_recall() -> str:
+    return _recall_oracle_sql(_lsh_topk_np(_embeddings_pdf(), k=5, n_bits=32, band_bits=4), k=5)
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN in its APPROXIMATE regime (nprobe=4 of 16 clusters — the
+    configuration ann_ivf_topk's full-probe oracle cannot cover), gated on
+    its recall number: per-query recall@5 vs exact brute force. Oracle:
+    IVF result ids re-derived by the same seeded NumPy pipeline (shared
+    _kmeans kernel + probe/re-rank mirror) baked as literals, scored
+    against independent brute-force SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    approx = similarity.cosine_topk_ivf(q, emb, k=5, n_clusters=16, nprobe=4)
+    return _recall_vs_brute(q, emb, approx, k=5)
+
+
+def _ivf_topk_np(pdf: pd.DataFrame, k: int, n_clusters: int, nprobe: int) -> list[tuple[int, int]]:
+    """Driver-side NumPy mirror of similarity.cosine_topk_ivf: trains via
+    the SAME similarity._kmeans (seeded) on the same sample order (parquet
+    row order = Spark's limit() collect order for one file), mirrors the
+    argsort probe and (cosine desc, target_id) re-rank."""
+    ids = pdf["vec_id"].to_numpy()
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    cent = similarity._kmeans(V, n_clusters)
+    norm = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    sims = norm @ cent.T
+    t_cluster = np.argsort(-sims, axis=1)[:, 0]
+    out = []
+    for qpos in np.where(ids < 8)[0]:
+        probes = np.argsort(-sims[qpos])[:nprobe]
+        cand = np.isin(t_cluster, probes)
+        cand[qpos] = False
+        idx = np.where(cand)[0]
+        cos = (V[idx] @ V[qpos]) / (
+            np.linalg.norm(V[idx], axis=1) * np.linalg.norm(V[qpos])
+        )
+        top = np.lexsort((ids[idx], -cos))[:k]
+        out += [(int(ids[qpos]), int(ids[idx][t])) for t in top]
+    return out
+
+
+def o_ann_ivf_recall() -> str:
+    return _recall_oracle_sql(_ivf_topk_np(_embeddings_pdf(), k=5, n_clusters=16, nprobe=4), k=5)
+
+
+def _embeddings_pdf() -> pd.DataFrame:
+    """embeddings table for oracle-literal baking (same SF-resolution rule
+    as _documents_pdf)."""
+    import os
+
+    dirs = [os.environ.get("JPSPARK_ORACLE_SF", "")] if os.environ.get("JPSPARK_ORACLE_SF") else []
+    dirs += ["/root/testdata/sf0.01", "/root/testdata/sf0.001", "/root/testdata/sf0.1"]
+    for sf in dirs:
+        p = f"{sf.rstrip('/')}/embeddings.parquet"
+        if os.path.exists(p):
+            return pd.read_parquet(p)
+    raise FileNotFoundError("no embeddings.parquet under /root/testdata/sf*")
 
 
 # ------------------------------------------------------------------ registry
@@ -1367,10 +1551,11 @@ QUERIES = {
     "video_validate": q_video_validate,
     "phash_neardup": q_phash_neardup,
     "ann_ivf_topk": q_ann_ivf_topk,
-    # rows-only (approximate regimes whose exact twin is oracled above;
-    # recall bounds asserted in pytest)
+    # approximate-regime gates (round 3): candidate-superset audit and
+    # recall@k numbers, each against independent exhaustive SQL truth
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_ivf_recall": q_ann_ivf_recall,
 }
 
 def build_oracles() -> dict[str, str]:
@@ -1432,4 +1617,7 @@ def _build_oracles() -> dict[str, str]:
     "video_validate": o_video_validate(),
     "phash_neardup": o_phash_neardup(),
     "ann_ivf_topk": o_ann_topk(),
+    "minhash_lsh_pairs": o_minhash_lsh_pairs(),
+    "ann_lsh_recall": o_ann_lsh_recall(),
+    "ann_ivf_recall": o_ann_ivf_recall(),
     }
