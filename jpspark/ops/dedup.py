@@ -13,8 +13,6 @@ included in the key), and the verify join touches only candidate pairs.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -29,19 +27,115 @@ def _hash_u64(a: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def _h64(s: str) -> int:
-    """Stable 64-bit string hash at C speed (blake2b; PYTHONHASHSEED-proof)."""
-    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _hash_str_batch(strs: list[str]) -> np.ndarray:
+    """Stable 64-bit hash of a BATCH of strings, fully vectorized (uint64).
+
+    Round 3 replaces the per-string Python blake2b loop (the one
+    interpreter-rate hot loop left in the signature kernels — at 10^12
+    docs it dominated the dedup stage's CPU bill) with FNV-1a evaluated
+    column-at-a-time over a zero-padded byte matrix: iteration count =
+    longest string, work per iteration = one SIMD pass over the whole
+    batch, so total work is O(total bytes) at NumPy rate. Updates past a
+    string's own length are masked out, so a string's hash is independent
+    of the batch it rides in. The splitmix finalizer (+ length mix)
+    restores the high-bit diffusion SimHash bit-voting needs; determinism
+    is PYTHONHASHSEED-proof like the blake2b it replaces."""
+    n = len(strs)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    bs = [s.encode("utf-8") for s in strs]
+    lens = np.fromiter(map(len, bs), dtype=np.int64, count=n)
+    w = int(lens.max())
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    if w:
+        flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        valid = np.arange(w)[None, :] < lens[:, None]
+        idx = starts[:, None] + np.arange(w)[None, :]
+        mat = np.zeros((n, w), dtype=np.uint8)
+        mat[valid] = flat[idx[valid]]
+        with np.errstate(over="ignore"):
+            for j in range(w):
+                h2 = (h ^ mat[:, j].astype(np.uint64)) * _FNV_PRIME
+                h = np.where(valid[:, j], h2, h)
+    with np.errstate(over="ignore"):
+        return _hash_u64(h ^ lens.astype(np.uint64))
+
+
+def _gram_list(text: str, n: int) -> list[str]:
+    """Word n-gram shingle strings (empty -> [''], <n words -> one joined
+    gram) — the construction the DuckDB oracles mirror in SQL."""
+    words = text.split()
+    if len(words) < n:
+        return [" ".join(words)] if words else [""]
+    return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+
+def _fold(g: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Order-sensitive combine of a running gram hash with the next word
+    hash (wrapping multiply + xor + avalanche)."""
+    return _hash_u64(g * _FNV_PRIME ^ h)
+
+
+_EMPTY_GRAM = _hash_str_batch([""])[0]
+
+
+def _gram_hashes_batch(texts: list[str], n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Flat uint64 word-n-gram hashes for every doc of a batch (doc-major
+    order) + per-doc gram counts. Gram STRINGS are never materialized:
+    words are hashed once (vectorized) and each gram's hash is a
+    polynomial fold of its n word hashes, computed as n-1 whole-batch
+    NumPy passes over all windows at once — two docs share a gram hash
+    iff they share the word sequence (same identity a joined string
+    gives, minus the 3x re-hash of every byte). Mirrors _gram_list's
+    shape rules: empty doc -> 1 sentinel gram, <n words -> one fold of
+    all its words."""
+    words_per = [(t or "").split() for t in texts]
+    wcounts = np.fromiter(map(len, words_per), dtype=np.int64, count=len(words_per))
+    hs = _hash_str_batch([w for ws in words_per for w in ws])
+    n_words, docs_n = len(hs), len(texts)
+    wstarts = np.zeros(docs_n, dtype=np.int64)
+    np.cumsum(wcounts[:-1], out=wstarts[1:])
+    gcounts = np.maximum(wcounts - n + 1, 1)
+    gstarts = np.zeros(docs_n, dtype=np.int64)
+    np.cumsum(gcounts[:-1], out=gstarts[1:])
+    out = np.empty(int(gcounts.sum()), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        if n_words >= n:
+            # every length-n window of the flat word-hash array, folded in
+            # n-1 vector passes; windows that straddle a doc boundary are
+            # masked out afterwards
+            g = hs[: n_words - n + 1].copy()
+            for j in range(1, n):
+                g = _fold(g, hs[j : n_words - n + 1 + j])
+            doc_of = np.repeat(np.arange(docs_n), wcounts)
+            pos_in_doc = np.arange(n_words) - wstarts[doc_of]
+            wd = doc_of[: n_words - n + 1]
+            wp = pos_in_doc[: n_words - n + 1]
+            valid = wp <= wcounts[wd] - n
+            out[gstarts[wd[valid]] + wp[valid]] = g[valid]
+        # short docs (0 < words < n): one gram folding all their words;
+        # vectorized per length class (n-1 tiny passes)
+        for length in range(1, n):
+            dl = np.where(wcounts == length)[0]
+            if not len(dl):
+                continue
+            g = hs[wstarts[dl]].copy()
+            for j in range(1, length):
+                g = _fold(g, hs[wstarts[dl] + j])
+            out[gstarts[dl]] = g
+    out[gstarts[wcounts == 0]] = _EMPTY_GRAM
+    return out, gcounts
 
 
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     """Word n-gram shingles -> unique uint64 hashes."""
-    words = text.split()
-    if len(words) < n:
-        grams = [" ".join(words)] if words else [""]
-    else:
-        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-    return np.unique(np.fromiter((_h64(g) for g in grams), dtype=np.uint64, count=len(grams)))
+    return np.unique(_gram_hashes_batch([text], n)[0])
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -57,21 +151,35 @@ def minhash_signatures(
     docs: DataFrame, k: int = 64, shingle_n: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, sig: array<long>) — k-permutation MinHash via the standard
-    (a*x+b) mod p universal-hash family, vectorized over shingles."""
+    """(id, sig: array<long>) — k-permutation MinHash via multiply-shift
+    permutations h_c(x) = a_c*x + b_c (mod 2^64, a_c odd — a bijection on
+    the 64-bit space), fully vectorized over shingles. Round 3 replaced
+    the former (a*x+b) mod (2^61-1) form: the uint64 product overflowed
+    before the reduction anyway (so it never was the clean universal
+    family it claimed), and the per-element modular division dominated
+    the stage's CPU bill; the bijective multiply-add keeps the MinHash
+    agreement property with two cheap ops per gram per permutation."""
     rng = np.random.Generator(np.random.PCG64(1234))
-    P = np.uint64((1 << 61) - 1)
-    A = rng.integers(1, 1 << 60, size=k, dtype=np.uint64) | np.uint64(1)
-    B = rng.integers(0, 1 << 60, size=k, dtype=np.uint64)
+    A = rng.integers(1, 1 << 62, size=k, dtype=np.uint64) | np.uint64(1)
+    B = rng.integers(0, 1 << 62, size=k, dtype=np.uint64)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            sh = _shingle_hashes(t or "", shingle_n)
-            vals = (A[None, :] * (sh[:, None] % P) + B[None, :]) % P
-            out.append(vals.min(axis=0).astype(np.int64).tolist())
-        return pd.Series(out)
+        # flatten the whole Arrow batch: one vectorized word-hash pass +
+        # fold into gram hashes (no gram strings), then per-doc min via
+        # segment-reduce — the only per-doc Python work is str.split.
+        # Duplicate grams need no dedup (min is idempotent); docs always
+        # emit >=1 gram, so reduceat boundaries are strictly increasing.
+        hs, counts = _gram_hashes_batch(texts.tolist(), shingle_n)
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        sigs = np.empty((len(counts), k), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            # column-at-a-time keeps peak memory O(batch grams), not O(k x grams)
+            for c in range(k):
+                vals = A[c] * hs + B[c]
+                sigs[:, c] = np.minimum.reduceat(vals, starts)
+        return pd.Series(sigs.view(np.int64).tolist())
 
     return docs.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
 
@@ -136,21 +244,30 @@ def minhash_lsh_pairs(
 def simhash64_np(texts) -> np.ndarray:
     """64-bit SimHash over word-unigram hashes (pure NumPy kernel) — shared
     by the pandas UDF and by oracle builders that need the same values
-    without a SparkSession."""
-    out = np.empty(len(texts), dtype=np.int64)
-    bitpos = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        words = (t or "").split()
-        if not words:
-            out[i] = 0
-            continue
-        hs = np.fromiter((_h64(w) for w in words), dtype=np.uint64, count=len(words))
-        bits = (hs[:, None] >> bitpos[None, :]) & np.uint64(1)
-        votes = bits.sum(axis=0) * 2 - len(words)
-        sh = np.uint64(0)
-        for bp in np.nonzero(votes > 0)[0]:
-            sh |= np.uint64(1) << np.uint64(bp)
-        out[i] = np.int64(sh)
+    without a SparkSession.
+
+    Vectorized across the whole batch (round 3): one hash pass over every
+    word of every doc, then per-bit majority votes via segment-reduce over
+    the (sorted-by-construction) doc boundaries. Peak memory stays O(total
+    words) — the bit loop trades 64 cheap passes for never materializing a
+    words x 64 matrix."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    words_per = [(t or "").split() for t in texts]
+    counts = np.fromiter(map(len, words_per), dtype=np.int64, count=n)
+    nz = np.where(counts > 0)[0]
+    if not len(nz):
+        return out
+    hs = _hash_str_batch([w for ws in words_per for w in ws])
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    seg = starts[nz]  # empty docs occupy zero rows, so segments stay valid
+    sh = np.zeros(len(nz), dtype=np.uint64)
+    for b in range(64):
+        col = ((hs >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        votes = 2 * np.add.reduceat(col, seg) - counts[nz]
+        sh |= (votes > 0).astype(np.uint64) << np.uint64(b)
+    out[nz] = sh.view(np.int64)
     return out
 
 
