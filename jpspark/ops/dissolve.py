@@ -29,9 +29,20 @@ from ..geom import wkb
 
 
 def _union_kernel(
-    keys: tuple, pdf: pd.DataFrame, key_cols: list[str], attr_cols: list[str] | None = None
+    keys: tuple,
+    pdf: pd.DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str] | None = None,
+    boundary: bool = False,
+    on_overlap: str = "error",
 ) -> pd.DataFrame:
-    merged = wkb.merge_multipolygons([bytes(b) for b in pdf["geom"]])
+    bufs = [bytes(b) for b in pdf["geom"]]
+    if on_overlap == "error":
+        try:
+            wkb.assert_no_overlap(bufs)
+        except ValueError as e:
+            raise ValueError(f"dissolve group {dict(zip(key_cols, keys))}: {e}") from e
+    merged = wkb.dissolve_boundary(bufs) if boundary else wkb.merge_multipolygons(bufs)
     x0, y0, x1, y1 = wkb.multipolygon_bbox(merged)
     out = {c: [keys[i]] for i, c in enumerate(key_cols)}
     # non-grouped attributes take SQLite's first-row semantics
@@ -58,10 +69,23 @@ def dissolve(
     geom_col: str = "geom",
     salt_n: int = 0,
     attrs: list[str] | None = None,
+    boundary: bool = False,
+    on_overlap: str = "error",
 ) -> DataFrame:
     """GROUP BY keys + geometry union; returns keys (+ first-row values of
-    ``attrs``) + n_parts + geom + area/bbox analytics columns."""
+    ``attrs``) + n_parts + geom + area/bbox analytics columns.
+
+    ``on_overlap`` (round 3): "error" (default) runs wkb.assert_no_overlap
+    per group — overlapping parts, which multipart concatenation would
+    silently mis-dissolve, fail loudly instead; "ignore" restores the old
+    trust-the-caller behavior. ``boundary=True`` performs the TRUE
+    boundary dissolve (shared-edge cancellation, wkb.dissolve_boundary):
+    internal edges between exactly-tiling parts vanish and the group
+    becomes the real union geometry, matching PostGIS ST_Union output for
+    tiling layers rather than just its point set."""
     attrs = attrs or []
+    if on_overlap not in ("error", "ignore"):
+        raise ValueError(f"on_overlap must be error|ignore, got {on_overlap!r}")
     key_fields = [df.schema[k] for k in keys]
     attr_fields = [df.schema[a] for a in attrs]
     out_schema = T.StructType(
@@ -102,5 +126,8 @@ def dissolve(
         )
 
     return src.groupBy(*keys).applyInPandas(
-        lambda kv, pdf: _union_kernel(kv, pdf, keys, attrs), out_schema
+        lambda kv, pdf: _union_kernel(
+            kv, pdf, keys, attrs, boundary=boundary, on_overlap=on_overlap
+        ),
+        out_schema,
     )

@@ -131,8 +131,11 @@ def _knn_for_cell(idx: TargetIndex, qc: int, qx: np.ndarray, qy: np.ndarray, k: 
                 best_d = np.take_along_axis(d, sel, axis=1)
             kth = best_d[:, -1]
         # exactness guarantee: everything outside explored disk(r) is
-        # at least r*guard away
-        if enough and np.all(kth <= r * guard):
+        # at least r*guard away. STRICT comparison (round-3 ADVICE): at
+        # kth == r*guard an unseen boundary target could tie the kth
+        # distance and win the (dist, id) tie-break, so equality expands
+        # one more ring instead of declaring victory.
+        if enough and np.all(kth < r * guard):
             return best_t, best_d
         if len(seen) >= (1 << idx.res) ** 2 or (enough and r * guard > 720):
             return best_t, best_d
@@ -271,9 +274,11 @@ def knn_join_shuffle(
 
     ``guard`` enforces that exactness condition at runtime instead of
     trusting the caller's res/max_ring choice: a query is provably exact
-    iff it found k candidates AND its kth distance <= max_ring *
-    min(cell_w, cell_h) (any target outside the replicated disk is at
-    least that far away — same disk bound the broadcast variant uses).
+    iff it found k candidates AND its kth distance is STRICTLY below
+    max_ring * min(cell_w, cell_h) (any target outside the replicated
+    disk is at least that far away — same disk bound the broadcast
+    variant uses; strict, because an unseen target exactly at the bound
+    could win the (dist, id) tie-break).
 
     - "error" (default): the job fails on the first violating query
       (distributed ``assert_true`` inside the top-k filter — silent wrong
@@ -330,9 +335,13 @@ def knn_join_shuffle(
     cw, ch = cell.cell_size_deg(res)
     bound = float(max_ring) * min(cw, ch)
     wq = Window.partitionBy("query_id")
+    # STRICT bound (round-3 ADVICE): an unseen target exactly at the disk
+    # radius could tie the kth distance and, under the (dist, target_id)
+    # tie-break, legitimately outrank a returned neighbor — boundary ties
+    # must fail the guard / get flagged, not pass as exact.
     ranked = ranked.withColumn(
         "exact",
-        (F.count("target_id").over(wq) >= F.lit(k)) & (F.max("dist").over(wq) <= F.lit(bound)),
+        (F.count("target_id").over(wq) >= F.lit(k)) & (F.max("dist").over(wq) < F.lit(bound)),
     )
     if guard == "error":
         msg = F.concat(
@@ -348,6 +357,12 @@ def knn_join_shuffle(
         # pruned away, fails the job at the first violating query
         ranked = ranked.filter(F.assert_true(F.col("exact"), msg).isNull())
         return ranked.select("query_id", F.col("rank").cast("int"), "target_id", "dist")
-    return ranked.filter(F.col("target_id").isNotNull()).select(
-        "query_id", F.col("rank").cast("int"), "target_id", "dist", "exact"
+    # flag mode promises every inexact query SURFACES: keep the null-target
+    # row a zero-candidate query produced (rank/target/dist null,
+    # exact=false) instead of filtering the query out of the output
+    # entirely (round-3 ADVICE — the silent-disappearance hole).
+    return (
+        ranked.filter(F.col("target_id").isNotNull() | ~F.col("exact"))
+        .withColumn("rank", F.when(F.col("target_id").isNotNull(), F.col("rank")))
+        .select("query_id", F.col("rank").cast("int"), "target_id", "dist", "exact")
     )

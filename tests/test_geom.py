@@ -216,3 +216,93 @@ def test_rtree_serde_roundtrip():
 def test_rtree_empty():
     t = rtree.PackedRTree(np.empty((0, 4)), np.empty(0, dtype=np.int64))
     assert len(t.query(0, 0, 1, 1)) == 0
+
+
+# ------------------------------------------------- dissolve (round 3)
+
+
+def _sq(x0, y0, w=1.0, h=1.0):
+    """CCW unit square as a closed ring."""
+    return np.array(
+        [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]],
+        dtype=np.float64,
+    )
+
+
+def _mp(*rings):
+    return wkb.encode_multipolygon([[r] for r in rings])
+
+
+def test_assert_no_overlap_accepts_exact_tiling():
+    tiles = [_mp(_sq(i, j)) for i in range(3) for j in range(3)]
+    wkb.assert_no_overlap(tiles)  # shared edges + corners: fine
+
+
+def test_assert_no_overlap_detects_partial_overlap():
+    with pytest.raises(ValueError, match="overlap"):
+        wkb.assert_no_overlap([_mp(_sq(0, 0, 2, 2)), _mp(_sq(1, 1, 2, 2))])
+
+
+def test_assert_no_overlap_detects_coincident_duplicate():
+    with pytest.raises(ValueError, match="coincident"):
+        wkb.assert_no_overlap([_mp(_sq(0, 0)), _mp(_sq(0, 0))])
+
+
+def test_assert_no_overlap_detects_containment():
+    with pytest.raises(ValueError, match="overlap"):
+        wkb.assert_no_overlap([_mp(_sq(0, 0, 4, 4)), _mp(_sq(1, 1))])
+
+
+def test_assert_no_overlap_detects_aligned_slide():
+    # [0,2]x[0,1] vs [1,3]x[0,1]: no proper crossing, every vertex of one
+    # lies ON the other's boundary — only the edge-midpoint witness sees it
+    with pytest.raises(ValueError, match="overlap"):
+        wkb.assert_no_overlap([_mp(_sq(0, 0, 2, 1)), _mp(_sq(1, 0, 2, 1))])
+
+
+def test_assert_no_overlap_detects_crossing_bars():
+    # plus-shape: all vertices outside the other part, proper edge crossings
+    with pytest.raises(ValueError, match="crossing"):
+        wkb.assert_no_overlap(
+            [_mp(_sq(-2, -0.5, 4, 1)), _mp(_sq(-0.5, -2, 1, 4))]
+        )
+
+
+def test_dissolve_boundary_2x2_grid():
+    tiles = [_mp(_sq(i, j)) for i in range(2) for j in range(2)]
+    merged = wkb.dissolve_boundary(tiles)
+    polys = wkb.parse_multipolygon(merged)
+    assert len(polys) == 1 and len(polys[0]) == 1  # one part, no holes
+    ring = polys[0][0]
+    # boundary point set: the 8 outer lattice points (internal (1,1) gone)
+    pts = {(float(x), float(y)) for x, y in ring[:-1]}
+    assert (1.0, 1.0) not in pts
+    assert {(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)} <= pts
+    assert abs(abs(wkb.ring_area(ring)) - 4.0) < 1e-12
+    assert wkb.multipolygon_area(merged) == pytest.approx(4.0)
+
+
+def test_dissolve_boundary_donut_produces_hole():
+    # ring of 8 unit squares around an empty center: union = 3x3 square
+    # with a 1x1 hole
+    tiles = [
+        _mp(_sq(i, j)) for i in range(3) for j in range(3) if not (i == 1 and j == 1)
+    ]
+    merged = wkb.dissolve_boundary(tiles)
+    polys = wkb.parse_multipolygon(merged)
+    assert len(polys) == 1 and len(polys[0]) == 2  # outer + hole
+    assert wkb.multipolygon_area(merged) == pytest.approx(8.0)
+    hole_pts = {(float(x), float(y)) for x, y in polys[0][1][:-1]}
+    assert hole_pts == {(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0)}
+
+
+def test_dissolve_boundary_disjoint_islands_stay_separate():
+    tiles = [_mp(_sq(0, 0)), _mp(_sq(5, 5))]
+    merged = wkb.dissolve_boundary(tiles)
+    assert len(wkb.parse_multipolygon(merged)) == 2
+    assert wkb.multipolygon_area(merged) == pytest.approx(2.0)
+
+
+def test_dissolve_boundary_rejects_coincident_parts():
+    with pytest.raises(ValueError, match="same direction"):
+        wkb.dissolve_boundary([_mp(_sq(0, 0)), _mp(_sq(0, 0))])

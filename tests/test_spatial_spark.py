@@ -217,6 +217,30 @@ def test_knn_shuffle_guard_flag_mode(spark):
     assert len(ok) == 2 and ok["exact"].all()
 
 
+def test_knn_shuffle_flag_mode_surfaces_zero_candidate_queries(spark):
+    """Round-3 ADVICE regression: a query whose replicated disk holds ZERO
+    candidates must still appear in flag-mode output (null target,
+    exact=False) — previously the isNotNull filter made it vanish, which
+    breaks the 'inexact queries are surfaced for escalation' promise."""
+    qry = spark.createDataFrame(
+        pd.DataFrame(
+            {"image_id": ["near", "far"], "lon": [140.0, 100.0], "lat": [35.0, -40.0]}
+        )
+    )
+    tgt = spark.createDataFrame(
+        pd.DataFrame({"ogc_fid": [1], "lon": [140.01], "lat": [35.0]})
+    )
+    out = knn_ops.knn_join_shuffle(
+        qry, tgt, k=1, res=7, max_ring=1, guard="flag"
+    ).toPandas()
+    assert set(out["query_id"]) == {"near", "far"}
+    far = out[out["query_id"] == "far"]
+    assert len(far) == 1 and not far["exact"].iloc[0]
+    assert far["target_id"].isna().all() and far["rank"].isna().all()
+    near = out[out["query_id"] == "near"]
+    assert len(near) == 1 and near["exact"].iloc[0] and near["target_id"].iloc[0] == 1
+
+
 def test_tile_assign_matches_floor_oracle(spark, images_pdf, points_sdf):
     z = 6
     got = (
@@ -313,3 +337,52 @@ def test_polygon_tiles_cover(spark, polys):
     xs, ys, _ = cell_mod.to_xy(out["cell_id"].to_numpy())
     assert (out["tile_x"].to_numpy() == xs).all()
     assert (out["tile_y"].to_numpy() == ys).all()
+
+
+def test_dissolve_overlap_guard_raises(spark):
+    """Round-3 VERDICT item: overlapping inputs used to silently produce
+    non-dissolved output; the default on_overlap='error' now fails loudly."""
+    mk = lambda x0, y0, w, h: wkb.encode_multipolygon(
+        [[np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]])]]
+    )
+    pdf = pd.DataFrame(
+        {"grp": ["a", "a"], "geom": [mk(0, 0, 2, 2), mk(1, 1, 2, 2)]}
+    )
+    sdf = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="overlap"):
+        dis.dissolve(sdf, ["grp"]).collect()
+    # ignore mode restores the old concatenation behavior
+    out = dis.dissolve(sdf, ["grp"], on_overlap="ignore").toPandas()
+    assert out["n_parts"].iloc[0] == 2
+
+
+def test_dissolve_boundary_true_union(spark):
+    """boundary=True: shared internal edges cancel — a 2x2 tile group
+    becomes ONE single-ring part with the interior lattice point gone."""
+    mk = lambda x0, y0: wkb.encode_multipolygon(
+        [[np.array([[x0, y0], [x0 + 1, y0], [x0 + 1, y0 + 1], [x0, y0 + 1], [x0, y0]], dtype=float)]]
+    )
+    pdf = pd.DataFrame(
+        {"grp": ["a"] * 4, "geom": [mk(i, j) for i in range(2) for j in range(2)]}
+    )
+    out = dis.dissolve(spark.createDataFrame(pdf), ["grp"], boundary=True).toPandas()
+    assert out["n_parts"].iloc[0] == 1
+    assert out["area"].iloc[0] == pytest.approx(4.0)
+    ring = wkb.parse_multipolygon(bytes(out["geom"].iloc[0]))[0][0]
+    assert (1.0, 1.0) not in {(float(x), float(y)) for x, y in ring}
+
+
+def test_dissolve_boundary_matches_plain_point_set_on_fixtures(spark, polys):
+    """On the exactly-tiling fixtures, boundary dissolve and concatenation
+    agree on area/bbox (same point set, different representation)."""
+    sdf = spark.createDataFrame(polys[["都道府県名", "geom"]])
+    plain = dis.dissolve(sdf, ["都道府県名"]).toPandas().set_index("都道府県名").sort_index()
+    bnd = (
+        dis.dissolve(sdf, ["都道府県名"], boundary=True)
+        .toPandas()
+        .set_index("都道府県名")
+        .sort_index()
+    )
+    assert (bnd["n_parts"] <= plain["n_parts"]).all()
+    for c in ("area", "xmin", "ymin", "xmax", "ymax"):
+        np.testing.assert_allclose(bnd[c].to_numpy(), plain[c].to_numpy(), rtol=1e-9)
