@@ -135,6 +135,8 @@ def shapefile_scan(
     if "dbf" not in files0:
         raise ValueError("shapefile_scan: first layer has no .dbf sidecar")
     fields = shp_codec.parse_dbf_fields(bytes(files0["dbf"]))
+    # (name, dbf type, decimal count) signature every layer must match
+    expected_fields = [(n, t, d) for n, t, _l, d in fields]
     attr_fields = []
     for name, ftype, _flen, fdec in fields:
         if ftype in ("N", "F"):
@@ -162,6 +164,21 @@ def shapefile_scan(
                 enc = encoding
                 if enc is None and f.get("cpg"):
                     enc = bytes(f["cpg"]).decode("ascii", "replace").strip().lower() or None
+                # every layer must match the probed schema exactly — a layer
+                # with a different field set would otherwise be silently
+                # reindexed (extra columns dropped, missing ones nulled)
+                # instead of erroring (round-3 ADVICE; mirrors the
+                # .shp/.dbf record-count check below)
+                layer_fields = [
+                    (n, t, d) for n, t, _l, d in shp_codec.parse_dbf_fields(bytes(f["dbf"]))
+                ]
+                if layer_fields != expected_fields:
+                    raise ValueError(
+                        f"{stem}: .dbf schema {layer_fields} does not match the "
+                        f"probed first-layer schema {expected_fields} — layers of "
+                        "one scan must share a field set (split the scan, or map "
+                        "schemas per layer before union)"
+                    )
                 attrs = shp_codec.parse_dbf(bytes(f["dbf"]), encoding=enc)
                 geoms = shp_codec.parse_shp(bytes(f["shp"]))
                 if len(attrs) != len(geoms):

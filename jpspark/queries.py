@@ -1014,6 +1014,118 @@ def o_embedding_neardup() -> str:
     """
 
 
+def q_shapefile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual end-to-end (zip_traversal -> matcher ->
+    shapefile parse -> union -> spatial consumption), run through the
+    engine's own from-scratch codecs and gated by SQL (round-3 VERDICT
+    item 9 — codec/shp.py used to be pytest-only): nation rows become 5
+    per-region shapefile layers (2x2-degree squares, the geo_dissolve
+    lattice) packed in NESTED zips; extract_archives recurses + matches
+    (S3/S4), shapefile_scan parses .dbf/.shp with schema probe + MULTI
+    promotion (S5/F9), layers union by name (S6/U1), a kernel derives
+    area/bbox from the parsed WKB, and each square's centroid is
+    PIP-assigned against the scanned layer itself (J4). Every output
+    column is independently derivable from nation in DuckDB."""
+    import io
+    import zipfile
+
+    from .ops import ingest, mapping
+    from .ops import spatial_join as sj
+    from .codec import shp as shp_codec
+    from .geom import wkb as wkb_mod
+
+    nation = pd.read_parquet(f"{sf_dir.rstrip('/')}/nation.parquet")
+
+    def square(k: int) -> bytes:
+        x0, y0 = 122.0 + (k % 5) * 2.0, 20.0 + (k // 5) * 2.0
+        ring = np.array(
+            [[x0, y0], [x0 + 2, y0], [x0 + 2, y0 + 2], [x0, y0 + 2], [x0, y0]]
+        )
+        return wkb_mod.encode_multipolygon([[ring]])
+
+    outer = io.BytesIO()
+    with zipfile.ZipFile(outer, "w") as ozf:
+        for region, grp in nation.groupby("n_regionkey"):
+            inner = io.BytesIO()
+            stem = f"N99-2{int(region)}_GML/N99-2{int(region)}_Polygon"
+            with zipfile.ZipFile(inner, "w") as izf:
+                izf.writestr(
+                    f"{stem}.shp",
+                    shp_codec.write_shp([square(int(k)) for k in grp["n_nationkey"]]),
+                )
+                izf.writestr(
+                    f"{stem}.dbf",
+                    shp_codec.write_dbf(
+                        pd.DataFrame(
+                            {
+                                "N_NAME": grp["n_name"].astype(str),
+                                "N_KEY": grp["n_nationkey"].astype("int64"),
+                            }
+                        ),
+                        encoding="cp932",
+                    ),
+                )
+                izf.writestr(f"{stem}.cpg", b"CP932")
+            ozf.writestr(f"region_{int(region)}.zip", inner.getvalue())
+        ozf.writestr("readme.txt", b"not a shapefile")
+
+    archives = spark.createDataFrame(
+        pd.DataFrame({"path": ["mem://n99.zip"], "content": [outer.getvalue()]})
+    )
+    m = mapping.ShapefileMapping("n99", ["N99-YY_Polygon.shp"])
+    scanned = ingest.shapefile_scan(ingest.extract_archives(archives, m))
+
+    @F.pandas_udf("double")
+    def area_udf(geoms: pd.Series) -> pd.Series:
+        return pd.Series([wkb_mod.multipolygon_area(bytes(g)) for g in geoms])
+
+    @F.pandas_udf("array<double>")
+    def bbox_udf(geoms: pd.Series) -> pd.Series:
+        return pd.Series([list(wkb_mod.multipolygon_bbox(bytes(g))) for g in geoms])
+
+    enriched = scanned.select(
+        F.col("N_NAME").alias("n_name"),
+        F.col("N_KEY").alias("n_key"),
+        area_udf("geom").alias("area"),
+        bbox_udf("geom").alias("bb"),
+    ).select(
+        "n_name", "n_key", "area",
+        F.col("bb")[0].alias("xmin"), F.col("bb")[1].alias("ymin"),
+        F.col("bb")[2].alias("xmax"), F.col("bb")[3].alias("ymax"),
+    )
+    # PIP consumption over the scanned layer itself: every square's centroid
+    # must land back in its own polygon (broadcast ray-cast index built
+    # FROM the codec-parsed geometries — bounded: 25 features)
+    polys_pdf = scanned.select("N_KEY", "geom").toPandas()
+    polys_pdf["geom"] = polys_pdf["geom"].map(bytes)
+    centroids = enriched.select(
+        "n_key",
+        ((F.col("xmin") + F.col("xmax")) / 2).alias("lon"),
+        ((F.col("ymin") + F.col("ymax")) / 2).alias("lat"),
+    )
+    assigned = sj.pip_join_broadcast(
+        centroids, polys_pdf, "N_KEY", out_col="pip_key"
+    ).select("n_key", F.col("pip_key").cast("long").alias("pip_key"))
+    return enriched.join(assigned, "n_key").select(
+        "n_name", F.col("n_key").cast("long").alias("n_key"), "area",
+        "xmin", "ymin", "xmax", "ymax", "pip_key",
+    )
+
+
+def o_shapefile_pipeline() -> str:
+    return """
+    SELECT n_name,
+           CAST(n_nationkey AS BIGINT) AS n_key,
+           CAST(4.0 AS DOUBLE) AS area,
+           CAST(122.0 + (n_nationkey % 5) * 2.0 AS DOUBLE) AS xmin,
+           CAST(20.0 + (n_nationkey // 5) * 2.0 AS DOUBLE) AS ymin,
+           CAST(122.0 + (n_nationkey % 5) * 2.0 + 2.0 AS DOUBLE) AS xmax,
+           CAST(20.0 + (n_nationkey // 5) * 2.0 + 2.0 AS DOUBLE) AS ymax,
+           CAST(n_nationkey AS BIGINT) AS pip_key
+    FROM nation
+    """
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidate-generation audit — the hard recall gate for
     the banded join (round-3: replaces the former rows-only candidate
@@ -1551,6 +1663,9 @@ QUERIES = {
     "video_validate": q_video_validate,
     "phash_neardup": q_phash_neardup,
     "ann_ivf_topk": q_ann_ivf_topk,
+    # codec-in-pipeline gate (round 3): zip -> shapefile parse -> union ->
+    # PIP, through the from-scratch codecs, SQL-oracled end to end
+    "shapefile_pipeline": q_shapefile_pipeline,
     # approximate-regime gates (round 3): candidate-superset audit and
     # recall@k numbers, each against independent exhaustive SQL truth
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1617,6 +1732,7 @@ def _build_oracles() -> dict[str, str]:
     "video_validate": o_video_validate(),
     "phash_neardup": o_phash_neardup(),
     "ann_ivf_topk": o_ann_topk(),
+    "shapefile_pipeline": o_shapefile_pipeline(),
     "minhash_lsh_pairs": o_minhash_lsh_pairs(),
     "ann_lsh_recall": o_ann_lsh_recall(),
     "ann_ivf_recall": o_ann_ivf_recall(),

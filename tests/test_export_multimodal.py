@@ -196,3 +196,20 @@ def test_observe_metrics_a4(spark):
     df, obs = observe_metrics(spark.range(123))
     df.collect()
     assert obs.get["rows"] == 123
+
+
+def test_flatgeobuf_sink_feature_budget(spark, tmp_path):
+    """Round-3 VERDICT item: the single-file FGB export is driver-side by
+    design; a frame over max_features must raise BEFORE toPandas()."""
+    from jpspark.geom import wkb as wkb_mod
+    from jpspark.ops import export as ex
+
+    g = wkb_mod.encode_multipolygon(
+        [[np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]])]]
+    )
+    pdf = pd.DataFrame({"fid": range(50), "geom": [g] * 50})
+    sdf = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="exceed max_features"):
+        ex.write_flatgeobuf(sdf, str(tmp_path / "t.fgb"), max_features=10)
+    out = ex.write_flatgeobuf(sdf, str(tmp_path / "t.fgb"), max_features=50)
+    assert out["features_count"] == 50

@@ -154,3 +154,27 @@ def test_shapefile_scan_detects_encoding_without_cpg(spark):
     assert sorted(out["NAME"]) == ["湖沼A", "湖沼B"]
     # points promoted to MULTIPOINT (F9 parity)
     assert all(wkb.parse(bytes(g))[0] == wkb.MULTIPOINT for g in out["geom"])
+
+
+def test_shapefile_scan_rejects_mismatched_layer_schema(spark):
+    """Round-3 ADVICE regression: a layer whose .dbf fields differ from the
+    probed first layer must raise, not be silently reindexed."""
+    geoms = [wkb.encode_point(1.0, 2.0)]
+    shp_b = shp_codec.write_shp(geoms)
+    dbf_a = shp_codec.write_dbf(pd.DataFrame({"NAME": ["a"]}), encoding="cp932")
+    dbf_b = shp_codec.write_dbf(
+        pd.DataFrame({"NAME": ["b"], "EXTRA": [1]}), encoding="cp932"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("P99-01_GML/P99-01_A.shp", shp_b)
+        zf.writestr("P99-01_GML/P99-01_A.dbf", dbf_a)
+        zf.writestr("P99-01_GML/P99-01_B.shp", shp_b)
+        zf.writestr("P99-01_GML/P99-01_B.dbf", dbf_b)
+    archives = spark.createDataFrame(
+        pd.DataFrame({"path": ["mem://p99.zip"], "content": [buf.getvalue()]})
+    )
+    m = mapping.ShapefileMapping("p99", [r"P99-YY_"])
+    scan = ingest.shapefile_scan(ingest.extract_archives(archives, m))
+    with pytest.raises(Exception, match="does not match the probed"):
+        scan.collect()
