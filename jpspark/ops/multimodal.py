@@ -114,13 +114,14 @@ VIDEO_FRAME_SCHEMA = "media_id string, frame_idx int, bytes binary, w int, h int
 
 
 def decode_audio_stats(media: DataFrame, strict: bool = False) -> DataFrame:
-    """Audio decode: REAL for RIFF/WAVE integer PCM (codec/audio.py — the
-    container is plain struct+NumPy parsing, no codec library needed).
-    Compressed codecs (mp3/aac/opus/...) genuinely require libraries
-    absent from this environment and stay STUBBED: strict mode raises
-    NotImplementedError for non-WAV bytes, otherwise a deterministic fake
-    (rate 16 kHz, n_samples = len//2, rms from a byte checksum) keeps the
-    downstream plumbing exercisable end-to-end."""
+    """Audio decode: REAL for RIFF/WAVE integer PCM and (round 3)
+    IMA-ADPCM — WAV's standard compressed codec, pure integer math,
+    vectorized across blocks (codec/audio.py; no codec library needed).
+    Remaining compressed codecs (mp3/aac/opus/...) genuinely require
+    libraries absent from this environment and stay STUBBED: strict mode
+    raises NotImplementedError for non-WAV bytes, otherwise a
+    deterministic fake (rate 16 kHz, n_samples = len//2, rms from a byte
+    checksum) keeps the downstream plumbing exercisable end-to-end."""
     from ..codec import audio as aud
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

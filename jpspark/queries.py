@@ -1297,15 +1297,30 @@ def q_audio_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "media_id": f"wav{i:03d}",
                 "bytes": aud.encode_wav(amp * np.sin(2 * np.pi * 440 * t), rate),
                 "amp": amp,
+                "tol": 1e-3,
+            }
+        )
+    # round 3: IMA-ADPCM rows — the compressed path decodes for real now;
+    # 4-bit quantization warrants a looser (but closed-form) rms tolerance
+    for i in range(6):
+        rate = 8000 + i * 400
+        amp = 0.2 + 0.1 * i
+        t = np.arange(rate) / rate
+        rows.append(
+            {
+                "media_id": f"adp{i:03d}",
+                "bytes": aud.encode_wav_adpcm(amp * np.sin(2 * np.pi * 440 * t), rate),
+                "amp": amp,
+                "tol": 2e-2,
             }
         )
     sdf = spark.createDataFrame(pd.DataFrame(rows))
     stats = mm.decode_audio_stats(sdf.select("media_id", "bytes"), strict=True)
-    return stats.join(sdf.select("media_id", "amp"), "media_id").select(
+    return stats.join(sdf.select("media_id", "amp", "tol"), "media_id").select(
         "media_id",
         "sample_rate",
         "n_samples",
-        (F.abs(F.col("rms") - F.col("amp") / math.sqrt(2.0)) < 1e-3).alias("rms_ok"),
+        (F.abs(F.col("rms") - F.col("amp") / math.sqrt(2.0)) < F.col("tol")).alias("rms_ok"),
     )
 
 
@@ -1313,6 +1328,10 @@ def o_audio_validate() -> str:
     vals = ",".join(
         f"('wav{i:03d}',{8000 + i * 100},CAST({8000 + i * 100} AS BIGINT),true)"
         for i in range(20)
+    )
+    vals += "," + ",".join(
+        f"('adp{i:03d}',{8000 + i * 400},CAST({8000 + i * 400} AS BIGINT),true)"
+        for i in range(6)
     )
     return f"SELECT * FROM (VALUES {vals}) AS t(media_id, sample_rate, n_samples, rms_ok)"
 

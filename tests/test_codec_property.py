@@ -149,3 +149,47 @@ def test_settled_grid_equals_exact_on_random_layers(rings, pts):
     px = np.concatenate([px] + [r[:, 0] for r in rings])
     py = np.concatenate([py] + [r[:, 1] for r in rings])
     assert np.array_equal(fast.assign_ordinals(px, py), slow.assign_ordinals(px, py))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.floats(-1.0, 1.0, allow_nan=False, width=32), min_size=1, max_size=2000),
+    st.sampled_from([64, 128, 256, 512]),
+)
+def test_ima_adpcm_vectorized_matches_scalar_reference(samples, block_align):
+    """The cross-block vectorized IMA-ADPCM decoder must be bit-identical
+    to the plain-Python spec recurrence on arbitrary signals and block
+    sizes, including final-block padding."""
+    import struct as _struct
+
+    s = np.asarray(samples)
+    buf = aud.encode_wav_adpcm(s, 8000, block_align=block_align)
+    # pull the raw data chunk + block_align out of the container
+    pos, data, ba = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (size,) = _struct.unpack_from("<I", buf, pos + 4)
+        if cid == b"fmt ":
+            (ba,) = _struct.unpack_from("<H", buf, pos + 8 + 12)
+        elif cid == b"data":
+            data = buf[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    assert np.array_equal(
+        aud._ima_decode_blocks(data, 1, ba), aud.ima_adpcm_decode_scalar(data, 1, ba)
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 5000), st.floats(0.05, 0.95))
+def test_ima_adpcm_roundtrip_snr(seed, amp):
+    """ADPCM is lossy but adaptive: a sine round-trip must keep length,
+    rate and a sane SNR (>= 20 dB once the step size has adapted)."""
+    rate = 8000
+    t = np.arange(rate // 2) / rate
+    sig = amp * np.sin(2 * np.pi * (200 + seed % 800) * t)
+    wav = aud.parse_wav(aud.encode_wav_adpcm(sig, rate))
+    got = wav["samples"][:, 0]
+    assert wav["sample_rate"] == rate and len(got) == len(sig)
+    tail_err = got[500:] - sig[500:]  # skip the initial adaptation ramp
+    snr = 10 * np.log10(np.mean(sig[500:] ** 2) / max(np.mean(tail_err**2), 1e-18))
+    assert snr >= 20.0, snr
