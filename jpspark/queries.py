@@ -1112,6 +1112,57 @@ def q_shapefile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xlsx_crosswalk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's crosswalk ingest (S7/P8/P9/F1/S10) through the
+    from-scratch SpreadsheetML codec, SQL-gated (round 3): nation rows
+    become an .xlsx with preamble junk before the 行政区域コード sentinel
+    header, FULL-WIDTH digit codes (NFKC must restore ASCII), an all-empty
+    row (dropped), and planted duplicate codes (first-wins dedup — the
+    ON CONFLICT DO NOTHING parity). Every surviving cell is derivable
+    from nation in DuckDB."""
+    from .catalog import CROSSWALK_COLUMNS
+    from .codec import xlsx as xlsx_codec
+    from .ops import ingest
+
+    nation = pd.read_parquet(f"{sf_dir.rstrip('/')}/nation.parquet")
+    widen = str.maketrans("0123456789", "０１２３４５６７８９")
+    rows: list[list] = [["出典: 国土数値情報", None], ["(注) 前文はヘッダ前に捨てられる"]]
+    rows.append(list(CROSSWALK_COLUMNS))
+    for k, nm in zip(nation["n_nationkey"], nation["n_name"]):
+        k = int(k)
+        code_ascii = f"{k * 100 + 1:05d}"
+        rows.append(
+            [
+                code_ascii.translate(widen),  # full-width -> NFKC -> ASCII
+                str(nm), f"市{k}", "カナ", "シク", "1", "2020-01-01",
+                code_ascii, f"新{k}", "シン", None,
+            ]
+        )
+        if k % 7 == 0:  # duplicate key: first row must win
+            rows.append([code_ascii, "DUPLICATE", None, None, None, None,
+                         None, None, None, None, None])
+        if k % 11 == 0:
+            rows.append([None] * 11)  # all-empty: dropped (P8)
+    buf = xlsx_codec.write_xlsx(rows, sheet_name="行政区域コード")
+    df = ingest.crosswalk_from_xlsx(spark, buf)
+    return df.select(
+        F.col(CROSSWALK_COLUMNS[0]).alias("code"),
+        F.col(CROSSWALK_COLUMNS[1]).alias("pref"),
+        F.col(CROSSWALK_COLUMNS[2]).alias("city"),
+        F.col(CROSSWALK_COLUMNS[7]).alias("fk_code"),
+    )
+
+
+def o_xlsx_crosswalk() -> str:
+    return """
+    SELECT lpad(CAST(n_nationkey * 100 + 1 AS VARCHAR), 5, '0') AS code,
+           n_name AS pref,
+           '市' || CAST(n_nationkey AS VARCHAR) AS city,
+           lpad(CAST(n_nationkey * 100 + 1 AS VARCHAR), 5, '0') AS fk_code
+    FROM nation
+    """
+
+
 def o_shapefile_pipeline() -> str:
     return """
     SELECT n_name,
@@ -1685,6 +1736,7 @@ QUERIES = {
     # codec-in-pipeline gate (round 3): zip -> shapefile parse -> union ->
     # PIP, through the from-scratch codecs, SQL-oracled end to end
     "shapefile_pipeline": q_shapefile_pipeline,
+    "xlsx_crosswalk": q_xlsx_crosswalk,
     # approximate-regime gates (round 3): candidate-superset audit and
     # recall@k numbers, each against independent exhaustive SQL truth
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1752,6 +1804,7 @@ def _build_oracles() -> dict[str, str]:
     "phash_neardup": o_phash_neardup(),
     "ann_ivf_topk": o_ann_topk(),
     "shapefile_pipeline": o_shapefile_pipeline(),
+    "xlsx_crosswalk": o_xlsx_crosswalk(),
     "minhash_lsh_pairs": o_minhash_lsh_pairs(),
     "ann_lsh_recall": o_ann_lsh_recall(),
     "ann_ivf_recall": o_ann_ivf_recall(),
