@@ -380,10 +380,19 @@ def ngram_jaccard_pairs(
 
     @F.pandas_udf(T.DoubleType())
     def jac_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = np.empty(len(ta))
-        for i in range(len(ta)):
-            sa = _shingle_hashes(ta.iloc[i] or "", shingle_n)
-            sb = _shingle_hashes(tb.iloc[i] or "", shingle_n)
+        # both pair sides hashed in ONE vectorized batch (round 3); the
+        # per-pair work left is a sorted-unique intersect on small arrays
+        n = len(ta)
+        ha, ca = _gram_hashes_batch(ta.tolist(), shingle_n)
+        hb, cb = _gram_hashes_batch(tb.tolist(), shingle_n)
+        sa_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(ca, out=sa_off[1:])
+        sb_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(cb, out=sb_off[1:])
+        out = np.empty(n)
+        for i in range(n):
+            sa = np.unique(ha[sa_off[i] : sa_off[i + 1]])
+            sb = np.unique(hb[sb_off[i] : sb_off[i + 1]])
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
             out[i] = inter / union if union else 1.0
