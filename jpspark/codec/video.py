@@ -1,14 +1,20 @@
-"""AVI (RIFF) container codec for UNCOMPRESSED video — from scratch.
+"""AVI (RIFF) container codec — from scratch.
 
 AVI is the same chunked RIFF layout as WAV (public spec): 'RIFF' size
 'AVI ', a 'hdrl' LIST with the main header ('avih', 56 bytes: frame
 interval µs, ..., total frames, streams, width, height) and a per-stream
 'strl' LIST ('strh' with fccType='vids' + scale/rate, 'strf' =
 BITMAPINFOHEADER), then a 'movi' LIST whose '00db'/'00dd' chunks carry the
-frames. With biCompression=0 (BI_RGB) each frame is a raw bottom-up DIB:
-BGR byte triples, rows padded to 4 bytes — pure struct+NumPy parsing.
+frames. Supported pixel formats:
 
-Compressed AVI (MJPG/H.264/...) genuinely needs codec libraries absent
+* biCompression=0 (BI_RGB): raw bottom-up DIB frames — BGR triples, rows
+  padded to 4 bytes; pure struct+NumPy parsing.
+* biCompression='MJPG' (round 3): Motion-JPEG — every frame chunk is a
+  standalone baseline JPEG stream, decoded by the from-scratch ITU T.81
+  codec (codec/jpeg.py). This is the first COMPRESSED video path that is
+  real rather than stubbed.
+
+Other compressions (H.264/VP9/...) genuinely need codec libraries absent
 from this environment; ``parse_avi`` raises NotImplementedError for
 those, and the operator level keeps its stub for them.
 """
@@ -18,6 +24,9 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+
+BI_RGB = 0
+(FOURCC_MJPG,) = struct.unpack("<I", b"MJPG")
 
 
 def _chunks(buf: bytes, pos: int, end: int):
@@ -55,9 +64,16 @@ def parse_avi(buf: bytes) -> dict:
     walk(12, len(buf))
     if width is None or not frames:
         raise ValueError("AVI missing avih header or frames")
-    if compression not in (0, None):
+    fps = (rate / scale) if (rate and scale) else None
+    if compression == FOURCC_MJPG:
+        from . import jpeg as _jpeg
+
+        out = [_jpeg.decode_jpeg(raw) for raw in frames]
+        return {"width": int(width), "height": int(height), "fps": fps, "frames": out}
+    if compression not in (BI_RGB, None):
         raise NotImplementedError(
-            f"compressed AVI (biCompression={compression}) needs a codec library"
+            f"compressed AVI (biCompression={compression}) needs a codec library "
+            "(BI_RGB and MJPG decode for real)"
         )
     stride = (width * 3 + 3) & ~3  # DIB rows pad to 4 bytes
     out = []
@@ -67,21 +83,31 @@ def parse_avi(buf: bytes) -> dict:
         )[:, : width * 3]
         bgr = rows.reshape(height, width, 3)[::-1]  # bottom-up -> top-down
         out.append(bgr[:, :, ::-1].copy())  # BGR -> RGB
-    fps = (rate / scale) if (rate and scale) else None
     return {"width": int(width), "height": int(height), "fps": fps, "frames": out}
 
 
-def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
-    """Fixture writer: RGB uint8 frames (HxWx3, same shape) -> uncompressed
-    AVI bytes (DIB/BI_RGB, bottom-up, 4-byte row padding)."""
+def encode_avi(frames: list[np.ndarray], fps: int = 10, codec: str = "rgb") -> bytes:
+    """Fixture writer: RGB uint8 frames (HxWx3, same shape) -> AVI bytes.
+    ``codec='rgb'``: uncompressed DIB/BI_RGB (bottom-up, 4-byte row
+    padding); ``codec='mjpg'``: Motion-JPEG, each frame a baseline JPEG
+    from codec/jpeg.py."""
     h, w, _ = frames[0].shape
     stride = (w * 3 + 3) & ~3
     frame_bytes = []
-    for f in frames:
-        bgr = np.asarray(f, dtype=np.uint8)[:, :, ::-1][::-1]  # RGB->BGR, flip
-        padded = np.zeros((h, stride), dtype=np.uint8)
-        padded[:, : w * 3] = bgr.reshape(h, w * 3)
-        frame_bytes.append(padded.tobytes())
+    if codec == "mjpg":
+        from . import jpeg as _jpeg
+
+        frame_bytes = [_jpeg.encode_jpeg(np.asarray(f, dtype=np.uint8), 97) for f in frames]
+        compression = FOURCC_MJPG
+    elif codec == "rgb":
+        for f in frames:
+            bgr = np.asarray(f, dtype=np.uint8)[:, :, ::-1][::-1]  # RGB->BGR, flip
+            padded = np.zeros((h, stride), dtype=np.uint8)
+            padded[:, : w * 3] = bgr.reshape(h, w * 3)
+            frame_bytes.append(padded.tobytes())
+        compression = BI_RGB
+    else:
+        raise ValueError(f"unsupported codec {codec!r}")
 
     def chunk(cid: bytes, payload: bytes) -> bytes:
         pad = b"\x00" if len(payload) & 1 else b""
@@ -101,7 +127,7 @@ def encode_avi(frames: list[np.ndarray], fps: int = 10) -> bytes:
         b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
                                         0, len(frames), 0, 0, 0, 0)
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, compression, stride * h, 0, 0, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
     body = b"AVI " + hdrl + movi

@@ -149,13 +149,13 @@ def decode_audio_stats(media: DataFrame, strict: bool = False) -> DataFrame:
 
 
 def sample_video_frames(media: DataFrame, every_n: int = 10, strict: bool = False) -> DataFrame:
-    """Video frame sampling: REAL for uncompressed RIFF/AVI (codec/
-    video.py — DIB/BI_RGB frames are struct+NumPy parsing, no codec
-    library); sampled frames re-encode as our 'raw' image format so the
-    whole image pipeline (decode/resize/features/pHash) composes
-    downstream. Compressed codecs remain STUBBED: strict mode raises for
-    non-AVI bytes, otherwise the deterministic RAW1 fake container keeps
-    the plumbing exercisable."""
+    """Video frame sampling: REAL for RIFF/AVI with BI_RGB (uncompressed
+    DIB) and — round 3 — MJPG frames (each a baseline JPEG, decoded by the
+    from-scratch T.81 codec); sampled frames re-encode as our 'raw' image
+    format so the whole image pipeline (decode/resize/features/pHash)
+    composes downstream. Remaining compressed codecs (H.264/VP9/...) stay
+    STUBBED: strict mode raises for non-AVI bytes, otherwise the
+    deterministic RAW1 fake container keeps the plumbing exercisable."""
     from ..codec import video as vid
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1252,7 +1252,26 @@ def image_validate_rows(spark: SparkSession) -> DataFrame:
     from .codec import image as img
     from .codec.phash import phash64
 
-    pdf = fx.images(200)
+    pdf = fx.images(200)[["image_id", "bytes", "fmt", "w", "h", "phash"]]
+    # round 3: real baseline-JPEG rows (codec/jpeg.py). The fixture table's
+    # format draw stays frozen (stored goldens depend on it); JPEG enters
+    # the fidelity gate directly with ids the validator can reconstruct.
+    jrows = []
+    for i in range(30):
+        w, h = [(16, 16), (32, 32), (64, 64)][i % 3]
+        px = fx.pixel_pattern(1000 + i, w, h)
+        buf = img.encode(px, "jpeg")
+        jrows.append(
+            {
+                "image_id": f"jpg{1000 + i:09d}",
+                "bytes": buf,
+                "fmt": "jpeg",
+                "w": np.int32(w),
+                "h": np.int32(h),
+                "phash": np.int64(phash64(img.decode(buf, "jpeg"))),
+            }
+        )
+    pdf = pd.concat([pdf, pd.DataFrame(jrows)], ignore_index=True)
     sdf = spark.createDataFrame(pdf)
 
     def validate(batches):
@@ -1305,11 +1324,12 @@ def q_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def o_image_validate() -> str:
     from . import fixtures as fx
 
-    counts = fx.images(200)["fmt"].value_counts().sort_index()
+    counts = fx.images(200)["fmt"].value_counts().sort_index().to_dict()
+    counts["jpeg"] = 30  # the appended real-JPEG gate rows
     vals = ",".join(
         f"('{fmt}',CAST({int(n)} AS BIGINT),CAST({int(n)} AS BIGINT),"
         f"CAST({int(n)} AS BIGINT),CAST({int(n)} AS BIGINT))"
-        for fmt, n in counts.items()
+        for fmt, n in sorted(counts.items())
     )
     return (
         f"SELECT * FROM (VALUES {vals}) "
@@ -1388,11 +1408,13 @@ def o_audio_validate() -> str:
 
 
 def q_video_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video fidelity gate on REAL uncompressed AVI bytes (codec/video.py):
-    6 deterministic clips (12+m frames of known pixel patterns), strict
-    demux + every-4th-frame sampling, each sampled frame decoded and
-    compared pixel-exact to its expected pattern; per-clip totals against
-    the closed-form oracle (ceil(n_frames/4) sampled, all exact)."""
+    """Video fidelity gate on REAL AVI bytes (codec/video.py): 6
+    uncompressed clips (12+m frames of known pixel patterns, sampled
+    frames compared PIXEL-EXACT) plus — round 3 — 4 Motion-JPEG clips
+    (10+m frames through the from-scratch T.81 codec, sampled frames held
+    to the input_hint's lossy contract, PSNR >= 40 dB). Strict demux +
+    every-4th-frame sampling; per-clip totals against the closed-form
+    oracle (ceil(n_frames/4) sampled, all ok)."""
     from . import fixtures as fx
     from .codec import image as img
     from .codec import video as vid
@@ -1402,6 +1424,11 @@ def q_video_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in range(6):
         frames = [fx.pixel_pattern(m * 100 + i, 16, 16) for i in range(12 + m)]
         rows.append({"media_id": f"avi{m:02d}", "bytes": vid.encode_avi(frames, fps=10)})
+    for m in range(4):
+        frames = [fx.pixel_pattern(5000 + m * 100 + i, 16, 16) for i in range(10 + m)]
+        rows.append(
+            {"media_id": f"mjp{m:02d}", "bytes": vid.encode_avi(frames, fps=10, codec="mjpg")}
+        )
     sdf = spark.createDataFrame(pd.DataFrame(rows))
     sampled = mm.sample_video_frames(sdf, every_n=4, strict=True)
 
@@ -1412,14 +1439,20 @@ def q_video_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 b["media_id"].to_numpy(), b["frame_idx"].to_numpy(), b["bytes"].to_numpy()
             ):
                 px = img.decode(bytes(buf), "raw")
-                expected = fx.pixel_pattern(int(mid[3:]) * 100 + int(idx), 16, 16)
-                ok.append(bool(np.array_equal(px, expected)))
+                mjpg = mid.startswith("mjp")
+                seed = (5000 if mjpg else 0) + int(mid[3:]) * 100 + int(idx)
+                expected = fx.pixel_pattern(seed, 16, 16)
+                ok.append(
+                    bool(img.psnr(expected, px) >= 40.0)
+                    if mjpg
+                    else bool(np.array_equal(px, expected))
+                )
             yield pd.DataFrame({"media_id": b["media_id"], "frame_ok": ok})
 
     checked = sampled.mapInPandas(check, "media_id string, frame_ok boolean")
     return checked.groupBy("media_id").agg(
         F.count("*").alias("n_sampled"),
-        F.sum(F.col("frame_ok").cast("long")).alias("n_pixel_exact"),
+        F.sum(F.col("frame_ok").cast("long")).alias("n_frames_ok"),
     )
 
 
@@ -1428,7 +1461,11 @@ def o_video_validate() -> str:
         f"('avi{m:02d}',CAST({-(-(12 + m) // 4)} AS BIGINT),CAST({-(-(12 + m) // 4)} AS BIGINT))"
         for m in range(6)
     )
-    return f"SELECT * FROM (VALUES {vals}) AS t(media_id, n_sampled, n_pixel_exact)"
+    vals += "," + ",".join(
+        f"('mjp{m:02d}',CAST({-(-(10 + m) // 4)} AS BIGINT),CAST({-(-(10 + m) // 4)} AS BIGINT))"
+        for m in range(4)
+    )
+    return f"SELECT * FROM (VALUES {vals}) AS t(media_id, n_sampled, n_frames_ok)"
 
 
 def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

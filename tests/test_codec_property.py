@@ -193,3 +193,97 @@ def test_ima_adpcm_roundtrip_snr(seed, amp):
     tail_err = got[500:] - sig[500:]  # skip the initial adaptation ramp
     snr = 10 * np.log10(np.mean(sig[500:] ** 2) / max(np.mean(tail_err**2), 1e-18))
     assert snr >= 20.0, snr
+
+
+# ------------------------------------------------------- JPEG (round 3)
+
+
+def test_jpeg_spec_markers_and_geometry():
+    """Spec-level byte asserts (ITU T.81/JFIF): SOI/EOI, APP0 JFIF tag,
+    SOF0 geometry at its spec'd offsets, DQT/DHT/SOS present."""
+    import struct
+
+    from jpspark import fixtures as fx
+    from jpspark.codec import jpeg
+
+    px = fx.pixel_pattern(7, 48, 24)
+    buf = jpeg.encode_jpeg(px, quality=90)
+    assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+    assert buf[2:4] == b"\xff\xe0" and buf[6:11] == b"JFIF\x00"
+    seen = set()
+    pos = 2
+    while pos + 4 <= len(buf):
+        marker = struct.unpack_from(">H", buf, pos)[0]
+        seen.add(marker)
+        (ln,) = struct.unpack_from(">H", buf, pos + 2)
+        if marker == 0xFFC0:  # SOF0: precision, height, width, n components
+            prec, h, w, nc = struct.unpack_from(">BHHB", buf, pos + 4)
+            assert (prec, h, w, nc) == (8, 24, 48, 3)
+        if marker == 0xFFDA:
+            break
+        pos += 2 + ln
+    assert {0xFFDB, 0xFFC0, 0xFFC4, 0xFFDA} <= seen
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 10_000), st.sampled_from([8, 16, 24, 40]), st.sampled_from([8, 17, 32]))
+def test_jpeg_roundtrip_psnr_on_fixture_patterns(i, w, h):
+    from jpspark import fixtures as fx
+    from jpspark.codec import image as img
+    from jpspark.codec import jpeg
+
+    px = fx.pixel_pattern(i, w, h)
+    got = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=97))
+    assert got.shape == px.shape and got.dtype == np.uint8
+    assert img.psnr(px, got) >= 40.0
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 2**32 - 1))
+def test_jpeg_entropy_roundtrip_exact(seed):
+    """The Huffman/bitstream layer must be EXACT: decoding an encoded
+    image reproduces every quantized DCT coefficient bit-for-bit. Checked
+    by re-encoding the decoded image's quantized coefficients... more
+    directly: encode twice through decode must be a fixed point of the
+    quantization lattice for flat blocks, and — the strong form below —
+    a stream whose coefficients we know (flat color => DC-only) decodes
+    to exactly that color."""
+    from jpspark.codec import jpeg
+
+    rng = np.random.default_rng(seed)
+    color = rng.integers(0, 256, 3)
+    # flat image: every 8x8 block is DC-only; quant/dequant of the DC at
+    # quality 97 (luma qtable entry 1..2) keeps the level within +-1,
+    # and the chroma shift cancels -> round trip within 2 LSB everywhere
+    px = np.tile(color.astype(np.uint8), (24, 24, 1))
+    got = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=97))
+    assert int(np.abs(got.astype(int) - px.astype(int)).max()) <= 2
+    # and the output is constant (no blocking artifacts on flat input)
+    assert (got == got[0, 0]).all()
+
+
+def test_jpeg_in_image_codec_registry():
+    from jpspark import fixtures as fx
+    from jpspark.codec import image as img
+
+    px = fx.pixel_pattern(3, 32, 32)
+    buf = img.encode(px, "jpeg")
+    assert img.sniff_format(buf) == "jpeg"
+    assert img.psnr(px, img.decode(buf, "jpeg")) >= 40.0
+
+
+def test_mjpeg_avi_roundtrip():
+    """Motion-JPEG AVI: MJPG fourcc in strf, every frame a standalone
+    baseline JPEG, demuxed + decoded by our own codecs at PSNR>=40."""
+    from jpspark import fixtures as fx
+    from jpspark.codec import image as img
+    from jpspark.codec import video as vid
+
+    frames = [fx.pixel_pattern(i, 24, 16) for i in range(7)]
+    buf = vid.encode_avi(frames, fps=12, codec="mjpg")
+    # fourcc lands in BITMAPINFOHEADER.biCompression
+    assert b"MJPG" in buf and buf[8:12] == b"AVI "
+    got = vid.parse_avi(buf)
+    assert got["width"] == 24 and got["height"] == 16 and len(got["frames"]) == 7
+    assert got["fps"] == 12.0
+    assert min(img.psnr(a, b) for a, b in zip(got["frames"], frames)) >= 40.0

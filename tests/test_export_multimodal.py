@@ -145,7 +145,7 @@ def test_avi_codec_spec_and_roundtrip():
     # compressed AVI must refuse loudly, not return garbage
     bad = bytearray(buf)
     strf_at = buf.index(b"strf")
-    struct.pack_into("<I", bad, strf_at + 8 + 16, 0x47504A4D)  # 'MJPG'
+    struct.pack_into("<I", bad, strf_at + 8 + 16, 0x34363248)  # 'H264' — MJPG is real since r3
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError, match="compressed AVI"):

@@ -200,12 +200,13 @@ def test_image_validate_all_rows_pass(spark):
     from jpspark.queries import image_validate_rows
 
     out = image_validate_rows(spark).toPandas()
-    assert len(out) == 200
+    assert len(out) == 230  # 200 fixture rows + 30 real-JPEG gate rows (r3)
     assert out["pixels_ok"].all()
     assert out["phash_ok"].all()
-    lossy = out[out["fmt"] == "qlossy"]
+    lossy = out[out["fmt"].isin(["qlossy", "jpeg"])]
+    assert len(lossy[lossy["fmt"] == "jpeg"]) == 30
     assert (lossy["psnr_db"] >= 40.0).all()
-    lossless = out[out["fmt"] != "qlossy"]
+    lossless = out[~out["fmt"].isin(["qlossy", "jpeg"])]
     assert (lossless["psnr_db"] == 99.0).all()  # capped inf
 
 
