@@ -31,30 +31,18 @@ _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 
 
-def _hash_str_batch(strs: list[str]) -> np.ndarray:
-    """Stable 64-bit hash of a BATCH of strings, fully vectorized (uint64).
-
-    Round 3 replaces the per-string Python blake2b loop (the one
-    interpreter-rate hot loop left in the signature kernels — at 10^12
-    docs it dominated the dedup stage's CPU bill) with FNV-1a evaluated
-    column-at-a-time over a zero-padded byte matrix: iteration count =
-    longest string, work per iteration = one SIMD pass over the whole
-    batch, so total work is O(total bytes) at NumPy rate. Updates past a
-    string's own length are masked out, so a string's hash is independent
-    of the batch it rides in. The splitmix finalizer (+ length mix)
-    restores the high-bit diffusion SimHash bit-voting needs; determinism
-    is PYTHONHASHSEED-proof like the blake2b it replaces."""
-    n = len(strs)
-    if n == 0:
-        return np.empty(0, dtype=np.uint64)
-    bs = [s.encode("utf-8") for s in strs]
-    lens = np.fromiter(map(len, bs), dtype=np.int64, count=n)
-    w = int(lens.max())
+def _fnv_over_slices(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """FNV-1a 64 of N byte slices of ``flat``, evaluated column-at-a-time
+    over a zero-padded gather matrix: iteration count = longest slice,
+    work per iteration = one SIMD pass over the whole batch, so total
+    work is O(total bytes) at NumPy rate. Updates past a slice's own
+    length are masked, so a slice's hash is independent of the batch it
+    rides in. Splitmix finalizer (+ length mix) restores high-bit
+    diffusion for SimHash bit-voting; PYTHONHASHSEED-proof."""
+    n = len(starts)
     h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    w = int(lens.max()) if n else 0
     if w:
-        flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
-        starts = np.zeros(n, dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
         valid = np.arange(w)[None, :] < lens[:, None]
         idx = starts[:, None] + np.arange(w)[None, :]
         mat = np.zeros((n, w), dtype=np.uint8)
@@ -65,6 +53,67 @@ def _hash_str_batch(strs: list[str]) -> np.ndarray:
                 h = np.where(valid[:, j], h2, h)
     with np.errstate(over="ignore"):
         return _hash_u64(h ^ lens.astype(np.uint64))
+
+
+def _hash_str_batch(strs: list[str]) -> np.ndarray:
+    """Stable 64-bit hash of a BATCH of strings, fully vectorized (uint64).
+
+    Round 3 replaces the per-string Python blake2b loop (the one
+    interpreter-rate hot loop left in the signature kernels — at 10^12
+    docs it dominated the dedup stage's CPU bill) with the column-wise
+    FNV kernel above."""
+    n = len(strs)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    bs = [s.encode("utf-8") for s in strs]
+    lens = np.fromiter(map(len, bs), dtype=np.int64, count=n)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    flat = np.frombuffer(b"".join(bs), dtype=np.uint8) if lens.sum() else np.empty(0, np.uint8)
+    return _fnv_over_slices(flat, starts, lens)
+
+
+_ASCII_WS = np.zeros(256, dtype=bool)
+_ASCII_WS[[9, 10, 11, 12, 13, 28, 29, 30, 31, 32]] = True  # str.split's ASCII set
+_UNICODE_WS = tuple(
+    ch.encode("utf-8")
+    for ch in (
+        "\x85\xa0\u1680\u2000\u2001\u2002\u2003\u2004\u2005\u2006"
+        "\u2007\u2008\u2009\u200a\u2028\u2029\u202f\u205f\u3000"
+    )
+)
+
+
+def _word_hashes_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(word hashes in doc-major order, per-doc word counts) for a whole
+    batch WITHOUT per-doc Python tokenization: the batch's UTF-8 bytes are
+    scanned once as a NumPy array (separator-sentinel framed), word
+    boundaries come from whitespace-run edges, and word hashes gather
+    straight from the flat buffer — no per-word string objects at all.
+    Exactly matches str.split() semantics: if any NON-ASCII whitespace
+    sequence occurs in the batch (rare for web/corpus text), the batch
+    falls back to the per-doc split path so hashes never diverge."""
+    n = len(texts)
+    bs = [(t or "").encode("utf-8") for t in texts]
+    blob = b"\n".join(bs)
+    if any(blob.find(u) >= 0 for u in _UNICODE_WS):
+        words_per = [(t or "").split() for t in texts]
+        wcounts = np.fromiter(map(len, words_per), dtype=np.int64, count=n)
+        return _hash_str_batch([w for ws in words_per for w in ws]), wcounts
+    lens = np.fromiter(map(len, bs), dtype=np.int64, count=n)
+    flat = np.frombuffer(b"\n" + blob + b"\n", dtype=np.uint8)
+    ws = _ASCII_WS[flat]
+    w_starts = np.where(~ws[1:] & ws[:-1])[0] + 1
+    w_ends = np.where(~ws[:-1] & ws[1:])[0] + 1
+    wlens = w_ends - w_starts
+    # doc d occupies flat[1 + off_d : 1 + off_d + lens[d]] with off_d =
+    # cumsum(lens+1)[d-1]; a word belongs to the doc whose span holds it
+    doc_start_flat = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1] + 1, out=doc_start_flat[1:])
+    doc_start_flat += 1
+    doc_of = np.searchsorted(doc_start_flat, w_starts, side="right") - 1
+    wcounts = np.bincount(doc_of, minlength=n).astype(np.int64)
+    return _fnv_over_slices(flat, w_starts, wlens), wcounts
 
 
 def _gram_list(text: str, n: int) -> list[str]:
@@ -95,9 +144,7 @@ def _gram_hashes_batch(texts: list[str], n: int) -> tuple[np.ndarray, np.ndarray
     gives, minus the 3x re-hash of every byte). Mirrors _gram_list's
     shape rules: empty doc -> 1 sentinel gram, <n words -> one fold of
     all its words."""
-    words_per = [(t or "").split() for t in texts]
-    wcounts = np.fromiter(map(len, words_per), dtype=np.int64, count=len(words_per))
-    hs = _hash_str_batch([w for ws in words_per for w in ws])
+    hs, wcounts = _word_hashes_batch(texts)
     n_words, docs_n = len(hs), len(texts)
     wstarts = np.zeros(docs_n, dtype=np.int64)
     np.cumsum(wcounts[:-1], out=wstarts[1:])
@@ -253,12 +300,10 @@ def simhash64_np(texts) -> np.ndarray:
     words x 64 matrix."""
     n = len(texts)
     out = np.zeros(n, dtype=np.int64)
-    words_per = [(t or "").split() for t in texts]
-    counts = np.fromiter(map(len, words_per), dtype=np.int64, count=n)
+    hs, counts = _word_hashes_batch(texts)
     nz = np.where(counts > 0)[0]
     if not len(nz):
         return out
-    hs = _hash_str_batch([w for ws in words_per for w in ws])
     starts = np.zeros(n, dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
     seg = starts[nz]  # empty docs occupy zero rows, so segments stay valid

@@ -287,3 +287,30 @@ def test_mjpeg_avi_roundtrip():
     assert got["width"] == 24 and got["height"] == 16 and len(got["frames"]) == 7
     assert got["fps"] == 12.0
     assert min(img.psnr(a, b) for a, b in zip(got["frames"], frames)) >= 40.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=["Lu", "Ll", "Nd", "Zs", "Cc"], max_codepoint=0x3050
+            ),
+            max_size=60,
+        ),
+        max_size=12,
+    )
+)
+def test_batch_tokenizer_matches_str_split(texts):
+    """The flat-byte batch tokenizer (round 3) must agree with per-doc
+    str.split() exactly — word counts AND hash sequence — across control
+    chars, unicode spaces (fallback path) and multi-byte content."""
+    import numpy as np
+
+    from jpspark.ops import dedup
+
+    hs, counts = dedup._word_hashes_batch(texts)
+    words_per = [t.split() for t in texts]
+    assert list(counts) == [len(w) for w in words_per]
+    ref = dedup._hash_str_batch([w for ws in words_per for w in ws])
+    assert np.array_equal(hs, ref)
