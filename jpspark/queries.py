@@ -275,6 +275,64 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming x geo composition (round 3): events readStream -> derive
+    points -> broadcast ray-cast PIP annotation — the same mapInArrow
+    kernel the batch path uses runs unchanged inside the micro-batch plan
+    (no shuffle of the stream; the polygon index rides the broadcast) ->
+    watermarked tumbling-window counts per polygon. At 10^12 rows this is
+    the continuous-enrichment shape: geotag assignment keeps up with
+    ingest because the stream side never exchanges."""
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="jpspark_sgeo_")
+    try:
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{tmp}/events.parquet")
+    except OSError:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(tmp)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    pts = stream.selectExpr("event_id", "ts", f"{_LON_EXPR} AS lon", f"{_LAT_EXPR} AS lat")
+    assigned = spatial_join.pip_join_broadcast(
+        pts, _grid_polys_pdf(), "poly_id", out_col="poly_id", out_type=T.LongType()
+    )
+    agg = (
+        assigned.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "7 days"), "poly_id")
+        .agg(F.count("*").alias("n"))
+    )
+    qname = "jpspark_stream_geo"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(qname).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(qname).select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("week_start"),
+        "poly_id",
+        "n",
+    )
+
+
+def o_stream_geo_enrich() -> str:
+    return f"""
+    WITH pts AS (SELECT ts, {_LON_EXPR} AS lon, {_LAT_EXPR} AS lat FROM events)
+    SELECT strftime(TIMESTAMP '1970-01-01'
+                    + INTERVAL (7 * (datediff('day', TIMESTAMP '1970-01-01', ts) // 7)) DAY,
+                    '%Y-%m-%d') AS week_start,
+           CAST(floor((lon - CAST(122 AS DOUBLE)) / CAST(4 AS DOUBLE))
+                + 8 * floor((lat - CAST(20 AS DOUBLE)) / CAST(3.25 AS DOUBLE)) AS BIGINT)
+             AS poly_id,
+           count(*) AS n
+    FROM pts GROUP BY 1, 2
+    """
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 custom stateful streaming operator: gap-based sessionization
     (gap = 72h) via ``applyInPandasWithState`` with event-time timeout.
@@ -1730,6 +1788,7 @@ QUERIES = {
     "stream_window_counts": q_stream_window_counts,
     "stream_sessionize": q_stream_sessionize,
     "stream_dedup": q_stream_dedup,
+    "stream_geo_enrich": q_stream_geo_enrich,
     "geo_tile_assign": q_geo_tile_assign,
     "geo_dissolve": q_geo_dissolve,
     # relational operators (SURVEY §2.2-2.5)
@@ -1803,6 +1862,7 @@ def _build_oracles() -> dict[str, str]:
     "stream_window_counts": o_stream_window_counts(),
     "stream_sessionize": o_stream_sessionize(),
     "stream_dedup": o_stream_dedup(),
+    "stream_geo_enrich": o_stream_geo_enrich(),
     "geo_tile_assign": o_geo_tile_assign(),
     "geo_dissolve": o_geo_dissolve(),
     "pricing_summary": o_pricing_summary(),
