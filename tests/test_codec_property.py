@@ -314,3 +314,26 @@ def test_batch_tokenizer_matches_str_split(texts):
     assert list(counts) == [len(w) for w in words_per]
     ref = dedup._hash_str_batch([w for ws in words_per for w in ws])
     assert np.array_equal(hs, ref)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet="ab c\t", max_size=40), max_size=8))
+def test_gram_hash_batch_matches_gram_list_reference(texts):
+    """_gram_hashes_batch's shape rules must mirror the _gram_list
+    reference construction (the one the DuckDB oracles encode in SQL):
+    same gram COUNT per doc, and equal gram hashes <-> equal gram strings
+    within the batch (injective modulo 64-bit collisions)."""
+    import numpy as np
+
+    from jpspark.ops import dedup
+
+    hs, counts = dedup._gram_hashes_batch(texts, 3)
+    refs = [dedup._gram_list(t, 3) for t in texts]
+    assert list(counts) == [len(r) for r in refs]
+    flat_ref = [g for r in refs for g in r]
+    # equal strings must hash equal; distinct strings distinct (no collision
+    # plausible at these sizes)
+    by_hash = {}
+    for h, g in zip(hs, flat_ref):
+        assert by_hash.setdefault(int(h), g) == g
+    assert len({int(h) for h in hs}) == len(set(flat_ref))
