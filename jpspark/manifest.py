@@ -226,11 +226,40 @@ def _part_key(stored_path: str) -> str:
     return os.path.basename(stored_path) if os.path.isabs(stored_path) else stored_path
 
 
+_ROOT_MANIFEST_RE = None  # compiled lazily (re import kept local)
+
+
+def _is_root_manifest(key: str) -> bool:
+    global _ROOT_MANIFEST_RE
+    if _ROOT_MANIFEST_RE is None:
+        import re
+
+        _ROOT_MANIFEST_RE = re.compile(r"manifest-\d{6}\.json$")
+    return bool(_ROOT_MANIFEST_RE.search(key))
+
+
+def _resolve_partitions(m: dict, out_dir: str, store) -> dict:
+    """Materialize a (possibly sharded) manifest's partition map. Large
+    commits store partitions across ``manifest-{v}-shard-{i}.json`` files
+    (Iceberg's manifest-of-manifests shape — DESIGN.md §7/§10: one JSON
+    stops scaling around 10^5–10^6 files); the root then carries only the
+    shard key list. Small commits keep partitions inline."""
+    shards = m.get("partition_shards")
+    if not shards:
+        return m
+    parts: dict = {}
+    for sk in shards:
+        parts.update(json.loads(store.get_text(out_dir, sk))["partitions"])
+    out = dict(m)
+    out["partitions"] = parts
+    return out
+
+
 def load_manifest(out_dir: str, storage=None) -> dict:
     store = storage or LocalStorage()
     text = store.get_text(out_dir, MANIFEST_NAME)
     if text is not None:
-        return json.loads(text)
+        return _resolve_partitions(json.loads(text), out_dir, store)
     return {"partitions": {}, "committed_at": None, "schema": None}
 
 
@@ -240,13 +269,22 @@ def write_checkpointed(
     lineage: str = "",
     num_partitions: int | None = None,
     storage=None,
+    shard_size: int = 8192,
 ) -> dict:
     """Write ``df`` to ``out_dir`` with per-partition commit semantics.
 
-    Returns the manifest dict. Re-running on the same out_dir skips
-    partitions whose content fingerprint is already committed (idempotent
-    resume). Call again after a simulated crash and only missing/changed
-    partitions are re-written.
+    Returns the (resolved) manifest dict. Re-running on the same out_dir
+    skips partitions whose content fingerprint is already committed
+    (idempotent resume). Call again after a simulated crash and only
+    missing/changed partitions are re-written.
+
+    ``shard_size``: commits with more partitions than this store the
+    partition map across shard files and keep only the shard list in the
+    root manifest (manifest-of-manifests) — at 10^12 rows / 512 MB files
+    a snapshot has ~200k partitions, and the root stays O(shards), not
+    O(files). Commit order: shards first, then the archived root, then
+    the live pointer — a crash at any point leaves a readable previous
+    state and no root referencing missing shards.
     """
     store = storage or LocalStorage()
     prior = load_manifest(out_dir, store)
@@ -313,9 +351,24 @@ def write_checkpointed(
             for r in stats
         },
     }
-    # snapshot commit order: archived copy first, then the latest pointer
-    # (a crash between the two leaves a readable previous state)
-    body = json.dumps(manifest, ensure_ascii=False, indent=1)
+    # snapshot commit order: shards first, then the archived root, then
+    # the latest pointer (a crash at any point leaves a readable state)
+    to_write = manifest
+    if len(manifest["partitions"]) > shard_size:
+        pids = sorted(manifest["partitions"], key=int)
+        shard_keys = []
+        for i in range(0, len(pids), shard_size):
+            sk = (
+                f"{MANIFESTS_DIR}/manifest-{manifest['version']:06d}"
+                f"-shard-{i // shard_size:04d}.json"
+            )
+            chunk = {p: manifest["partitions"][p] for p in pids[i : i + shard_size]}
+            store.put_text(out_dir, sk, json.dumps({"partitions": chunk}))
+            shard_keys.append(sk)
+        to_write = dict(manifest)
+        to_write["partitions"] = {}
+        to_write["partition_shards"] = shard_keys
+    body = json.dumps(to_write, ensure_ascii=False, indent=1)
     store.put_text(
         out_dir, f"{MANIFESTS_DIR}/manifest-{manifest['version']:06d}.json", body
     )
@@ -335,7 +388,7 @@ def read_snapshot(spark, out_dir: str, version: int | None = None, storage=None)
         text = store.get_text(out_dir, f"{MANIFESTS_DIR}/manifest-{version:06d}.json")
         if text is None:
             raise FileNotFoundError(f"no snapshot version {version} under {out_dir}")
-        m = json.loads(text)
+        m = _resolve_partitions(json.loads(text), out_dir, store)
     uris = [
         store.uri(out_dir, _part_key(meta["path"]))
         for meta in m.get("partitions", {}).values()
@@ -350,7 +403,7 @@ def snapshots(out_dir: str, storage=None) -> list[dict]:
     store = storage or LocalStorage()
     out = []
     for key in store.list(out_dir, f"{MANIFESTS_DIR}/manifest-"):
-        if not key.endswith(".json"):
+        if not _is_root_manifest(key):  # partition shards are not snapshots
             continue
         m = json.loads(store.get_text(out_dir, key))
         out.append(
@@ -401,26 +454,35 @@ def vacuum(out_dir: str, keep_last: int = 1, storage=None) -> dict:
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the latest snapshot must survive)")
     store = storage or LocalStorage()
-    names = [
-        k for k in store.list(out_dir, f"{MANIFESTS_DIR}/manifest-") if k.endswith(".json")
-    ]
+    all_keys = [k for k in store.list(out_dir, f"{MANIFESTS_DIR}/manifest-") if k.endswith(".json")]
+    names = [k for k in all_keys if _is_root_manifest(k)]
     keep, expire = names[-keep_last:], names[:-keep_last]
     referenced: set[str] = set()
+    kept_shards: set[str] = set()
     kept_versions = []
     for key in keep:
-        m = json.loads(store.get_text(out_dir, key))
+        m = _resolve_partitions(json.loads(store.get_text(out_dir, key)), out_dir, store)
         kept_versions.append(m.get("version"))
+        kept_shards |= set(m.get("partition_shards") or [])
         referenced |= {_part_key(meta["path"]) for meta in m.get("partitions", {}).values()}
     # the live pointer's snapshot must survive even if its archive is
     # missing (pre-archive table) or already rotated out (crash window)
-    live = load_manifest(out_dir, store)
+    live_raw = json.loads(store.get_text(out_dir, MANIFEST_NAME) or "{}")
+    kept_shards |= set(live_raw.get("partition_shards") or [])
+    live = _resolve_partitions(live_raw, out_dir, store) if live_raw else {}
     referenced |= {_part_key(meta["path"]) for meta in live.get("partitions", {}).values()}
     removed_files = 0
     for key in store.list(out_dir, "part-"):
         if key.endswith(".parquet") and key not in referenced:
             store.delete(out_dir, key)
             removed_files += 1
+    # expired roots take their partition shards with them; shards of kept
+    # snapshots (and of the live pointer) survive
     for key in expire:
+        m = json.loads(store.get_text(out_dir, key))
+        for sk in m.get("partition_shards") or []:
+            if sk not in kept_shards:
+                store.delete(out_dir, sk)
         store.delete(out_dir, key)
     return {
         "kept_versions": kept_versions,
@@ -434,6 +496,7 @@ def simulate_partition_loss(out_dir: str, partition_id: int, storage=None) -> No
     as if its task died before commit."""
     store = storage or LocalStorage()
     m = load_manifest(out_dir, store)
+    m.pop("partition_shards", None)  # write back inline (shards would resurrect the row)
     meta = m["partitions"].pop(str(partition_id), None)
     if meta is not None:
         key = _part_key(meta["path"])
