@@ -240,6 +240,84 @@ def pixel_pattern(i: int, w: int, h: int) -> np.ndarray:
     return np.clip(px, 0, 255).astype(np.uint8)
 
 
+def raster_pixel(gx, gy):
+    """Closed-form raster band values at GLOBAL pixel (gx, gy) — chosen so a
+    SQL engine can recompute every pixel independently of our codecs:
+    band0 = (3·gx + 7·gy) mod 256 (the stats band), band1 = gx mod 256,
+    band2 = gy mod 256. Accepts scalars or arrays."""
+    gx = np.asarray(gx, dtype=np.int64)
+    gy = np.asarray(gy, dtype=np.int64)
+    return (
+        ((3 * gx + 7 * gy) % 256).astype(np.uint8),
+        (gx % 256).astype(np.uint8),
+        (gy % 256).astype(np.uint8),
+    )
+
+
+def raster_tiles(
+    z: int, tx0: int, ty0: int, nx: int, ny: int, w: int = 32, h: int = 32,
+    fmt: str = "png",
+) -> pd.DataFrame:
+    """Deterministic georeferenced raster tile table: an nx×ny block of
+    tiles starting at (tx0, ty0) at zoom ``z`` in the engine's
+    equirectangular scheme (ops/tiles.py). Pixel (row i, col j) of tile
+    (tx, ty) carries ``raster_pixel(tx·w + j, ty·h + (h-1-i))`` — row 0 is
+    the tile's north edge. Encoded with the real codecs (``fmt``)."""
+    rows = []
+    jj = np.arange(w, dtype=np.int64)[None, :]
+    ii = np.arange(h, dtype=np.int64)[:, None]
+    for ty in range(ty0, ty0 + ny):
+        for tx in range(tx0, tx0 + nx):
+            gx = tx * w + jj + np.zeros((h, 1), dtype=np.int64)
+            gy = ty * h + (h - 1 - ii) + np.zeros((1, w), dtype=np.int64)
+            px = np.stack(raster_pixel(gx, gy), axis=-1)
+            rows.append(
+                {
+                    "tile_id": f"t{z}_{tx}_{ty}",
+                    "tile_z": z,
+                    "tile_x": tx,
+                    "tile_y": ty,
+                    "w": np.int32(w),
+                    "h": np.int32(h),
+                    "fmt": fmt,
+                    "bytes": img.encode(px, fmt),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def zonal_zones() -> pd.DataFrame:
+    """Three vector zones over the raster_tiles(z=4, 8..11, 8..11) block
+    (lon ∈ [0, 90), lat ∈ [0, 45)), each SQL-expressible as half-plane
+    inequalities on the pixel-center coordinates so DuckDB can replay the
+    membership test exactly:
+
+      box   — rectangle [10, 40) × [5, 30)
+      tri   — triangle (0,0) (45,0) (0,45):  lon≥0 ∧ lat≥0 ∧ lon+lat≤45
+      twin  — multipolygon of two disjoint rectangles, one sticking out
+              past the raster's edge (tests bbox pruning + partial cover):
+              [50, 70)×[40, 60) ∪ [80, 100)×[0, 20)
+
+    Integer vertices + half-integer-of-binary-fraction pixel centers ⇒ no
+    pixel center ever lies exactly on a zone edge (the membership test is
+    rounding-robust on both engines)."""
+
+    def rect(x0, y0, x1, y1):
+        return [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)]
+
+    zones = [
+        ("box", [rect(10, 5, 40, 30)]),
+        ("tri", [[np.array([[0, 0], [45, 0], [0, 45], [0, 0]], float)]]),
+        ("twin", [rect(50, 40, 70, 60), rect(80, 0, 100, 20)]),
+    ]
+    return pd.DataFrame(
+        {
+            "zone_id": [z[0] for z in zones],
+            "geom": [wkb.encode_multipolygon(z[1]) for z in zones],
+        }
+    )
+
+
 def images(n: int = 1000, polys: pd.DataFrame | None = None) -> pd.DataFrame:
     """The payload table — exact input_hint schema + geotag columns."""
     if polys is None:

@@ -23,6 +23,7 @@ Operators:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -121,6 +122,88 @@ def polygon_tiles(polys: DataFrame, z: int, geom_col: str = "geom") -> DataFrame
         .withColumn("tile_x", unspread(m))
         .withColumn("tile_y", unspread(F.shiftrightunsigned(m, 1)))
     )
+
+
+def tile_pyramid(
+    tiles: DataFrame,
+    levels: int,
+    *,
+    out_fmt: str = "png",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Build overview levels (the raster pyramid a tile server needs): each
+    parent tile at z-1 is the 2×2 mosaic of its children downsampled with
+    an EXACT integer 2×2 box mean (``(a+b+c+d) // 4`` per channel) — exact
+    so any SQL engine can replay the arithmetic bit-for-bit, and so
+    repeated rollups stay deterministic across platforms.
+
+    Scale shape: one hash exchange per level on the parent key
+    ``(x >> 1, y >> 1)`` — tile counts shrink 4× per level, so total work
+    is a geometric series dominated by the first rollup; quadtree keys are
+    uniform (no hot key). Children of one parent (≤ 4 rows) meet in a
+    single ``applyInPandas`` group. Missing children leave zero-filled
+    quadrants (recorded in ``n_children``).
+
+    Returns the union of all generated levels (not the input leaves):
+    ``(tile_z, tile_x, tile_y, w, h, fmt, bytes, n_children)``.
+    """
+    from functools import reduce
+
+    from ..codec import image as img
+
+    out_schema = (
+        "tile_z int, tile_x long, tile_y long, w int, h int, "
+        "fmt string, bytes binary, n_children int"
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        first = img.decode(bytes(pdf[bytes_col].iloc[0]), str(pdf[fmt_col].iloc[0]))
+        h, w = first.shape[:2]
+        canvas = np.zeros((2 * h, 2 * w, 3), dtype=np.uint16)
+        px_, py_ = int(pdf["tile_x"].iloc[0]) >> 1, int(pdf["tile_y"].iloc[0]) >> 1
+        for cx, cy, buf, fmt in zip(
+            pdf["tile_x"].to_numpy(), pdf["tile_y"].to_numpy(),
+            pdf[bytes_col].to_numpy(), pdf[fmt_col].to_numpy(),
+        ):
+            child = img.decode(bytes(buf), str(fmt))
+            if child.shape[:2] != (h, w):
+                raise ValueError(
+                    f"tile_pyramid: mixed tile sizes {child.shape[:2]} vs {(h, w)}"
+                )
+            # north half of the parent = children with odd tile_y (y northward)
+            r0 = (1 - (int(cy) & 1)) * h
+            c0 = (int(cx) & 1) * w
+            canvas[r0 : r0 + h, c0 : c0 + w] = child
+        down = (
+            canvas.reshape(h, 2, w, 2, 3).sum(axis=(1, 3), dtype=np.uint32) // 4
+        ).astype(np.uint8)
+        return pd.DataFrame(
+            {
+                "tile_z": [int(pdf["tile_z"].iloc[0]) - 1],
+                "tile_x": [px_],
+                "tile_y": [py_],
+                "w": [w],
+                "h": [h],
+                "fmt": [out_fmt],
+                "bytes": [img.encode(down, out_fmt)],
+                "n_children": [len(pdf)],
+            }
+        )
+
+    cur = tiles.select("tile_z", "tile_x", "tile_y", F.col(bytes_col), F.col(fmt_col))
+    outs = []
+    for _ in range(levels):
+        nxt = (
+            cur.groupBy(
+                F.shiftrightunsigned(F.col("tile_x"), 1).alias("_px"),
+                F.shiftrightunsigned(F.col("tile_y"), 1).alias("_py"),
+            )
+            .applyInPandas(lambda pdf: assemble(pdf), schema=out_schema)
+        )
+        outs.append(nxt)
+        cur = nxt.select("tile_z", "tile_x", "tile_y", "bytes", "fmt")
+    return reduce(DataFrame.unionByName, outs)
 
 
 def tile_render_manifest(assigned: DataFrame, byte_col: str = "bytes") -> DataFrame:

@@ -1776,6 +1776,153 @@ def _embeddings_pdf() -> pd.DataFrame:
     raise FileNotFoundError("no embeddings.parquet under /root/testdata/sf*")
 
 
+def _zonal_fixture(spark: SparkSession):
+    """Shared input of the raster↔vector gate queries: a 4×4 block of
+    32×32 PNG tiles at zoom 4 (lon ∈ [0,90), lat ∈ [0,45)) whose pixels
+    are the closed form fixtures.raster_pixel — so DuckDB recomputes every
+    pixel from generate_series, fully independent of our codecs."""
+    from . import fixtures as fx
+
+    tiles = spark.createDataFrame(fx.raster_tiles(4, 8, 8, 4, 4))
+    zones = spark.createDataFrame(fx.zonal_zones())
+    return tiles, zones
+
+
+def q_raster_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (raster→vector): per-polygon count/sum/mean/min/max
+    of band 0 over decoded tile pixels whose CENTER falls inside the zone.
+    Exercises ops/zonal.py end to end: real PNG decode → georeference →
+    bbox prune → ray-cast PIP on pixel centers → map-side partial agg →
+    one tiny exchange. The reference has no raster analysis (it loads
+    vectors into PostGIS); this is the 100-TB imagery extension."""
+    from .ops import zonal
+
+    tiles, zones = _zonal_fixture(spark)
+    return zonal.zonal_stats(tiles, zones, z=4).orderBy("zone_id")
+
+
+def o_raster_zonal_stats() -> str:
+    # pixel centers: lon = -180 + (gx+0.5)·45/64, lat = -90 + (gy+0.5)·45/128
+    # (exact binary fractions: identical float64 on both engines); zone
+    # edges have integer coordinates, and (45·g + 22.5)/64 is never an
+    # integer, so no center ever lies ON an edge — membership is
+    # rounding-robust. Zones mirror fixtures.zonal_zones().
+    return """
+WITH px AS (
+  SELECT gxs.g AS gx, gys.g AS gy,
+         -180.0 + (CAST(gxs.g AS DOUBLE) + 0.5) * 0.703125  AS lon,
+         -90.0  + (CAST(gys.g AS DOUBLE) + 0.5) * 0.3515625 AS lat,
+         (3 * gxs.g + 7 * gys.g) % 256 AS v
+  FROM generate_series(256, 383) gxs(g), generate_series(256, 383) gys(g)
+), zp AS (
+  SELECT 'box' AS zone_id, v FROM px
+   WHERE lon >= 10 AND lon < 40 AND lat >= 5 AND lat < 30
+  UNION ALL
+  SELECT 'tri' AS zone_id, v FROM px
+   WHERE lon >= 0 AND lat >= 0 AND lon + lat <= 45
+  UNION ALL
+  SELECT 'twin' AS zone_id, v FROM px
+   WHERE (lon >= 50 AND lon < 70 AND lat >= 40 AND lat < 60)
+      OR (lon >= 80 AND lon < 100 AND lat >= 0 AND lat < 20)
+)
+SELECT zone_id,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_v,
+       CAST(MIN(v) AS INTEGER) AS min_v,
+       CAST(MAX(v) AS INTEGER) AS max_v
+FROM zp GROUP BY zone_id ORDER BY zone_id
+"""
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster pyramid / overview builder (ops/tiles.py tile_pyramid): roll
+    the 4×4 leaf block up two zoom levels with exact integer 2×2 box-mean
+    downsampling, then decode every generated tile and emit per-tile band-0
+    stats. ``wsum_v`` weights each pixel by its in-tile row (north = h),
+    so a mosaic orientation bug cannot cancel out in the aggregate. The
+    DuckDB oracle replays both rollups arithmetically from the closed-form
+    leaf pixels — fully independent of our codecs and kernels."""
+    import pyarrow as pa
+
+    from . import fixtures as fx
+    from .codec import image as img
+    from .ops import tiles as tl
+
+    leaves = spark.createDataFrame(fx.raster_tiles(4, 8, 8, 4, 4))
+    pyr = tl.tile_pyramid(leaves, levels=2)
+
+    def stats(batches):
+        for rb in batches:
+            zs = rb.column("tile_z").to_numpy()
+            xs = rb.column("tile_x").to_numpy()
+            ys = rb.column("tile_y").to_numpy()
+            out = {k: [] for k in ("n_px", "sum_v", "wsum_v", "min_v", "max_v")}
+            for r in range(rb.num_rows):
+                plane = img.decode(
+                    rb.column("bytes")[r].as_py(), rb.column("fmt")[r].as_py()
+                )[:, :, 0].astype(np.int64)
+                h = plane.shape[0]
+                wgt = np.arange(h, 0, -1, dtype=np.int64)[:, None]  # row 0=north=h
+                out["n_px"].append(int(plane.size))
+                out["sum_v"].append(int(plane.sum()))
+                out["wsum_v"].append(int((plane * wgt).sum()))
+                out["min_v"].append(int(plane.min()))
+                out["max_v"].append(int(plane.max()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(zs, type=pa.int32()),
+                    pa.array(xs, type=pa.int64()),
+                    pa.array(ys, type=pa.int64()),
+                    pa.array(out["n_px"], type=pa.int64()),
+                    pa.array(out["sum_v"], type=pa.int64()),
+                    pa.array(out["wsum_v"], type=pa.int64()),
+                    pa.array(out["min_v"], type=pa.int32()),
+                    pa.array(out["max_v"], type=pa.int32()),
+                ],
+                names=["tile_z", "tile_x", "tile_y", "n_px", "sum_v", "wsum_v", "min_v", "max_v"],
+            )
+
+    return pyr.mapInArrow(
+        stats,
+        schema="tile_z int, tile_x long, tile_y long, n_px bigint, "
+        "sum_v bigint, wsum_v bigint, min_v int, max_v int",
+    ).orderBy("tile_z", "tile_x", "tile_y")
+
+
+def o_tile_pyramid() -> str:
+    # p0 = closed-form leaf pixels; p1/p2 = two exact integer 2×2 box-mean
+    # rollups (SUM // 4); per-tile stats with the north-weighted checksum
+    # wsum = Σ v·(gy mod 32 + 1) — gy mod 32 is the in-tile row from the
+    # south edge, so row 0 (north) weighs h.
+    return """
+WITH p0 AS (
+  SELECT gxs.g AS gx, gys.g AS gy, (3 * gxs.g + 7 * gys.g) % 256 AS v
+  FROM generate_series(256, 383) gxs(g), generate_series(256, 383) gys(g)
+), p1 AS (
+  SELECT gx // 2 AS gx, gy // 2 AS gy, SUM(v) // 4 AS v
+  FROM p0 GROUP BY gx // 2, gy // 2
+), p2 AS (
+  SELECT gx // 2 AS gx, gy // 2 AS gy, SUM(v) // 4 AS v
+  FROM p1 GROUP BY gx // 2, gy // 2
+), lv AS (
+  SELECT 3 AS tile_z, gx // 32 AS tile_x, gy // 32 AS tile_y, v, gy FROM p1
+  UNION ALL
+  SELECT 2 AS tile_z, gx // 32 AS tile_x, gy // 32 AS tile_y, v, gy FROM p2
+)
+SELECT CAST(tile_z AS INTEGER) AS tile_z,
+       CAST(tile_x AS BIGINT) AS tile_x,
+       CAST(tile_y AS BIGINT) AS tile_y,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(SUM(v * (gy % 32 + 1)) AS BIGINT) AS wsum_v,
+       CAST(MIN(v) AS INTEGER) AS min_v,
+       CAST(MAX(v) AS INTEGER) AS max_v
+FROM lv GROUP BY tile_z, tile_x, tile_y
+ORDER BY tile_z, tile_x, tile_y
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -1838,6 +1985,10 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
+    # raster analysis over the tile table (round 3): the raster→vector
+    # direction of the north_rule's raster↔vector surface
+    "raster_zonal_stats": q_raster_zonal_stats,
+    "tile_pyramid": q_tile_pyramid,
 }
 
 def build_oracles() -> dict[str, str]:
@@ -1905,4 +2056,6 @@ def _build_oracles() -> dict[str, str]:
     "minhash_lsh_pairs": o_minhash_lsh_pairs(),
     "ann_lsh_recall": o_ann_lsh_recall(),
     "ann_ivf_recall": o_ann_ivf_recall(),
+    "raster_zonal_stats": o_raster_zonal_stats(),
+    "tile_pyramid": o_tile_pyramid(),
     }
