@@ -1923,6 +1923,91 @@ ORDER BY tile_z, tile_x, tile_y
 """
 
 
+def q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector→raster burn-in (ops/zonal.py rasterize): render the zone
+    layer into 16 tiles (max burn value wins where zones overlap — box=200
+    over tri=100 in their intersection), then decode each produced tile
+    and emit per-tile stats with the north-weighted checksum. The DuckDB
+    oracle replays the burn rule per pixel center as GREATEST over the
+    zone half-plane predicates."""
+    import pyarrow as pa
+
+    from . import fixtures as fx
+    from .codec import image as img
+    from .ops import zonal
+
+    _, zones_raw = _zonal_fixture(spark)
+    zones = zones_raw.withColumn(
+        "burn",
+        F.when(F.col("zone_id") == "box", 200)
+        .when(F.col("zone_id") == "tri", 100)
+        .otherwise(50),
+    )
+    grid = spark.createDataFrame(
+        pd.DataFrame(
+            [(tx, ty) for ty in range(8, 12) for tx in range(8, 12)],
+            columns=["tile_x", "tile_y"],
+        )
+    )
+    burned = zonal.rasterize(grid, zones, z=4, w=32, h=32)
+
+    def stats(batches):
+        for rb in batches:
+            xs = rb.column("tile_x").to_numpy()
+            ys = rb.column("tile_y").to_numpy()
+            n0, sv, wv = [], [], []
+            for r in range(rb.num_rows):
+                plane = img.decode(
+                    rb.column("bytes")[r].as_py(), rb.column("fmt")[r].as_py()
+                )[:, :, 0].astype(np.int64)
+                h = plane.shape[0]
+                wgt = np.arange(h, 0, -1, dtype=np.int64)[:, None]
+                n0.append(int((plane > 0).sum()))
+                sv.append(int(plane.sum()))
+                wv.append(int((plane * wgt).sum()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(xs, type=pa.int64()),
+                    pa.array(ys, type=pa.int64()),
+                    pa.array(n0, type=pa.int64()),
+                    pa.array(sv, type=pa.int64()),
+                    pa.array(wv, type=pa.int64()),
+                ],
+                names=["tile_x", "tile_y", "n_burned", "sum_v", "wsum_v"],
+            )
+
+    return burned.mapInArrow(
+        stats,
+        schema="tile_x long, tile_y long, n_burned bigint, sum_v bigint, wsum_v bigint",
+    ).orderBy("tile_x", "tile_y")
+
+
+def o_rasterize() -> str:
+    return """
+WITH px AS (
+  SELECT gxs.g AS gx, gys.g AS gy,
+         -180.0 + (CAST(gxs.g AS DOUBLE) + 0.5) * 0.703125  AS lon,
+         -90.0  + (CAST(gys.g AS DOUBLE) + 0.5) * 0.3515625 AS lat
+  FROM generate_series(256, 383) gxs(g), generate_series(256, 383) gys(g)
+), burned AS (
+  SELECT gx, gy, GREATEST(
+    CASE WHEN lon >= 10 AND lon < 40 AND lat >= 5 AND lat < 30 THEN 200 ELSE 0 END,
+    CASE WHEN lon >= 0 AND lat >= 0 AND lon + lat <= 45 THEN 100 ELSE 0 END,
+    CASE WHEN (lon >= 50 AND lon < 70 AND lat >= 40 AND lat < 60)
+           OR (lon >= 80 AND lon < 100 AND lat >= 0 AND lat < 20) THEN 50 ELSE 0 END
+  ) AS v
+  FROM px
+)
+SELECT CAST(gx // 32 AS BIGINT) AS tile_x,
+       CAST(gy // 32 AS BIGINT) AS tile_y,
+       CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_burned,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(SUM(v * (gy % 32 + 1)) AS BIGINT) AS wsum_v
+FROM burned GROUP BY gx // 32, gy // 32
+ORDER BY tile_x, tile_y
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -1989,6 +2074,7 @@ QUERIES = {
     # direction of the north_rule's raster↔vector surface
     "raster_zonal_stats": q_raster_zonal_stats,
     "tile_pyramid": q_tile_pyramid,
+    "rasterize": q_rasterize,
 }
 
 def build_oracles() -> dict[str, str]:
@@ -2058,4 +2144,5 @@ def _build_oracles() -> dict[str, str]:
     "ann_ivf_recall": o_ann_ivf_recall(),
     "raster_zonal_stats": o_raster_zonal_stats(),
     "tile_pyramid": o_tile_pyramid(),
+    "rasterize": o_rasterize(),
     }

@@ -168,3 +168,64 @@ def test_tile_pyramid_three_levels_full(spark):
     assert by_z == {3: 4, 2: 1, 1: 1}
     assert (out[out.tile_z == 2].n_children == 4).all()
     assert (out[out.tile_z == 1].n_children == 1).all()
+
+
+# -------------------------------------------------------------- rasterize
+
+def test_rasterize_zonal_roundtrip(spark):
+    """Burn two DISJOINT zones, then run zonal_stats over the burned
+    raster with the same zones: every pixel of a zone must carry exactly
+    its burn value (min=max=mean=burn), proving rasterize and zonal_stats
+    agree on the pixel-center membership convention."""
+    from jpspark.ops import zonal
+
+    zones_pdf = pd.DataFrame(
+        {
+            "zone_id": ["west", "east"],
+            "geom": [
+                wkb.encode_multipolygon(
+                    [[np.array([[5, 5], [25, 5], [25, 25], [5, 25], [5, 5]], float)]]
+                ),
+                wkb.encode_multipolygon(
+                    [[np.array([[60, 10], [85, 10], [85, 40], [60, 40], [60, 10]], float)]]
+                ),
+            ],
+            "burn": [77, 133],
+        }
+    )
+    zones = spark.createDataFrame(zones_pdf)
+    grid = spark.createDataFrame(
+        pd.DataFrame(
+            [(tx, ty) for ty in range(8, 12) for tx in range(8, 12)],
+            columns=["tile_x", "tile_y"],
+        )
+    )
+    burned = zonal.rasterize(grid, zones, z=Z, w=W, h=H)
+    got = {
+        r["zone_id"]: r
+        for r in zonal.zonal_stats(burned, zones, z=Z).collect()
+    }
+    lo, la, _ = _centers()
+    n_west = int(((lo >= 5) & (lo < 25) & (la >= 5) & (la < 25)).sum())
+    n_east = int(((lo >= 60) & (lo < 85) & (la >= 10) & (la < 40)).sum())
+    assert (got["west"]["n_px"], got["west"]["min_v"], got["west"]["max_v"]) == (n_west, 77, 77)
+    assert (got["east"]["n_px"], got["east"]["min_v"], got["east"]["max_v"]) == (n_east, 133, 133)
+    assert got["west"]["mean_v"] == 77.0 and got["east"]["mean_v"] == 133.0
+    # total burned pixels across the raster == n_west + n_east (background 0)
+    total = zonal.zonal_stats(
+        burned,
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "zone_id": ["all"],
+                    "geom": [
+                        wkb.encode_multipolygon(
+                            [[np.array([[-1, -1], [91, -1], [91, 46], [-1, 46], [-1, -1]], float)]]
+                        )
+                    ],
+                }
+            )
+        ),
+        z=Z,
+    ).collect()[0]
+    assert total["sum_v"] == 77 * n_west + 133 * n_east
