@@ -52,6 +52,13 @@ can't leak phantom rows), ``read_snapshot(version=...)`` time-travels,
 and ``vacuum`` deletes files unreferenced by the kept snapshots AND the
 live manifest pointer (so the crash window between archive-write and
 pointer-replace can never expire the snapshot the pointer references).
+
+File-skipping scans: every committed part file carries per-column
+(min, max, null_count) stats in its manifest row — Iceberg's data-file
+stats — and ``scan(spark, out_dir, filters)`` prunes files whose bounds
+prove no row can match, before Spark opens anything. On a clustered
+column this turns a 10^12-row point/range query into a metadata decision
+plus O(matching files) of I/O.
 """
 
 from __future__ import annotations
@@ -203,6 +210,22 @@ class ObjectStorage:
         return self._blob(root, key)
 
 
+def _spark_readable(table: "pa.Table") -> "pa.Table":
+    """Cast nanosecond timestamps to microseconds before writing: pandas
+    hands the sink datetime64[ns], but parquet TIMESTAMP(NANOS) is
+    unreadable by Spark's vectorized reader (PARQUET_TYPE_ILLEGAL) — and
+    Spark timestamps are µs anyway, so nothing is lost."""
+    fields = []
+    changed = False
+    for f in table.schema:
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
+            fields.append(f.with_type(pa.timestamp("us", tz=f.type.tz)))
+            changed = True
+        else:
+            fields.append(f)
+    return table.cast(pa.schema(fields)) if changed else table
+
+
 def _fingerprint_pdf(pdf: pd.DataFrame) -> int:
     """Order-insensitive content fingerprint of a partition (uint64 as int).
 
@@ -217,6 +240,161 @@ def _fingerprint_pdf(pdf: pd.DataFrame) -> int:
         total = np.uint64((int(total) + int(v)) & 0xFFFFFFFFFFFFFFFF)
     mix = (int(total) ^ (len(pdf) << 1)) & 0x7FFFFFFFFFFFFFFF
     return int(mix)
+
+
+_STR_BOUND = 64  # Iceberg-style truncated string bounds
+
+
+def _col_stats(pdf: pd.DataFrame) -> dict:
+    """Per-column (min, max, null_count) for prune-able dtypes — the
+    Iceberg data-file stats that let a 10^12-row scan skip files from
+    metadata alone. JSON-safe values only.
+
+    Types: "n" numeric/bool, "s" string, "ts" datetime (ns int bounds).
+    String bounds longer than _STR_BOUND chars keep a truncated LOWER
+    bound (a prefix is always <= the full string) but drop the UPPER
+    bound (a prefix is < the full string, so it would be an invalid max)
+    — matching Iceberg's truncate(16) semantics without the increment
+    trick. Columns of other dtypes (binary, arrays) carry null counts
+    only."""
+    out: dict = {}
+    for c in pdf.columns:
+        s = pdf[c]
+        nulls = int(s.isna().sum())
+        ent: dict = {"nulls": nulls}
+        nn = s.dropna()
+        if pd.api.types.is_bool_dtype(s) or pd.api.types.is_numeric_dtype(s):
+            ent["t"] = "n"
+            if len(nn):
+                lo, hi = nn.min(), nn.max()
+                ent["lo"], ent["hi"] = (
+                    (int(lo), int(hi))
+                    if pd.api.types.is_integer_dtype(s) or pd.api.types.is_bool_dtype(s)
+                    else (float(lo), float(hi))
+                )
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            ent["t"] = "ts"
+            if len(nn):
+                ent["lo"] = int(pd.Timestamp(nn.min()).value)
+                ent["hi"] = int(pd.Timestamp(nn.max()).value)
+        elif pd.api.types.is_object_dtype(s) or isinstance(s.dtype, pd.StringDtype):
+            vals = [v for v in nn if isinstance(v, str)]
+            if len(vals) != len(nn):
+                out[str(c)] = ent  # mixed/binary object column: nulls only
+                continue
+            ent["t"] = "s"
+            if vals:
+                lo, hi = min(vals), max(vals)
+                ent["lo"] = lo[:_STR_BOUND]
+                ent["hi"] = hi if len(hi) <= _STR_BOUND else None
+        out[str(c)] = ent
+    return out
+
+
+def _coerce(value, t):
+    if t == "ts":
+        return int(pd.Timestamp(value).value)
+    return value
+
+
+def _file_may_match(stats: dict, row_count: int, filters) -> bool:
+    """Conservative metadata test: False ONLY when the file's stats prove
+    no row can satisfy ALL of ``filters`` (conjunction). Unknown columns,
+    missing bounds, or unsupported ops never prune."""
+    for col, op, value in filters:
+        ent = stats.get(col)
+        if ent is None:
+            continue
+        if row_count and ent.get("nulls") == row_count:
+            return False  # all-null column: no predicate matches null
+        t = ent.get("t")
+        lo, hi = ent.get("lo"), ent.get("hi")
+        if t is None:
+            continue
+        try:
+            if op == "in":
+                vs = [_coerce(v, t) for v in value]
+                if lo is not None and hi is not None and all(v < lo or v > hi for v in vs):
+                    return False
+                continue
+            v = _coerce(value, t)
+            if op == "=" and (
+                (lo is not None and v < lo) or (hi is not None and v > hi)
+            ):
+                return False
+            if op in ("<", "<=") and lo is not None and (
+                lo > v or (op == "<" and lo >= v)
+            ):
+                return False
+            if op in (">", ">=") and hi is not None and (
+                hi < v or (op == ">" and hi <= v)
+            ):
+                return False
+        except TypeError:
+            continue  # incomparable literal: don't prune
+    return True
+
+
+_FILTER_OPS = {
+    "=": lambda c, v: c == v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+    "in": lambda c, v: c.isin(list(v)),
+}
+
+
+def scan(
+    spark,
+    out_dir: str,
+    filters,
+    version: int | None = None,
+    storage=None,
+) -> tuple["DataFrame", dict]:
+    """Stats-pruned snapshot scan: read ONLY the part files whose manifest
+    column stats admit rows matching ``filters`` (a conjunction of
+    ``(col, op, value)`` with op in =, <, <=, >, >=, in), then apply the
+    same filters as Spark predicates on the surviving files (stats prune
+    is file-granular; the row-granular residual still runs, and parquet
+    row-group pushdown applies within each file).
+
+    At 10^12 rows this is the difference between a metadata operation and
+    a full scan: a filter on a clustered column touches O(matching files)
+    of the table, and the decision uses only the manifest — no footer
+    reads, no file opens. Returns (df, report) where report counts
+    files/rows/bytes read vs skipped."""
+    store = storage or LocalStorage()
+    if version is None:
+        m = load_manifest(out_dir, store)
+    else:
+        text = store.get_text(out_dir, f"{MANIFESTS_DIR}/manifest-{version:06d}.json")
+        if text is None:
+            raise FileNotFoundError(f"no snapshot version {version} under {out_dir}")
+        m = _resolve_partitions(json.loads(text), out_dir, store)
+    parts = m.get("partitions", {})
+    if not parts:
+        raise ValueError(f"snapshot has no committed partitions: {out_dir}")
+    keep, report = [], {
+        "files_total": len(parts), "files_read": 0,
+        "rows_skipped": 0, "bytes_skipped": 0,
+    }
+    for meta in parts.values():
+        if _file_may_match(meta.get("stats") or {}, int(meta["row_count"]), filters):
+            keep.append(store.uri(out_dir, _part_key(meta["path"])))
+        else:
+            report["rows_skipped"] += int(meta["row_count"])
+            report["bytes_skipped"] += int(meta["bytes"])
+    report["files_read"] = len(keep)
+    if not keep:
+        df = read_snapshot(spark, out_dir, version=version, storage=store).limit(0)
+    else:
+        df = spark.read.parquet(*keep)
+    from pyspark.sql import functions as F
+
+    for col, op, value in filters:
+        df = df.filter(_FILTER_OPS[op](F.col(col), value))
+    return df, report
 
 
 def _part_key(stored_path: str) -> str:
@@ -310,7 +488,7 @@ def write_checkpointed(
         key = f"part-{pid:05d}-{fp:016x}.parquet"
         skipped = bc_committed.value.get(pid) == fp and store.exists(out_dir, key)
         if not skipped:
-            table = (
+            table = _spark_readable(
                 pa.Table.from_pandas(pdf, preserve_index=False)
                 if len(pdf)
                 else arrow_schema.empty_table()
@@ -324,12 +502,13 @@ def write_checkpointed(
                 "bytes": [store.size(out_dir, key)],
                 "path": [key],
                 "skipped": [skipped],
+                "col_stats": [json.dumps(_col_stats(pdf))],
             }
         )
 
     stats_schema = (
         "partition_id int, fingerprint long, row_count long, bytes long, "
-        "path string, skipped boolean"
+        "path string, skipped boolean, col_stats string"
     )
     stats = df.mapInPandas(sink, stats_schema).collect()
 
@@ -347,6 +526,7 @@ def write_checkpointed(
                 "path": r.path,
                 "status": "committed",
                 "skipped_on_last_run": bool(r.skipped),
+                "stats": json.loads(r.col_stats),
             }
             for r in stats
         },

@@ -65,6 +65,24 @@ class TableIO:
 
         return mf.read_snapshot(self.spark, self._path(name), version=version, storage=self.storage)
 
+    def scan(self, name: str, filters, version: int | None = None):
+        """Stats-pruned scan: (df, report) reading only the part files
+        whose manifest column stats admit ``filters`` (Iceberg's
+        data-file pruning; see manifest.scan). On an Iceberg catalog the
+        runtime does this natively, so scan() is just read()+filter."""
+        from pyspark.sql import functions as F
+
+        from . import manifest as mf
+
+        if self.catalog:
+            df = self.read(name, version=version)
+            for col, op, value in filters:
+                df = df.filter(mf._FILTER_OPS[op](F.col(col), value))
+            return df, {"backend": "iceberg"}
+        return mf.scan(
+            self.spark, self._path(name), filters, version=version, storage=self.storage
+        )
+
     def snapshots(self, name: str) -> list[dict]:
         from . import manifest as mf
 

@@ -418,3 +418,129 @@ def test_sharded_manifests_full_lifecycle(spark, tmp_path, kind):
     ]
     assert leftover == []
     assert mf.read_snapshot(spark, out_dir, storage=store).count() == 10
+
+
+# ------------------------------------------------- stats-pruned scans
+
+
+def test_scan_prunes_files_by_column_stats(spark, tmp_path):
+    """Iceberg-style data-file pruning: a range-clustered write leaves
+    disjoint per-file id bounds, so point/range scans must read only the
+    matching files — and every scan's rows must equal a full-scan filter
+    (pruning is an optimization, never a semantics change)."""
+    out_dir = str(tmp_path / "prune")
+    df = (
+        spark.range(1000)
+        .withColumn("v", F.col("id") * 2)
+        .withColumn("name", F.format_string("key-%04d", F.col("id")))
+        .repartitionByRange(8, "id")
+    )
+    m = mf.write_checkpointed(df, out_dir)
+    assert all("stats" in p and "id" in p["stats"] for p in m["partitions"].values())
+
+    # point lookup: exactly one file survives
+    got, rep = mf.scan(spark, out_dir, [("id", "=", 777)])
+    assert rep["files_total"] == 8 and rep["files_read"] == 1
+    assert [r.v for r in got.collect()] == [1554]
+
+    # range scan: skipped rows + read rows == table rows
+    got, rep = mf.scan(spark, out_dir, [("id", ">=", 900)])
+    assert rep["files_read"] < 8 and rep["rows_skipped"] > 0
+    assert got.count() == 100
+
+    # string bounds prune too (format_string keeps lexicographic order)
+    got, rep = mf.scan(spark, out_dir, [("name", "=", "key-0005")])
+    assert rep["files_read"] == 1 and got.count() == 1
+
+    # IN list spanning two disjoint files
+    got, rep = mf.scan(spark, out_dir, [("id", "in", [5, 995])])
+    assert rep["files_read"] == 2 and got.count() == 2
+
+    # conjunction: second predicate is residual-only (v >= 0 always true)
+    got, rep = mf.scan(spark, out_dir, [("id", "<", 10), ("v", ">=", 0)])
+    assert rep["files_read"] == 1 and got.count() == 10
+
+    # empty result: zero files read, schema preserved
+    got, rep = mf.scan(spark, out_dir, [("id", ">", 5000)])
+    assert rep["files_read"] == 0 and got.count() == 0
+    assert got.columns == ["id", "v", "name"]
+
+
+def test_scan_never_false_negative(spark, tmp_path):
+    """Adversarial sweep: every scan result must equal the full-scan
+    filter, whatever the clustering (here: UNCLUSTERED writes, where most
+    files overlap and pruning rarely fires — correctness must hold even
+    when stats are useless)."""
+    out_dir = str(tmp_path / "nofn")
+    df = spark.range(500).withColumn("v", (F.col("id") * 37) % 101)
+    mf.write_checkpointed(df, out_dir, num_partitions=6)
+    full = mf.read_snapshot(spark, out_dir)
+    for flt, expr in [
+        ([("v", "=", 50)], F.col("v") == 50),
+        ([("v", "<=", 3)], F.col("v") <= 3),
+        ([("v", ">", 98)], F.col("v") > 98),
+        ([("v", "in", [0, 100])], F.col("v").isin([0, 100])),
+        ([("id", ">=", 250), ("v", "<", 10)], (F.col("id") >= 250) & (F.col("v") < 10)),
+    ]:
+        got, _ = mf.scan(spark, out_dir, flt)
+        assert sorted(r.id for r in got.collect()) == sorted(
+            r.id for r in full.filter(expr).collect()
+        )
+
+
+def test_scan_stats_edge_cases(spark, tmp_path):
+    """All-null columns prune every predicate; >64-char strings keep only
+    a truncated LOWER bound (the upper bound is dropped, so filters above
+    it must NOT prune — residual filtering still gives the right rows);
+    timestamp bounds prune as ns ints."""
+    out_dir = str(tmp_path / "edge")
+    pdf = pd.DataFrame(
+        {
+            "id": range(8),
+            "dead": [None] * 8,
+            "s": [("x" * 70 + f"{i}") for i in range(8)],
+            "ts": pd.date_range("2024-01-01", periods=8, freq="D"),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartitionByRange(2, "id")
+    m = mf.write_checkpointed(df, out_dir)
+    st = next(iter(m["partitions"].values()))["stats"]
+    assert st["dead"]["nulls"] > 0 and "lo" not in st["dead"]
+    assert len(st["s"]["lo"]) == 64 and st["s"]["hi"] is None
+
+    # all-null column: equality can never match -> zero files read
+    got, rep = mf.scan(spark, out_dir, [("dead", "=", 1)])
+    assert rep["files_read"] == 0 and got.count() == 0
+    # long strings: filter below the truncated lower bound prunes...
+    got, rep = mf.scan(spark, out_dir, [("s", "<", "a")])
+    assert rep["files_read"] == 0 and got.count() == 0
+    # ...but a filter above the (dropped) upper bound reads files and
+    # resolves via the residual — correct empty result, no false prune
+    got, rep = mf.scan(spark, out_dir, [("s", ">", "y")])
+    assert rep["files_read"] == 2 and got.count() == 0
+    got, _ = mf.scan(spark, out_dir, [("s", ">=", "x" * 70 + "5")])
+    assert got.count() == 3
+    # timestamp range: second file only
+    got, rep = mf.scan(spark, out_dir, [("ts", ">=", "2024-01-06")])
+    assert rep["files_read"] == 1 and got.count() == 3
+
+
+def test_scan_time_travel_and_tableio(spark, tmp_path):
+    """scan(version=) prunes against the archived snapshot's stats;
+    TableIO.scan exposes the same surface on the parquet fallback."""
+    from jpspark.table_io import TableIO
+
+    out_dir = str(tmp_path / "ttscan")
+    v1 = spark.range(100).withColumn("v", F.lit(1)).repartitionByRange(4, "id")
+    mf.write_checkpointed(v1, out_dir)
+    v2 = spark.range(50).withColumn("v", F.lit(2)).repartitionByRange(4, "id")
+    mf.write_checkpointed(v2, out_dir)
+    got, rep = mf.scan(spark, out_dir, [("id", "=", 99)], version=1)
+    assert rep["files_read"] == 1 and [r.v for r in got.collect()] == [1]
+    got, rep = mf.scan(spark, out_dir, [("id", "=", 99)])  # latest: 50 rows
+    assert got.count() == 0
+
+    tio = TableIO(spark, str(tmp_path), namespace="t")
+    tio.write(v1, "events_t")
+    got, rep = tio.scan("events_t", [("id", "<", 25)])
+    assert rep["files_read"] == 1 and got.count() == 25
