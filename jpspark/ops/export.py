@@ -205,3 +205,179 @@ def read_flatgeobuf(path: str) -> dict:
 
     with open(path, "rb") as f:
         return fgb.decode_file(f.read())
+
+
+# ------------------------------------------------------ Mapbox Vector Tiles
+
+def mvt_tiles_points(
+    df: DataFrame,
+    z: int,
+    *,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str | None = None,
+    attr_cols: tuple[str, ...] = (),
+    extent: int = 4096,
+    layer_name: str = "points",
+) -> DataFrame:
+    """Distributed vector-tile sink, point features: one MVT 2.1 blob per
+    (z, x, y) tile (codec/mvt.py, encoded from the public spec — the
+    engine-native replacement for the reference's FlatGeobuf→tippecanoe
+    shell-out, NOTES.md:118-133).
+
+    100-TB shape: tile assignment is pure codegen column math, then ONE
+    hash exchange on the tile key and every tile serializes independently
+    inside ``applyInPandas`` — no driver gather, no cross-tile state, so
+    the sink parallelizes to however many tiles exist (quadtree keys are
+    uniform; a genuinely hot tile is capped by its own point count, and
+    callers shed it by raising ``z``). Contrast write_flatgeobuf, which is
+    a bounded single-writer export by design.
+
+    Quantization (y DOWN, MVT screen axes): qx = floor((lon-lon0)/sx*extent),
+    qy = floor((lat_top-lat)/sy*extent), both clamped to extent-1 — exact
+    double arithmetic any SQL engine replays bit-for-bit.
+
+    Returns (tile_z, tile_x, tile_y, n_features, bytes).
+    """
+    from ..codec import mvt
+    from ..geom.cell import LAT0, LON0, LAT1, LON1
+    from . import tiles as tile_ops
+
+    sx = (LON1 - LON0) / float(1 << z)
+    sy = (LAT1 - LAT0) / float(1 << z)
+    cols = [lon, lat, *([id_col] if id_col else []), *attr_cols]
+    tx, ty = tile_ops.tile_xy_cols(lon, lat, z)
+    src = df.select(*cols).withColumn("tile_x", tx).withColumn("tile_y", ty)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        txv, tyv = int(pdf["tile_x"].iloc[0]), int(pdf["tile_y"].iloc[0])
+        lon0 = LON0 + txv * sx
+        lat_top = LAT0 + (tyv + 1) * sy
+        qx = np.minimum(
+            np.floor((pdf[lon].to_numpy(np.float64) - lon0) / sx * extent),
+            extent - 1,
+        ).astype(np.int64)
+        qy = np.minimum(
+            np.floor((lat_top - pdf[lat].to_numpy(np.float64)) / sy * extent),
+            extent - 1,
+        ).astype(np.int64)
+        ids = pdf[id_col].to_numpy(np.int64) if id_col else None
+        keys = list(attr_cols)
+        values: list = []
+        vindex: dict = {}
+        feats = []
+        attr_arrays = [pdf[c].to_numpy() for c in attr_cols]
+        for i in range(len(pdf)):
+            tags = []
+            for ki, arr in enumerate(attr_arrays):
+                v = arr[i]
+                v = v.item() if isinstance(v, np.generic) else v
+                if v not in vindex:
+                    vindex[v] = len(values)
+                    values.append(v)
+                tags += [ki, vindex[v]]
+            feats.append(
+                mvt.encode_feature(
+                    mvt.point_geometry(qx[i : i + 1], qy[i : i + 1]),
+                    mvt.POINT,
+                    feature_id=int(ids[i]) if ids is not None else None,
+                    tags=tags,
+                )
+            )
+        blob = mvt.encode_tile(
+            [mvt.encode_layer(layer_name, feats, keys, values, extent=extent)]
+        )
+        return pd.DataFrame(
+            {
+                "tile_z": [z], "tile_x": [txv], "tile_y": [tyv],
+                "n_features": [len(feats)], "bytes": [blob],
+            }
+        )
+
+    return src.groupBy("tile_x", "tile_y").applyInPandas(
+        build, schema="tile_z int, tile_x long, tile_y long, n_features long, bytes binary"
+    )
+
+
+def mvt_tiles_polygons(
+    polys: DataFrame,
+    z: int,
+    *,
+    id_col: str,
+    geom_col: str = "geom",
+    extent: int = 4096,
+    buffer_px: int = 8,
+    layer_name: str = "polygons",
+) -> DataFrame:
+    """Distributed vector-tile sink, polygon features: polygons explode
+    onto their covering tiles (tiles.polygon_tiles — bbox cover, one row
+    per (polygon, tile)), then each tile clips its polygons to the
+    buffered tile bbox (Sutherland–Hodgman, geom/clip.py), quantizes to
+    tile coords (y down), and encodes one MVT blob. Winding is normalized
+    by codec/mvt.py (exterior positive screen area per §4.3.3.3).
+
+    Same scale shape as the point sink: one exchange on the tile key,
+    per-tile independent serialization. Holes that survive clipping are
+    emitted as interior rings; a hole partially cut by the tile edge is
+    clipped per-ring (the standard tiling approximation — ``buffer_px``
+    pushes the artifact outside the rendered area).
+    """
+    from ..codec import mvt
+    from ..geom import clip as gclip
+    from ..geom.cell import LAT0, LON0, LAT1, LON1
+    from . import tiles as tile_ops
+
+    sx = (LON1 - LON0) / float(1 << z)
+    sy = (LAT1 - LAT0) / float(1 << z)
+    buf_deg_x = buffer_px * sx / extent
+    buf_deg_y = buffer_px * sy / extent
+    cover = tile_ops.polygon_tiles(polys.select(id_col, geom_col), z, geom_col=geom_col)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        txv, tyv = int(pdf["tile_x"].iloc[0]), int(pdf["tile_y"].iloc[0])
+        lon0 = LON0 + txv * sx
+        lat_top = LAT0 + (tyv + 1) * sy
+        cx0, cx1 = lon0 - buf_deg_x, lon0 + sx + buf_deg_x
+        cy0, cy1 = lat_top - sy - buf_deg_y, lat_top + buf_deg_y
+        feats = []
+        n_rings = 0
+        for fid, g in zip(pdf[id_col].to_numpy(), pdf[geom_col].to_numpy()):
+            rings_signed = []
+            for rings in wkb.parse_multipolygon(bytes(g)):
+                for ri, ring in enumerate(rings):
+                    c = gclip.clip_ring_bbox(ring, cx0, cy0, cx1, cy1)
+                    if len(c) < 3:
+                        continue
+                    q = np.empty_like(c)
+                    q[:, 0] = np.rint((c[:, 0] - lon0) / sx * extent)
+                    q[:, 1] = np.rint((lat_top - c[:, 1]) / sy * extent)
+                    # drop consecutive duplicates the quantization created
+                    keep = np.ones(len(q), dtype=bool)
+                    keep[1:] = (q[1:] != q[:-1]).any(axis=1)
+                    q = q[keep]
+                    if len(q) < 3 or abs(mvt._screen_area2(q.astype(np.int64))) == 0:
+                        continue
+                    rings_signed.append((q.astype(np.int64), ri == 0))
+            if rings_signed:
+                n_rings += len(rings_signed)
+                feats.append(
+                    mvt.encode_feature(
+                        mvt.polygon_geometry(rings_signed), mvt.POLYGON,
+                        feature_id=int(fid),
+                    )
+                )
+        blob = mvt.encode_tile([mvt.encode_layer(layer_name, feats, extent=extent)])
+        return pd.DataFrame(
+            {
+                "tile_z": [z], "tile_x": [txv], "tile_y": [tyv],
+                "n_features": [len(feats)], "n_rings": [n_rings], "bytes": [blob],
+            }
+        )
+
+    return cover.groupBy("tile_x", "tile_y").applyInPandas(
+        build,
+        schema=(
+            "tile_z int, tile_x long, tile_y long, n_features long, "
+            "n_rings long, bytes binary"
+        ),
+    )

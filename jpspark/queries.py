@@ -2008,6 +2008,83 @@ ORDER BY tile_x, tile_y
 """
 
 
+def q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mapbox Vector Tile sink (codec/mvt.py + export.mvt_tiles_points):
+    encode event points into one spec-2.1 MVT blob per z=6 tile, then
+    DECODE the actual wire bytes back and emit per-tile feature counts +
+    quantized-coordinate sums + feature-id sums. The oracle replays the
+    quantization closed-form in SQL (floor((lon-lon0)/sx*4096) with the
+    identical IEEE op sequence), so a hash match proves the protobuf
+    encode→decode round-trip AND the tile-local coordinate math."""
+    import pyarrow as pa
+
+    from .codec import mvt
+    from .ops import export
+
+    pts = _event_points(spark, sf_dir)
+    tiles_df = export.mvt_tiles_points(pts, z=6, id_col="event_id")
+
+    def decode(batches):
+        for rb in batches:
+            txs = rb.column("tile_x").to_numpy()
+            tys = rb.column("tile_y").to_numpy()
+            nf, sqx, sqy, sid = [], [], [], []
+            for r in range(rb.num_rows):
+                layer = mvt.decode_tile(rb.column("bytes")[r].as_py())[0]
+                assert layer["version"] == 2 and layer["extent"] == 4096
+                qx = qy = ids = 0
+                for f in layer["features"]:
+                    pt = f["geometry"][0][0]
+                    qx += int(pt[0]); qy += int(pt[1]); ids += int(f["id"])
+                nf.append(len(layer["features"]))
+                sqx.append(qx); sqy.append(qy); sid.append(ids)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(txs, type=pa.int64()),
+                    pa.array(tys, type=pa.int64()),
+                    pa.array(nf, type=pa.int64()),
+                    pa.array(sqx, type=pa.int64()),
+                    pa.array(sqy, type=pa.int64()),
+                    pa.array(sid, type=pa.int64()),
+                ],
+                names=["tile_x", "tile_y", "n_features", "sum_qx", "sum_qy", "sum_id"],
+            )
+
+    return tiles_df.select("tile_x", "tile_y", "bytes").mapInArrow(
+        decode,
+        schema=(
+            "tile_x long, tile_y long, n_features bigint, sum_qx bigint, "
+            "sum_qy bigint, sum_id bigint"
+        ),
+    )
+
+
+def o_mvt_tiles() -> str:
+    # identical IEEE sequence as the kernel: lon0 = -180 + tile_x*5.625,
+    # lat_top = -90 + (tile_y+1)*2.8125 (both binary-exact), then
+    # floor((lon - lon0) / s * 4096) clamped to 4095
+    return f"""
+    WITH pts AS (
+      SELECT event_id, {_LON_EXPR} AS lon, {_LAT_EXPR} AS lat FROM events
+    ), t AS (
+      SELECT event_id, lon, lat,
+             CAST(floor((lon - CAST(-180 AS DOUBLE)) / CAST(360 AS DOUBLE) * CAST(64 AS DOUBLE)) AS BIGINT) AS tile_x,
+             CAST(floor((lat - CAST(-90 AS DOUBLE)) / CAST(180 AS DOUBLE) * CAST(64 AS DOUBLE)) AS BIGINT) AS tile_y
+      FROM pts
+    )
+    SELECT tile_x, tile_y,
+           count(*) AS n_features,
+           CAST(SUM(LEAST(floor((lon - (CAST(-180 AS DOUBLE) + CAST(tile_x AS DOUBLE) * CAST(5.625 AS DOUBLE)))
+                                / CAST(5.625 AS DOUBLE) * CAST(4096 AS DOUBLE)),
+                          CAST(4095 AS DOUBLE))) AS BIGINT) AS sum_qx,
+           CAST(SUM(LEAST(floor(((CAST(-90 AS DOUBLE) + (CAST(tile_y AS DOUBLE) + CAST(1 AS DOUBLE)) * CAST(2.8125 AS DOUBLE)) - lat)
+                                / CAST(2.8125 AS DOUBLE) * CAST(4096 AS DOUBLE)),
+                          CAST(4095 AS DOUBLE))) AS BIGINT) AS sum_qy,
+           SUM(event_id) AS sum_id
+    FROM t GROUP BY 1, 2
+    """
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -2075,6 +2152,7 @@ QUERIES = {
     "raster_zonal_stats": q_raster_zonal_stats,
     "tile_pyramid": q_tile_pyramid,
     "rasterize": q_rasterize,
+    "mvt_tiles": q_mvt_tiles,
 }
 
 def build_oracles() -> dict[str, str]:
@@ -2145,4 +2223,5 @@ def _build_oracles() -> dict[str, str]:
     "raster_zonal_stats": o_raster_zonal_stats(),
     "tile_pyramid": o_tile_pyramid(),
     "rasterize": o_rasterize(),
+    "mvt_tiles": o_mvt_tiles(),
     }

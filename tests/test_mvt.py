@@ -1,0 +1,211 @@
+"""MVT 2.1 codec: spec-golden byte layouts, wire round-trips, winding
+rules, Sutherland–Hodgman clipping, and the distributed tile sinks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from jpspark.codec import mvt
+from jpspark.geom import clip as gclip
+from jpspark.geom import wkb
+from jpspark.geom.cell import LAT0, LON0, LAT1, LON1
+from jpspark.ops import export
+
+
+# ----------------------------------------------------------- wire format
+
+def test_varint_zigzag_spec_values():
+    # protobuf canon: 1 -> 0x01, 300 -> 0xAC 0x02
+    assert mvt.uvarint(1) == b"\x01"
+    assert mvt.uvarint(300) == b"\xac\x02"
+    assert mvt.read_uvarint(b"\xac\x02", 0) == (300, 2)
+    # zigzag canon: 0->0, -1->1, 1->2, -2->3
+    assert [mvt.zigzag(v) for v in (0, -1, 1, -2, 2)] == [0, 1, 2, 3, 4]
+    for v in (0, 1, -1, 2**31, -(2**31), 12345, -98765):
+        assert mvt.unzigzag(mvt.zigzag(v)) == v
+
+
+def test_point_geometry_spec_golden():
+    """MVT spec 2.1 §4.3.5.1 example: a point at (25, 17) encodes to the
+    command stream [9, 50, 34]."""
+    assert mvt.point_geometry(np.array([25]), np.array([17])) == [9, 50, 34]
+
+
+def test_polygon_geometry_spec_golden():
+    """Spec §4.3.5.3 example polygon (3, 6)-(8, 12)-(20, 34): commands
+    [9, 6, 12, 18, 10, 12, 24, 44, 15]."""
+    ring = np.array([[3, 6], [8, 12], [20, 34]])
+    assert mvt.polygon_geometry([(ring, True)]) == [9, 6, 12, 18, 10, 12, 24, 44, 15]
+
+
+def test_minimal_tile_exact_bytes():
+    """Hand-assembled wire bytes for a one-layer, one-point tile — pins
+    the field numbers/ordering, not just self-consistency."""
+    feat = mvt.encode_feature([9, 50, 34], mvt.POINT, feature_id=7)
+    # feature: id=7 (field1 varint), type=1 (field3), geometry (field4 packed)
+    assert feat == bytes([0x08, 7, 0x18, 1, 0x22, 3, 9, 50, 34])
+    layer = mvt.encode_layer("pts", [feat], extent=4096)
+    expected_layer = (
+        bytes([0x78, 2])                       # version = 2 (field 15)
+        + bytes([0x0A, 3]) + b"pts"            # name (field 1)
+        + bytes([0x12, len(feat)]) + feat      # feature (field 2)
+        + bytes([0x28]) + mvt.uvarint(4096)    # extent (field 5)
+    )
+    assert layer == expected_layer
+    tile = mvt.encode_tile([layer])
+    assert tile == bytes([0x1A, len(layer)]) + layer
+
+
+def test_value_round_trip():
+    for v in ["hello", "日本語", 0, -5, 2**40, True, False, 3.25, -0.5]:
+        got = mvt.decode_value(mvt.encode_value(v))
+        assert got == v and type(got) is type(v)
+
+
+def test_tile_decode_round_trip_multi_feature():
+    rng = np.random.default_rng(42)
+    qx = rng.integers(0, 4096, 50)
+    qy = rng.integers(0, 4096, 50)
+    feats = [
+        mvt.encode_feature(
+            mvt.point_geometry(qx[i : i + 1], qy[i : i + 1]), mvt.POINT,
+            feature_id=i, tags=[0, i % 3],
+        )
+        for i in range(50)
+    ]
+    blob = mvt.encode_tile(
+        [mvt.encode_layer("L", feats, ["grp"], ["a", "b", "c"], extent=4096)]
+    )
+    layers = mvt.decode_tile(blob)
+    assert len(layers) == 1
+    L = layers[0]
+    assert (L["version"], L["name"], L["extent"]) == (2, "L", 4096)
+    assert L["keys"] == ["grp"] and L["values"] == ["a", "b", "c"]
+    assert len(L["features"]) == 50
+    for i, f in enumerate(L["features"]):
+        assert f["id"] == i and f["type"] == mvt.POINT
+        pt = f["geometry"][0]
+        assert (pt[0] == [qx[i], qy[i]]).all()
+        assert f["tags"] == [0, i % 3]
+
+
+def test_polygon_winding_normalized():
+    """Rings fed in either vertex order decode with spec-correct signs:
+    exterior positive screen area, interior negative."""
+    ext = np.array([[0, 0], [100, 0], [100, 100], [0, 100]])
+    hole = np.array([[25, 25], [75, 25], [75, 75], [25, 75]])
+    for flip_e in (ext, ext[::-1]):
+        for flip_h in (hole, hole[::-1]):
+            cmds = mvt.polygon_geometry([(flip_e, True), (flip_h, False)])
+            rings = mvt.decode_geometry(cmds, mvt.POLYGON)
+            assert len(rings) == 2
+            (r0, a0), (r1, a1) = rings
+            assert a0 > 0 and a1 < 0
+            assert abs(a0) == 2 * 100 * 100 and abs(a1) == 2 * 50 * 50
+
+
+def test_multilinestring_round_trip():
+    l1 = np.array([[2, 2], [2, 10], [10, 10]])
+    l2 = np.array([[1, 1], [3, 5]])
+    cmds = mvt.linestring_geometry([l1, l2])
+    # spec §4.3.5.2 golden for this exact multilinestring
+    assert cmds == [9, 4, 4, 18, 0, 16, 16, 0, 9, 17, 17, 10, 4, 8]
+    parts = mvt.decode_geometry(cmds, mvt.LINESTRING)
+    assert (parts[0] == l1).all() and (parts[1] == l2).all()
+
+
+# -------------------------------------------------------------- clipping
+
+def test_clip_ring_bbox_cases():
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], dtype=float)
+    # fully inside: unchanged vertex set
+    c = gclip.clip_ring_bbox(sq, -5, -5, 15, 15)
+    assert len(c) == 4 and wkb.ring_area(np.vstack([c, c[:1]])) == 100
+    # straddling: intersection is the overlap rectangle
+    c = gclip.clip_ring_bbox(sq, 5, 5, 20, 20)
+    assert abs(abs(wkb.ring_area(np.vstack([c, c[:1]]))) - 25) < 1e-12
+    # disjoint: empty
+    assert len(gclip.clip_ring_bbox(sq, 20, 20, 30, 30)) == 0
+    # clip box inside the ring: result IS the clip box
+    c = gclip.clip_ring_bbox(sq, 2, 2, 8, 8)
+    assert abs(abs(wkb.ring_area(np.vstack([c, c[:1]]))) - 36) < 1e-12
+
+
+def test_clip_triangle_area_exact():
+    tri = np.array([[0, 0], [40, 0], [0, 40]], dtype=float)
+    c = gclip.clip_ring_bbox(tri, 0, 0, 20, 20)
+    # triangle minus the corner cut: 20x20 square minus nothing... the
+    # hypotenuse x+y=40 misses the [0,20]^2 box entirely -> full square
+    assert abs(abs(wkb.ring_area(np.vstack([c, c[:1]]))) - 400) < 1e-12
+    c = gclip.clip_ring_bbox(tri, 10, 10, 40, 40)
+    # region: x>=10, y>=10, x+y<=40 -> triangle with legs 20 -> area 200
+    assert abs(abs(wkb.ring_area(np.vstack([c, c[:1]]))) - 200) < 1e-12
+
+
+# ----------------------------------------------------- distributed sinks
+
+def test_mvt_tiles_points_sink(spark):
+    z, extent = 4, 4096
+    sx, sy = (LON1 - LON0) / 16, (LAT1 - LAT0) / 16
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame(
+        {
+            "pid": np.arange(400),
+            "lon": rng.uniform(0, 40, 400),
+            "lat": rng.uniform(0, 40, 400),
+            "grp": [f"g{i % 3}" for i in range(400)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = export.mvt_tiles_points(
+        df, z, id_col="pid", attr_cols=("grp",), extent=extent
+    ).collect()
+    assert sum(r.n_features for r in out) == 400
+    seen = set()
+    for r in out:
+        L = mvt.decode_tile(bytes(r.bytes))[0]
+        assert L["version"] == 2 and L["extent"] == extent
+        lon0 = LON0 + r.tile_x * sx
+        lat_top = LAT0 + (r.tile_y + 1) * sy
+        for f in L["features"]:
+            seen.add(f["id"])
+            q = f["geometry"][0][0]
+            row = pdf[pdf.pid == f["id"]].iloc[0]
+            assert q[0] == min(int(np.floor((row.lon - lon0) / sx * extent)), extent - 1)
+            assert q[1] == min(int(np.floor((lat_top - row.lat) / sy * extent)), extent - 1)
+            assert 0 <= q[0] < extent and 0 <= q[1] < extent
+            # attribute round-trip through the keys/values pool
+            k, v = f["tags"][0], f["tags"][1]
+            assert L["keys"][k] == "grp" and L["values"][v] == row.grp
+    assert seen == set(range(400))
+
+
+def test_mvt_tiles_polygons_sink(spark):
+    """A polygon spanning 2x2 tiles at z=4: every covering tile carries a
+    clipped feature whose decoded screen-space area equals the polygon∩
+    (buffered tile) area to quantization accuracy."""
+    z, extent = 4, 4096
+    sx, sy = (LON1 - LON0) / 16, (LAT1 - LAT0) / 16
+    # a rectangle [5,40]x[2,20] (degrees) with a hole in one tile
+    ext_r = np.array([[5, 2], [40, 2], [40, 20], [5, 20], [5, 2]], dtype=float)
+    hole = np.array([[10, 5], [15, 5], [15, 9], [10, 9], [10, 5]], dtype=float)
+    polys = spark.createDataFrame(
+        pd.DataFrame({"poly_id": [1], "geom": [wkb.encode_multipolygon([[ext_r, hole]])]})
+    )
+    out = export.mvt_tiles_polygons(polys, z, id_col="poly_id", buffer_px=0).collect()
+    assert len(out) >= 4  # spans at least 2x2 tiles
+    px_area = 0.0
+    for r in out:
+        L = mvt.decode_tile(bytes(r.bytes))[0]
+        for f in L["features"]:
+            assert f["id"] == 1 and f["type"] == mvt.POLYGON
+            for ring, a2 in f["geometry"]:
+                px_area += a2 / 2.0
+    # net screen-space pixel area (holes negative) == geographic area
+    # scaled by pixels-per-degree, to quantization tolerance
+    geo_area = (35 * 18) - (5 * 4)
+    px_per_deg2 = (extent / sx) * (extent / sy)
+    assert abs(px_area / px_per_deg2 - geo_area) / geo_area < 2e-3
