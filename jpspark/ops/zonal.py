@@ -294,3 +294,183 @@ def rasterize(
         kernel,
         schema="tile_x long, tile_y long, tile_z int, w int, h int, fmt string, bytes binary",
     )
+
+
+def _trace_mask(mask: np.ndarray, lon_c: np.ndarray, lat_c: np.ndarray, collapse: bool):
+    """Trace the boundary of a pixel mask into geo-space rings.
+
+    ``lon_c``/``lat_c`` are the CORNER coordinate arrays (w+1 / h+1 values;
+    lat_c[0] = the tile's north edge, matching decoded-image row order).
+    Emits directed unit-pixel edges with the interior on the LEFT (so
+    exterior rings come out CCW in geo axes, holes CW), cancels nothing —
+    every mask pixel contributes its exposed sides — then chains edges
+    into closed rings. With ``collapse`` the collinear runs are merged for
+    compact output; without it, rings keep unit-pixel vertices so shared
+    tile-border segments are bit-identical across adjacent tiles and
+    cancel under wkb.dissolve_boundary (the cross-tile merge path).
+
+    Returns (polys, n_edges): polys as [[exterior, holes...], ...] in geo
+    coords, n_edges the count of boundary unit segments (= the perimeter
+    in pixel units — the SQL-replayable invariant).
+    """
+    h, w = mask.shape
+    pad = np.zeros((h + 2, w + 2), dtype=bool)
+    pad[1:-1, 1:-1] = mask
+    top = mask & ~pad[:-2, 1:-1]     # exposed north side (row above)
+    bot = mask & ~pad[2:, 1:-1]      # exposed south side
+    left = mask & ~pad[1:-1, :-2]
+    right = mask & ~pad[1:-1, 2:]
+    n_edges = int(top.sum() + bot.sum() + left.sum() + right.sum())
+
+    # directed edges in corner-index space (ci, ri): interior on the left.
+    # row r's north corners are ri=r, south corners ri=r+1 (lat decreasing
+    # with ri). CCW-in-geo: south side heads east, north side west, west
+    # side heads south(ri+), east side heads north(ri-).
+    succ: dict[tuple[int, int], list[tuple[int, int]]] = {}
+
+    def add(frm, to):
+        succ.setdefault(frm, []).append(to)
+
+    for r, c in zip(*np.nonzero(bot)):
+        add((c, r + 1), (c + 1, r + 1))
+    for r, c in zip(*np.nonzero(top)):
+        add((c + 1, r), (c, r))
+    for r, c in zip(*np.nonzero(left)):
+        add((c, r), (c, r + 1))
+    for r, c in zip(*np.nonzero(right)):
+        add((c + 1, r + 1), (c + 1, r))
+
+    rings: list[np.ndarray] = []
+    while succ:
+        start = next(iter(succ))
+        path = [start]
+        cur = start
+        while True:
+            nxts = succ[cur]
+            nxt = nxts.pop()
+            if not nxts:
+                del succ[cur]
+            if nxt == start:
+                break
+            path.append(nxt)
+            cur = nxt
+        idx = np.array(path + [start], dtype=np.int64)
+        ring = np.empty((len(idx), 2), dtype=np.float64)
+        ring[:, 0] = lon_c[idx[:, 0]]
+        ring[:, 1] = lat_c[idx[:, 1]]
+        if collapse:
+            d = np.diff(ring, axis=0)
+            keep = np.ones(len(ring), dtype=bool)
+            # drop interior vertices whose in/out directions are collinear
+            keep[1:-1] = (d[1:, 0] * d[:-1, 1]) != (d[1:, 1] * d[:-1, 0])
+            ring = ring[keep]
+        rings.append(ring)
+
+    # group holes under the exterior that contains them (rectilinear exact
+    # nesting: a hole's first vertex is strictly inside its parent)
+    exts = [(r, wkb.ring_area(r)) for r in rings if wkb.ring_area(r) > 0]
+    holes = [r for r in rings if wkb.ring_area(r) <= 0]
+    polys: list[list[np.ndarray]] = [[r] for r, _ in exts]
+    if holes:
+        from ..geom import pip as _pip
+
+        px_w = float(lon_c[1] - lon_c[0])
+        px_h = float(lat_c[0] - lat_c[1])
+        for hole in holes:
+            # witness strictly inside the enclosed region: midpoint of the
+            # first edge, offset half a pixel to the RIGHT of travel (the
+            # value interior is on the left, so the hole's inside is right)
+            mx, my = (hole[0] + hole[1]) / 2.0
+            dx, dy = hole[1] - hole[0]
+            if dy == 0:  # horizontal edge: right normal is (0, -sign(dx))
+                wx, wy = mx, my - np.sign(dx) * 0.5 * px_h
+            else:  # vertical edge: right normal is (sign(dy), 0)
+                wx, wy = mx + np.sign(dy) * 0.5 * px_w, my
+            best, best_area = None, None
+            for i, (ext, area) in enumerate(exts):
+                if _pip.points_in_polygon(np.array([wx]), np.array([wy]), [ext])[0] and (
+                    best_area is None or area < best_area
+                ):
+                    best, best_area = i, area
+            if best is None:
+                raise ValueError("polygonize: hole ring not contained by any exterior")
+            polys[best].append(hole)
+    return polys, n_edges
+
+
+def polygonize(
+    tiles: DataFrame,
+    *,
+    z: int,
+    background: int = 0,
+    collapse: bool = True,
+) -> DataFrame:
+    """Raster→vector: extract, per tile and per distinct band-0 value, the
+    boundary multipolygon of that value's pixel region — the inverse of
+    :func:`rasterize` (GDAL's polygonize). Pixel squares with equal values
+    merge via shared-edge cancellation; holes become interior rings.
+
+    100-TB shape: pure ``mapInArrow`` over the tile table — zero shuffle,
+    every tile traces independently (work O(pixels) per tile). The output
+    composes with ``ops.dissolve.dissolve(..., boundary=True)`` for the
+    cross-tile merge: with ``collapse=False`` ring vertices stay on the
+    unit pixel grid, whose coordinates are bit-identical across adjacent
+    tiles (binary-exact corner math), so shared tile-border edges cancel
+    exactly and the merged layer has no tile seams.
+
+    Output: (tile_x, tile_y, zone_value, n_px, n_edges, n_rings, geom).
+    """
+    from typing import Iterator as _It
+
+    sx = (LON1 - LON0) / float(1 << z)
+    sy = (LAT1 - LAT0) / float(1 << z)
+    src = tiles.select(
+        F.col("tile_x").cast("long"), F.col("tile_y").cast("long"), "w", "h", "fmt", "bytes"
+    )
+
+    def kernel(batches: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
+        for rb in batches:
+            txs = rb.column("tile_x").to_numpy()
+            tys = rb.column("tile_y").to_numpy()
+            ws = rb.column("w").to_numpy()
+            hs = rb.column("h").to_numpy()
+            o_tx, o_ty, o_val, o_npx, o_ne, o_nr, o_geom = [], [], [], [], [], [], []
+            for r in range(rb.num_rows):
+                band = img.decode(
+                    rb.column("bytes")[r].as_py(), rb.column("fmt")[r].as_py()
+                )[:, :, 0]
+                w, h = int(ws[r]), int(hs[r])
+                tx, ty = int(txs[r]), int(tys[r])
+                lon0 = LON0 + tx * sx
+                lat_top = LAT0 + (ty + 1) * sy
+                lon_c = lon0 + np.arange(w + 1, dtype=np.float64) * (sx / w)
+                lat_c = lat_top - np.arange(h + 1, dtype=np.float64) * (sy / h)
+                for v in np.unique(band):
+                    if int(v) == background:
+                        continue
+                    mask = band == v
+                    polys, n_edges = _trace_mask(mask, lon_c, lat_c, collapse)
+                    o_tx.append(tx); o_ty.append(ty); o_val.append(int(v))
+                    o_npx.append(int(mask.sum())); o_ne.append(n_edges)
+                    o_nr.append(sum(len(p) for p in polys))
+                    o_geom.append(wkb.encode_multipolygon(polys))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_tx, type=pa.int64()),
+                    pa.array(o_ty, type=pa.int64()),
+                    pa.array(o_val, type=pa.int64()),
+                    pa.array(o_npx, type=pa.int64()),
+                    pa.array(o_ne, type=pa.int64()),
+                    pa.array(o_nr, type=pa.int32()),
+                    pa.array(o_geom, type=pa.binary()),
+                ],
+                names=["tile_x", "tile_y", "zone_value", "n_px", "n_edges", "n_rings", "geom"],
+            )
+
+    return src.mapInArrow(
+        kernel,
+        schema=(
+            "tile_x long, tile_y long, zone_value long, n_px long, "
+            "n_edges long, n_rings int, geom binary"
+        ),
+    )

@@ -2008,6 +2008,76 @@ ORDER BY tile_x, tile_y
 """
 
 
+def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector polygonize (ops/zonal.py): burn the zone layer into
+    tiles (same construction as the rasterize query), then trace each
+    tile's per-value pixel regions back into boundary multipolygons and
+    emit per (tile, value) the pixel count and the boundary-edge count
+    (perimeter in pixel units). The DuckDB oracle replays the burn rule
+    per pixel and counts boundary edges with four neighbor self-joins —
+    a fully independent re-derivation of the traced topology's invariants
+    (ring closure and exact geometry are pinned by the pytest round-trip:
+    rasterize → polygonize → boundary dissolve is bit-identical)."""
+    from .ops import zonal
+
+    _, zones_raw = _zonal_fixture(spark)
+    zones = zones_raw.withColumn(
+        "burn",
+        F.when(F.col("zone_id") == "box", 200)
+        .when(F.col("zone_id") == "tri", 100)
+        .otherwise(50),
+    )
+    grid = spark.createDataFrame(
+        pd.DataFrame(
+            [(tx, ty) for ty in range(8, 12) for tx in range(8, 12)],
+            columns=["tile_x", "tile_y"],
+        )
+    )
+    burned = zonal.rasterize(grid, zones, z=4, w=32, h=32)
+    vec = zonal.polygonize(burned, z=4)
+    return vec.select("tile_x", "tile_y", "zone_value", "n_px", "n_edges").orderBy(
+        "tile_x", "tile_y", "zone_value"
+    )
+
+
+def o_polygonize() -> str:
+    return """
+WITH px AS (
+  SELECT gxs.g AS gx, gys.g AS gy,
+         -180.0 + (CAST(gxs.g AS DOUBLE) + 0.5) * 0.703125  AS lon,
+         -90.0  + (CAST(gys.g AS DOUBLE) + 0.5) * 0.3515625 AS lat
+  FROM generate_series(256, 383) gxs(g), generate_series(256, 383) gys(g)
+), burned AS (
+  SELECT gx, gy, GREATEST(
+    CASE WHEN lon >= 10 AND lon < 40 AND lat >= 5 AND lat < 30 THEN 200 ELSE 0 END,
+    CASE WHEN lon >= 0 AND lat >= 0 AND lon + lat <= 45 THEN 100 ELSE 0 END,
+    CASE WHEN (lon >= 50 AND lon < 70 AND lat >= 40 AND lat < 60)
+           OR (lon >= 80 AND lon < 100 AND lat >= 0 AND lat < 20) THEN 50 ELSE 0 END
+  ) AS v
+  FROM px
+), t AS (
+  SELECT gx, gy, gx // 32 AS tx, gy // 32 AS ty, v FROM burned WHERE v > 0
+)
+SELECT CAST(t.tx AS BIGINT) AS tile_x,
+       CAST(t.ty AS BIGINT) AS tile_y,
+       CAST(t.v AS BIGINT) AS zone_value,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(
+           (CASE WHEN nl.v = t.v AND (t.gx - 1) // 32 = t.tx THEN 0 ELSE 1 END)
+         + (CASE WHEN nr.v = t.v AND (t.gx + 1) // 32 = t.tx THEN 0 ELSE 1 END)
+         + (CASE WHEN nd.v = t.v AND (t.gy - 1) // 32 = t.ty THEN 0 ELSE 1 END)
+         + (CASE WHEN nu.v = t.v AND (t.gy + 1) // 32 = t.ty THEN 0 ELSE 1 END)
+       ) AS BIGINT) AS n_edges
+FROM t
+LEFT JOIN burned nl ON nl.gx = t.gx - 1 AND nl.gy = t.gy
+LEFT JOIN burned nr ON nr.gx = t.gx + 1 AND nr.gy = t.gy
+LEFT JOIN burned nd ON nd.gx = t.gx AND nd.gy = t.gy - 1
+LEFT JOIN burned nu ON nu.gx = t.gx AND nu.gy = t.gy + 1
+GROUP BY 1, 2, 3
+ORDER BY tile_x, tile_y, zone_value
+"""
+
+
 def q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mapbox Vector Tile sink (codec/mvt.py + export.mvt_tiles_points):
     encode event points into one spec-2.1 MVT blob per z=6 tile, then
@@ -2152,6 +2222,7 @@ QUERIES = {
     "raster_zonal_stats": q_raster_zonal_stats,
     "tile_pyramid": q_tile_pyramid,
     "rasterize": q_rasterize,
+    "polygonize": q_polygonize,
     "mvt_tiles": q_mvt_tiles,
 }
 
@@ -2223,5 +2294,6 @@ def _build_oracles() -> dict[str, str]:
     "raster_zonal_stats": o_raster_zonal_stats(),
     "tile_pyramid": o_tile_pyramid(),
     "rasterize": o_rasterize(),
+    "polygonize": o_polygonize(),
     "mvt_tiles": o_mvt_tiles(),
     }

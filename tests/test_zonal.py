@@ -229,3 +229,98 @@ def test_rasterize_zonal_roundtrip(spark):
         z=Z,
     ).collect()[0]
     assert total["sum_v"] == 77 * n_west + 133 * n_east
+
+
+# ------------------------------------------------------------ polygonize
+
+PXW = (LON1 - LON0) / (1 << Z) / W
+PXH = (LAT1 - LAT0) / (1 << Z) / H
+
+
+def _corners(n):
+    return np.arange(n + 1, dtype=np.float64)
+
+
+def test_trace_mask_block_and_hole():
+    mask = np.zeros((8, 8), dtype=bool)
+    mask[2:4, 3:5] = True  # 2x2 block
+    polys, n_edges = zonal._trace_mask(mask, _corners(8), 8.0 - _corners(8), True)
+    assert n_edges == 8 and len(polys) == 1 and len(polys[0]) == 1
+    assert len(polys[0][0]) == 5  # collapsed rectangle (closed)
+    assert abs(wkb.ring_area(polys[0][0]) - 4.0) < 1e-12
+
+    mask = np.zeros((8, 8), dtype=bool)
+    mask[1:6, 1:6] = True
+    mask[3, 3] = False  # 1-px hole
+    polys, n_edges = zonal._trace_mask(mask, _corners(8), 8.0 - _corners(8), True)
+    assert n_edges == 20 + 4
+    assert len(polys) == 1 and len(polys[0]) == 2  # exterior + hole
+    assert abs(wkb.ring_area(polys[0][0]) - 25.0) < 1e-12
+    assert abs(wkb.ring_area(polys[0][1]) + 1.0) < 1e-12  # hole CW (negative)
+
+
+def test_trace_mask_checkerboard_corner():
+    """Two diagonal pixels share a corner (degree-2 vertex): rings must
+    still close, with total area 2 and 8 boundary edges."""
+    mask = np.array([[1, 0], [0, 1]], dtype=bool)
+    polys, n_edges = zonal._trace_mask(mask, _corners(2), 2.0 - _corners(2), True)
+    assert n_edges == 8
+    total = sum(wkb.ring_area(r) for p in polys for r in p)
+    assert abs(total - 2.0) < 1e-12
+    for p in polys:
+        for r in p:
+            assert (r[0] == r[-1]).all()  # closed
+
+
+def test_polygonize_rasterize_roundtrip(spark):
+    """rasterize -> polygonize -> boundary dissolve recovers the original
+    pixel-aligned rectangles EXACTLY (bit-identical corner coordinates),
+    proving the two operators are mutual inverses on the pixel grid and
+    that cross-tile seams cancel under dissolve_boundary."""
+    from jpspark.ops import dissolve as dis
+
+    # both rects sit on pixel corners (multiples of PXW/PXH from the origin)
+    west = (0.0, 0.0, 16 * PXW, 16 * PXH)        # spans tiles (8,8)..(8,8)
+    east = (40 * PXW, 8 * PXH, 72 * PXW, 40 * PXH)  # spans 2x2 tiles
+    zones_pdf = pd.DataFrame(
+        {
+            "zone_id": ["west", "east"],
+            "geom": [
+                wkb.encode_multipolygon(
+                    [[np.array([[west[0], west[1]], [west[2], west[1]],
+                                [west[2], west[3]], [west[0], west[3]],
+                                [west[0], west[1]]])]]
+                ),
+                wkb.encode_multipolygon(
+                    [[np.array([[east[0], east[1]], [east[2], east[1]],
+                                [east[2], east[3]], [east[0], east[3]],
+                                [east[0], east[1]]])]]
+                ),
+            ],
+            "burn": [77, 133],
+        }
+    )
+    grid = spark.createDataFrame(
+        pd.DataFrame(
+            [(tx, ty) for ty in range(TY0, TY0 + NY) for tx in range(TX0, TX0 + NX)],
+            columns=["tile_x", "tile_y"],
+        )
+    )
+    burned = zonal.rasterize(grid, spark.createDataFrame(zones_pdf), z=Z, w=W, h=H)
+    vec = zonal.polygonize(burned, z=Z, collapse=False)
+    merged = dis.dissolve(vec, ["zone_value"], boundary=True).collect()
+    by_val = {r["zone_value"]: r for r in merged}
+    assert set(by_val) == {77, 133}
+    for val, rect in ((77, west), (133, east)):
+        r = by_val[val]
+        # bbox bit-identical to the input rectangle
+        assert (r["xmin"], r["ymin"], r["xmax"], r["ymax"]) == rect
+        assert r["n_parts"] == 1
+        exp_area = (rect[2] - rect[0]) * (rect[3] - rect[1])
+        assert abs(r["area"] - exp_area) < 1e-9
+    # per-tile pixel counts add up to the rect pixel counts
+    npx = {
+        int(v): int(n)
+        for v, n in vec.groupBy("zone_value").sum("n_px").collect()
+    }
+    assert npx == {77: 16 * 16, 133: 32 * 32}
