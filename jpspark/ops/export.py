@@ -307,6 +307,7 @@ def mvt_tiles_polygons(
     geom_col: str = "geom",
     extent: int = 4096,
     buffer_px: int = 8,
+    simplify_px: float = 0.0,
     layer_name: str = "polygons",
 ) -> DataFrame:
     """Distributed vector-tile sink, polygon features: polygons explode
@@ -321,9 +322,15 @@ def mvt_tiles_polygons(
     emitted as interior rings; a hole partially cut by the tile edge is
     clipped per-ring (the standard tiling approximation — ``buffer_px``
     pushes the artifact outside the rendered area).
+
+    ``simplify_px``: Douglas–Peucker tolerance in tile PIXELS (of
+    ``extent``) applied to each clipped ring before quantization — the
+    generalization tippecanoe performs; detail below one pixel cannot
+    render anyway. 0 disables.
     """
     from ..codec import mvt
     from ..geom import clip as gclip
+    from ..geom import simplify as simp
     from ..geom.cell import LAT0, LON0, LAT1, LON1
     from . import tiles as tile_ops
 
@@ -348,6 +355,14 @@ def mvt_tiles_polygons(
                     c = gclip.clip_ring_bbox(ring, cx0, cy0, cx1, cy1)
                     if len(c) < 3:
                         continue
+                    if simplify_px > 0:
+                        # tolerance in degrees ~ anisotropic px: use the
+                        # finer axis so deviation never exceeds the budget
+                        tol = simplify_px * min(sx, sy) / extent
+                        c = simp.simplify_ring(np.vstack([c, c[:1]]), tol)
+                        if len(c) == 0:
+                            continue
+                        c = c[:-1]
                     q = np.empty_like(c)
                     q[:, 0] = np.rint((c[:, 0] - lon0) / sx * extent)
                     q[:, 1] = np.rint((lat_top - c[:, 1]) / sy * extent)

@@ -2078,6 +2078,65 @@ ORDER BY tile_x, tile_y, zone_value
 """
 
 
+def q_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas–Peucker generalization (geom/simplify.py) as a distributed
+    grouped op: five deterministic polylines (four straight runs with
+    sub-tolerance jitter + one zigzag whose corners are 5× tolerance)
+    simplify per group under ``applyInPandas``. The retained vertex SET
+    is closed-form — jittered runs collapse to their endpoints (every
+    interior deviation ≤ 0.2·tol), the zigzag keeps exactly its corners
+    (each ≥ 5·tol from any chord of retained neighbors, interpolated
+    points are convex combinations so never the argmax) — and DP never
+    invents coordinates, so the oracle just emits the construction
+    formula's values for the retained indices."""
+    from .geom import simplify as simp
+
+    TOL = 0.001
+    rows = []
+    for e in range(4):  # jittered straight runs
+        for i in range(33):
+            if i in (0, 32):
+                y = 0.0
+            else:
+                y = ((e * 37 + i) * 2654435761 % 1000) / 1000.0 * (0.4 * TOL) - (0.2 * TOL)
+            rows.append((e, i, e * 10.0 + i * 0.25, y))
+    for i in range(33):  # zigzag: corners every 4th vertex, amp 5·tol
+        k, t = i // 4, (i % 4) / 4.0
+        x0, y0 = float(k), 0.005 * (k % 2)
+        x1, y1 = float(k + 1), 0.005 * ((k + 1) % 2)
+        rows.append((4, i, x0 + t * (x1 - x0), y0 + t * (y1 - y0)))
+    src = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["line_id", "seq", "x", "y"])
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seq").reset_index(drop=True)
+        keep = simp.dp_mask(pdf[["x", "y"]].to_numpy(np.float64), TOL)
+        return pdf.loc[keep, ["line_id", "seq", "x", "y"]]
+
+    return (
+        src.groupBy("line_id")
+        .applyInPandas(kernel, schema="line_id int, seq int, x double, y double")
+        .orderBy("line_id", "seq")
+    )
+
+
+def o_simplify() -> str:
+    return """
+    SELECT CAST(e.e AS INTEGER) AS line_id, CAST(i.i AS INTEGER) AS seq,
+           CAST(e.e AS DOUBLE) * CAST(10 AS DOUBLE)
+             + CAST(i.i AS DOUBLE) * CAST(0.25 AS DOUBLE) AS x,
+           CAST(0 AS DOUBLE) AS y
+    FROM (VALUES (0), (1), (2), (3)) e(e), (VALUES (0), (32)) i(i)
+    UNION ALL
+    SELECT 4 AS line_id, CAST(4 * k AS INTEGER) AS seq,
+           CAST(k AS DOUBLE) AS x,
+           CAST(0.005 AS DOUBLE) * CAST(k % 2 AS DOUBLE) AS y
+    FROM generate_series(0, 8) t(k)
+    ORDER BY line_id, seq
+    """
+
+
 def q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mapbox Vector Tile sink (codec/mvt.py + export.mvt_tiles_points):
     encode event points into one spec-2.1 MVT blob per z=6 tile, then
@@ -2224,6 +2283,7 @@ QUERIES = {
     "rasterize": q_rasterize,
     "polygonize": q_polygonize,
     "mvt_tiles": q_mvt_tiles,
+    "simplify_dp": q_simplify,
 }
 
 def build_oracles() -> dict[str, str]:
@@ -2296,4 +2356,5 @@ def _build_oracles() -> dict[str, str]:
     "rasterize": o_rasterize(),
     "polygonize": o_polygonize(),
     "mvt_tiles": o_mvt_tiles(),
+    "simplify_dp": o_simplify(),
     }
