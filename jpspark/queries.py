@@ -2214,6 +2214,111 @@ def o_mvt_tiles() -> str:
     """
 
 
+def q_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed image+caption curation pipeline over the input_hint
+    table shape (image_id, bytes, w, h, fmt, caption, phash): distributed
+    SYNTH (part rows → encoded image bytes in 5 formats, caption =
+    p_name) → kernel DECODE + pHash → near-dup removal via the
+    guaranteed-recall Hamming block join (keep a row iff no neighbor
+    within Hamming ≤ 8 has a smaller image_id) → caption curation filter
+    → per-format audit counts.
+
+    The oracle never sees bytes or hashes: it replays dedup through the
+    construction congruence (pattern = p_partkey % 50). The two rules
+    agree iff pHash-after-decode clusters EXACTLY by pattern across all
+    five codecs (measured gap: intra-pattern ≤ 4 bits, inter ≥ 14) — so
+    any decode or pHash regression, in any codec, diverges the counts.
+    Formats decorrelate from patterns ((k//50) % 5), so every pattern
+    group mixes lossless and lossy renders."""
+    from .codec import image as img_codec
+    from .codec.phash import phash64
+    from .ops import similarity
+
+    FMTS = ("raw", "ppm", "png", "qlossy", "jpeg")
+    src = (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", "p_name")
+        .filter(F.col("p_partkey") <= 400)
+    )
+
+    def synth(batches):
+        from . import fixtures as fx
+
+        for pdf in batches:
+            ks = pdf["p_partkey"].to_numpy()
+            bufs, fs = [], []
+            for k in ks:
+                f = FMTS[(int(k) // 50) % 5]
+                bufs.append(img_codec.encode(fx.pixel_pattern(int(k) % 50, 32, 32), f))
+                fs.append(f)
+            yield pd.DataFrame(
+                {
+                    "image_id": [f"img{int(k):012d}" for k in ks],
+                    "bytes": bufs,
+                    "w": np.full(len(ks), 32, dtype=np.int32),
+                    "h": np.full(len(ks), 32, dtype=np.int32),
+                    "fmt": fs,
+                    "caption": pdf["p_name"].astype(str),
+                }
+            )
+
+    imgs = src.mapInPandas(
+        synth, "image_id string, bytes binary, w int, h int, fmt string, caption string"
+    )
+
+    def dec(batches):
+        for pdf in batches:
+            phs = [
+                np.int64(
+                    np.uint64(
+                        int(phash64(img_codec.decode(bytes(b), str(f))))
+                        & 0xFFFFFFFFFFFFFFFF
+                    )
+                )
+                for b, f in zip(pdf["bytes"], pdf["fmt"])
+            ]
+            yield pdf.assign(phash=np.array(phs, dtype=np.int64))[
+                ["image_id", "fmt", "caption", "phash"]
+            ]
+
+    ann = imgs.mapInPandas(dec, "image_id string, fmt string, caption string, phash long")
+    pairs = similarity.phash_neardup_pairs(
+        ann.select("image_id", "phash"), max_hamming=8
+    )
+    dropped = pairs.select(F.col("id_b").alias("image_id")).distinct()
+    flagged = ann.join(
+        dropped.withColumn("is_dup", F.lit(True)), "image_id", "left"
+    ).withColumn("kept", F.col("is_dup").isNull())
+    curated = F.col("kept") & (F.length("caption") >= 10)
+    return flagged.groupBy("fmt").agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.sum(curated.cast("long")).alias("n_curated"),
+        F.sum(F.when(curated, F.length("caption")).otherwise(0)).alias("sum_caption_len"),
+    )
+
+
+def o_multimodal_curation() -> str:
+    return """
+    WITH src AS (
+      SELECT p_partkey AS k, p_name AS caption FROM part WHERE p_partkey <= 400
+    ), ann AS (
+      SELECT k, caption,
+             ['raw','ppm','png','qlossy','jpeg'][((k // 50) % 5) + 1] AS fmt,
+             MIN(k) OVER (PARTITION BY k % 50) AS keeper
+      FROM src
+    )
+    SELECT fmt,
+           COUNT(*) AS n_images,
+           CAST(SUM(CASE WHEN k = keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN k = keeper AND length(caption) >= 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_curated,
+           CAST(SUM(CASE WHEN k = keeper AND length(caption) >= 10
+                         THEN length(caption) ELSE 0 END) AS BIGINT) AS sum_caption_len
+    FROM ann GROUP BY fmt
+    """
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -2284,6 +2389,7 @@ QUERIES = {
     "polygonize": q_polygonize,
     "mvt_tiles": q_mvt_tiles,
     "simplify_dp": q_simplify,
+    "multimodal_curation": q_multimodal_curation,
 }
 
 def build_oracles() -> dict[str, str]:
@@ -2357,4 +2463,5 @@ def _build_oracles() -> dict[str, str]:
     "polygonize": o_polygonize(),
     "mvt_tiles": o_mvt_tiles(),
     "simplify_dp": o_simplify(),
+    "multimodal_curation": o_multimodal_curation(),
     }
