@@ -182,3 +182,59 @@ def cover_bbox(xmin: float, ymin: float, xmax: float, ymax: float, res: int) -> 
 def cell_size_deg(res: int) -> tuple[float, float]:
     n = 1 << res
     return (LON1 - LON0) / n, (LAT1 - LAT0) / n
+
+
+def compact(cells) -> np.ndarray:
+    """H3 ``compact`` analog: repeatedly replace every COMPLETE sibling
+    quartet in the input set with its parent, producing the minimal
+    mixed-resolution cover of the same region. Input may already be
+    mixed-resolution; duplicates are removed. Fully vectorized per level
+    (unique-with-counts on parent ids).
+
+    At 10^12 rows this is what keeps a polygon's cell cover broadcastable:
+    an aligned region of 4^k fine cells collapses to one coarse id, so
+    cover size tracks boundary length, not area."""
+    cur = np.unique(np.asarray(cells, dtype=np.int64))
+    out = []
+    while len(cur):
+        res = resolution(cur)
+        top = int(res.max())
+        if top == 0:
+            out.append(cur)
+            break
+        at_top = cur[res == top]
+        rest = cur[res != top]
+        par = parent(at_top, top - 1)
+        uniq, inv, counts = np.unique(par, return_inverse=True, return_counts=True)
+        full = counts[inv] == 4
+        out.append(at_top[~full])
+        promoted = uniq[counts == 4]
+        # promoted cells re-enter at res top-1 and may merge again there;
+        # coarser input cells keep descending the loop until res 0
+        cur = np.union1d(rest, promoted)
+    return np.sort(np.concatenate(out)) if out else np.empty(0, dtype=np.int64)
+
+
+def uncompact(cells, res: int) -> np.ndarray:
+    """H3 ``uncompact`` analog: expand every cell to its descendants at
+    ``res`` (cells already at ``res`` pass through). Vectorized with one
+    broadcast per distinct source resolution."""
+    c = np.asarray(cells, dtype=np.int64).ravel()
+    if len(c) == 0:
+        return c
+    r = resolution(c)
+    if np.any(r > res):
+        raise ValueError("uncompact target res must be >= every cell's res")
+    out = []
+    for r0 in np.unique(r):
+        d = int(res - r0)
+        x, y, _ = to_xy(c[r == r0])
+        if d == 0:
+            out.append(from_xy(x, y, res))
+            continue
+        side = 1 << d
+        off = np.arange(side, dtype=np.int64)
+        cx = (x[:, None, None] << d) + off[None, :, None]
+        cy = (y[:, None, None] << d) + off[None, None, :]
+        out.append(from_xy(cx, cy, res).ravel())
+    return np.sort(np.concatenate(out))

@@ -2214,6 +2214,58 @@ def o_mvt_tiles() -> str:
     """
 
 
+def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-analog cover compaction (geom/cell.py compact/uncompact): the
+    distinct res-6 cells of the event points are compacted IN PARALLEL —
+    grouped by their res-2 ancestor, valid because sibling merges can
+    never cross an aligned ancestor boundary — then uncompacted back to
+    res 6. The oracle is the closed-form distinct-tile aggregate: any
+    wrongly-merged (incomplete) quartet or mis-expanded child changes
+    the cell count or coordinate sums."""
+    from .geom import cell as cell_mod
+
+    pts = _event_points(spark, sf_dir)
+    cells = tiles.tile_assign(pts, z=6).select("cell_id").distinct()
+    # res-2 ancestor key, pure column math: drop the res field, shift the
+    # interleaved bits by 2*(6-2)
+    anc = F.shiftrightunsigned(
+        F.col("cell_id").bitwiseAND(F.lit((1 << 58) - 1)), 8
+    ).alias("anc")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = cell_mod.compact(pdf["cell_id"].to_numpy(np.int64))
+        back = cell_mod.uncompact(c, 6)
+        x, y, _ = cell_mod.to_xy(back)
+        return pd.DataFrame({"x": x.astype(np.int64), "y": y.astype(np.int64)})
+
+    expanded = (
+        cells.select("cell_id", anc)
+        .groupBy("anc")
+        .applyInPandas(lambda pdf: kernel(pdf), schema="x long, y long")
+    )
+    return expanded.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+    )
+
+
+def o_cell_compact() -> str:
+    return f"""
+    WITH pts AS (SELECT {_LON_EXPR} AS lon, {_LAT_EXPR} AS lat FROM events),
+    t AS (
+      SELECT DISTINCT
+        CAST(floor((lon - CAST(-180 AS DOUBLE)) / CAST(360 AS DOUBLE) * CAST(64 AS DOUBLE)) AS BIGINT) AS x,
+        CAST(floor((lat - CAST(-90 AS DOUBLE)) / CAST(180 AS DOUBLE) * CAST(64 AS DOUBLE)) AS BIGINT) AS y
+      FROM pts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(x) AS BIGINT) AS sum_x,
+           CAST(SUM(y) AS BIGINT) AS sum_y
+    FROM t
+    """
+
+
 def q_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed image+caption curation pipeline over the input_hint
     table shape (image_id, bytes, w, h, fmt, caption, phash): distributed
@@ -2390,6 +2442,7 @@ QUERIES = {
     "mvt_tiles": q_mvt_tiles,
     "simplify_dp": q_simplify,
     "multimodal_curation": q_multimodal_curation,
+    "cell_compact": q_cell_compact,
 }
 
 def build_oracles() -> dict[str, str]:
@@ -2464,4 +2517,5 @@ def _build_oracles() -> dict[str, str]:
     "mvt_tiles": o_mvt_tiles(),
     "simplify_dp": o_simplify(),
     "multimodal_curation": o_multimodal_curation(),
+    "cell_compact": o_cell_compact(),
     }

@@ -306,3 +306,55 @@ def test_dissolve_boundary_disjoint_islands_stay_separate():
 def test_dissolve_boundary_rejects_coincident_parts():
     with pytest.raises(ValueError, match="same direction"):
         wkb.dissolve_boundary([_mp(_sq(0, 0)), _mp(_sq(0, 0))])
+
+
+# ----------------------------------------------------- compact/uncompact
+
+def test_cell_compact_roundtrip_and_alignment():
+    import numpy as np
+
+    from jpspark.geom import cell
+
+    rng = np.random.default_rng(0)
+    s = np.unique(cell.from_xy(rng.integers(0, 256, 5000), rng.integers(0, 256, 5000), 8))
+    assert (cell.uncompact(cell.compact(s), 8) == s).all()
+    # aligned 16x16 block -> one res-4 cell
+    xs, ys = np.meshgrid(np.arange(16), np.arange(16))
+    blk = cell.from_xy(xs.ravel() + 32, ys.ravel() + 64, 8)
+    cc = cell.compact(blk)
+    assert len(cc) == 1 and int(cell.resolution(cc)[0]) == 4
+    assert (cell.compact(cc) == cc).all()  # idempotent
+    # full plane collapses to the root cell
+    xs, ys = np.meshgrid(np.arange(256), np.arange(256))
+    allc = cell.from_xy(xs.ravel(), ys.ravel(), 8)
+    top = cell.compact(allc)
+    assert len(top) == 1 and int(cell.resolution(top)[0]) == 0
+
+
+def test_cell_compact_coarse_quartets_merge():
+    """A complete quartet at a coarser level must merge even when the
+    finest level has nothing to promote (regression for the level loop)."""
+    import numpy as np
+
+    from jpspark.geom import cell
+
+    q = cell.from_xy(np.array([2, 3, 2, 3]), np.array([4, 4, 5, 5]), 3)
+    lone = cell.from_xy(np.array([100]), np.array([100]), 8)
+    got = cell.compact(np.concatenate([q, lone]))
+    assert len(got) == 2
+    assert sorted(cell.resolution(got).tolist()) == [2, 8]
+    # uncompact refuses res below a member's res
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cell.uncompact(got, 3)
+
+
+def test_cell_compact_incomplete_quartet_untouched():
+    import numpy as np
+
+    from jpspark.geom import cell
+
+    trio = cell.from_xy(np.array([2, 3, 2]), np.array([4, 4, 5]), 3)
+    got = cell.compact(trio)
+    assert (np.sort(got) == np.sort(trio)).all()
