@@ -213,6 +213,23 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
     extras["decode_imgs_per_sec"] = round(n_imgs / timings["image_decode"], 1)
     img_big.unpersist()
 
+    # --- MVT encode: the vector-tile sink over the full point set at a
+    # zoom where tiles are plentiful (z=10 -> ~7k tiles over the region),
+    # measuring the per-tile protobuf serialization throughput
+    from jpspark.ops import export as export_ops
+
+    def mvt_fn():
+        r = (
+            export_ops.mvt_tiles_points(pts, z=10, id_col="point_id")
+            .agg(F.sum("n_features").alias("nf"), F.count("*").alias("nt"))
+            .collect()[0]
+        )
+        return int(r.nf), int(r.nt)
+
+    n_feat, n_tiles_mvt = timed("mvt_encode", mvt_fn, timings)
+    extras["mvt_features_per_sec"] = round(n_feat / timings["mvt_encode"], 1)
+    extras["mvt_tiles_per_sec"] = round(n_tiles_mvt / timings["mvt_encode"], 1)
+
     # --- signature kernels: the dedup stage's CPU bill at 10^12 docs.
     # Amplified documents (x128) through the batch-vectorized MinHash /
     # SimHash signature UDFs — tracks the round-3 hashing vectorization

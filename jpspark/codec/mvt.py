@@ -352,3 +352,68 @@ def _decode_feature(buf: bytes) -> dict:
     if f["raw_cmds"] is not None and f["type"] is not None:
         f["geometry"] = decode_geometry(f["raw_cmds"], f["type"])
     return f
+
+
+# --------------------------------------- vectorized point-feature encoding
+
+def _uvarint_cols(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Column-wise varint encoding: (bytes[n, maxlen], lens[n]). Group k
+    of value v is its bits 7k..7k+6, MSB-flagged while more groups follow."""
+    vals = np.asarray(vals, dtype=np.uint64)
+    lens = np.ones(len(vals), dtype=np.int64)
+    v = vals >> np.uint64(7)
+    while v.any():
+        lens += (v != 0).astype(np.int64)
+        v >>= np.uint64(7)
+    maxlen = int(lens.max()) if len(vals) else 1
+    out = np.zeros((len(vals), maxlen), dtype=np.uint8)
+    for k in range(maxlen):
+        grp = ((vals >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        more = (k < lens - 1).astype(np.uint8) << 7
+        out[:, k] = grp | more
+    return out, lens
+
+
+def _scatter(flat: np.ndarray, pos: np.ndarray, cols: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Write variable-length byte columns at per-row positions; returns
+    positions advanced past what was written."""
+    for k in range(cols.shape[1]):
+        m = lens > k
+        flat[pos[m] + k] = cols[m, k]
+    return pos + lens
+
+
+def encode_point_features(qx: np.ndarray, qy: np.ndarray, ids: np.ndarray) -> bytes:
+    """All of a tile's single-point Features, each framed as a Layer
+    ``features`` field (tag 0x12 + length), in ONE vectorized pass — no
+    per-feature Python. Wire-identical to the scalar path
+    (``_ld(2, encode_feature(point_geometry(...), POINT, id))``), which
+    the differential test pins. Requires non-negative ids and
+    0 <= q < 2^20 (any practical extent)."""
+    n = len(qx)
+    if n == 0:
+        return b""
+    zx_cols, zx_len = _uvarint_cols(np.asarray(qx, np.int64) << 1)  # zigzag(q>=0)
+    zy_cols, zy_len = _uvarint_cols(np.asarray(qy, np.int64) << 1)
+    id_cols, id_len = _uvarint_cols(np.asarray(ids, np.int64))
+    geom_len = 1 + zx_len + zy_len                      # cmd byte 9 + deltas
+    feat_len = (1 + id_len) + 2 + (2 + geom_len)        # id fld + type + geom fld
+    if int(feat_len.max()) >= 128:
+        raise ValueError("feature too large for 1-byte length prefix")
+    total = int((2 + feat_len).sum())                   # 0x12 + len + body
+    flat = np.zeros(total, dtype=np.uint8)
+    pos = np.zeros(n, dtype=np.int64)
+    pos[1:] = np.cumsum(2 + feat_len)[:-1]
+    flat[pos] = 0x12
+    flat[pos + 1] = feat_len.astype(np.uint8)
+    p = pos + 2
+    flat[p] = 0x08                                      # Feature.id
+    p = _scatter(flat, p + 1, id_cols, id_len)
+    flat[p] = 0x18                                      # Feature.type = POINT
+    flat[p + 1] = POINT
+    flat[p + 2] = 0x22                                  # Feature.geometry
+    flat[p + 3] = geom_len.astype(np.uint8)
+    flat[p + 4] = 9                                     # MoveTo, count 1
+    p = _scatter(flat, p + 5, zx_cols, zx_len)
+    _scatter(flat, p, zy_cols, zy_len)
+    return flat.tobytes()

@@ -262,6 +262,24 @@ def mvt_tiles_points(
             extent - 1,
         ).astype(np.int64)
         ids = pdf[id_col].to_numpy(np.int64) if id_col else None
+        if ids is not None and not attr_cols and (ids >= 0).all():
+            # vectorized fast path (codec/mvt.py encode_point_features):
+            # all features serialized in one NumPy pass, wire-identical
+            # to the scalar path (differential-tested)
+            feats_blob = mvt.encode_point_features(qx, qy, ids)
+            layer_body = (
+                mvt._vi(15, 2)
+                + mvt._ld(1, layer_name.encode("utf-8"))
+                + feats_blob
+                + mvt._vi(5, extent)
+            )
+            return pd.DataFrame(
+                {
+                    "tile_z": [z], "tile_x": [txv], "tile_y": [tyv],
+                    "n_features": [len(pdf)],
+                    "bytes": [mvt.encode_tile([layer_body])],
+                }
+            )
         keys = list(attr_cols)
         values: list = []
         vindex: dict = {}

@@ -209,3 +209,59 @@ def test_mvt_tiles_polygons_sink(spark):
     geo_area = (35 * 18) - (5 * 4)
     px_per_deg2 = (extent / sx) * (extent / sy)
     assert abs(px_area / px_per_deg2 - geo_area) / geo_area < 2e-3
+
+
+def test_encode_point_features_differential():
+    """The vectorized feature encoder must be wire-identical to the
+    scalar path, byte for byte, over random coordinates and large ids."""
+    rng = np.random.default_rng(11)
+    for _ in range(5):
+        n = int(rng.integers(1, 3000))
+        qx = rng.integers(0, 4096, n)
+        qy = rng.integers(0, 4096, n)
+        ids = rng.integers(0, 2**40, n)
+        fast = mvt.encode_point_features(qx, qy, ids)
+        slow = b"".join(
+            mvt._ld(
+                2,
+                mvt.encode_feature(
+                    mvt.point_geometry(qx[i : i + 1], qy[i : i + 1]),
+                    mvt.POINT,
+                    feature_id=int(ids[i]),
+                ),
+            )
+            for i in range(n)
+        )
+        assert fast == slow
+
+
+def test_mvt_tiles_points_fast_path(spark):
+    """No-attrs sink takes the vectorized path; decoded output must carry
+    the same ids and quantized coords as the generic (slow) layer path."""
+    rng = np.random.default_rng(13)
+    pdf = pd.DataFrame(
+        {
+            "pid": np.arange(1000),
+            "lon": rng.uniform(0, 40, 1000),
+            "lat": rng.uniform(0, 40, 1000),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = export.mvt_tiles_points(df, 4, id_col="pid").collect()
+    assert sum(r.n_features for r in out) == 1000
+    seen = {}
+    for r in out:
+        L = mvt.decode_tile(bytes(r.bytes))[0]
+        assert L["version"] == 2 and L["extent"] == 4096
+        for f in L["features"]:
+            seen[f["id"]] = f["geometry"][0][0]
+    assert set(seen) == set(range(1000))
+    sx, sy = (LON1 - LON0) / 16, (LAT1 - LAT0) / 16
+    for r in out:
+        lon0 = LON0 + r.tile_x * sx
+        lat_top = LAT0 + (r.tile_y + 1) * sy
+        for f in mvt.decode_tile(bytes(r.bytes))[0]["features"]:
+            row = pdf[pdf.pid == f["id"]].iloc[0]
+            q = f["geometry"][0][0]
+            assert q[0] == min(int(np.floor((row.lon - lon0) / sx * 4096)), 4095)
+            assert q[1] == min(int(np.floor((lat_top - row.lat) / sy * 4096)), 4095)
