@@ -165,6 +165,18 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    # host canary: pure-JVM codegen sum, ZERO engine code — calibrates the
+    # host-noise window so cross-round comparisons can normalize for
+    # hypervisor steal (this host varied ~2x between windows in round 3;
+    # a slow canary means the whole file's numbers are steal-depressed)
+    canary = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(2_000_000_000).select(F.sum(F.col("id") % 7)).collect()
+        dt = time.perf_counter() - t0
+        canary = dt if canary is None else min(canary, dt)
+    extras["canary_jvm_sum_sec"] = round(canary, 3)
+
     pts = amplified_points(spark, sf_dir, AMPLIFY).cache()
     n_points = pts.count()
     # warm the Python worker pool (imports, Arrow runners) so stage timings
