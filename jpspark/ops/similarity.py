@@ -218,3 +218,139 @@ def phash_neardup_pairs(images: DataFrame, max_hamming: int = 6, id_col: str = "
     from .dedup import hamming_block_pairs
 
     return hamming_block_pairs(images, "phash", max_hamming, id_col=id_col)
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+def train_pq(sample: np.ndarray, m: int = 8, ks: int = 16, iters: int = 10,
+             seed: int = 13) -> np.ndarray:
+    """Product-quantization codebooks [m, ks, d/m] (Jégou et al., PAMI'11
+    §III): split the L2-normalized vector into ``m`` subspaces and run
+    plain L2 k-means in each. Driver-side on a bounded sample, like the
+    IVF coarse quantizer."""
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.empty((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        rng = np.random.Generator(np.random.PCG64(seed + j))
+        cent = sub[rng.choice(len(sub), size=ks, replace=False)]
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ks):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode_np(V: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """codes uint8 [n, m]: per-subspace nearest codeword of the normalized
+    vectors."""
+    x = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    m, ks, dsub = books.shape
+    codes = np.empty((len(x), m), dtype=np.uint8)
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def _pq_adc_np(qv: np.ndarray, codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Asymmetric-distance inner product: score_i = Σ_j q_sub_j · book[j,
+    code_i_j] ≈ cosine(q, t) for normalized q and PQ-approximated t."""
+    m, ks, dsub = books.shape
+    q = qv / max(np.linalg.norm(qv), 1e-12)
+    lut = np.einsum("jd,jkd->jk", q.reshape(m, dsub), books)  # [m, ks]
+    return lut[np.arange(m)[None, :], codes].sum(axis=1)
+
+
+def cosine_topk_ivfpq(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: int = 10000,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the memory-scale path beyond plain IVF:
+    the candidate join carries only (target_id, cluster_id, m-byte PQ
+    code), never the embedding (64-dim float64 → 8 bytes: 64× lighter
+    shuffle/state). Queries probe ``nprobe`` coarse clusters, score
+    candidates by the asymmetric-distance LUT sum, keep ``refine·k`` per
+    query, then re-join the FULL vectors for only those finalists and
+    re-rank by exact cosine — so the output order is exact over whatever
+    candidates survive (approximation affects recall, never reported
+    cosines). At 10^12 rows: codes+cluster ids are the only full-table
+    state; exact vectors are fetched for refine·k·n_queries rows."""
+    sample = np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in targets.limit(train_sample).collect()]
+    )
+    cent = _kmeans(sample, n_clusters)
+    books = train_pq(sample, m=m, ks=ks)
+    spark = targets.sparkSession
+    bc_books = spark.sparkContext.broadcast(books)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def code_udf(vecs: pd.Series) -> pd.Series:
+        V = np.stack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series(pq_encode_np(V, bc_books.value).astype(np.int32).tolist())
+
+    t = (
+        ivf_assign(targets, cent, id_col, vec_col, nprobe=1)
+        .withColumnRenamed("id", "target_id")
+        .withColumn("code", code_udf(F.col("v")))
+        .select("target_id", "cluster_id", "code")  # NO vector beyond this point
+    )
+    q = ivf_assign(queries, cent, id_col, vec_col, nprobe=nprobe).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "cluster_id"
+    )
+    cand = (
+        q.join(t, "cluster_id")
+        .filter(F.col("query_id") != F.col("target_id"))
+        .dropDuplicates(["query_id", "target_id"])
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def adc_udf(qvs: pd.Series, codes: pd.Series) -> pd.Series:
+        books_ = bc_books.value
+        m_, ks_, dsub = books_.shape
+        Q = np.stack(qvs.to_numpy()).astype(np.float64)
+        Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        C = np.stack(codes.to_numpy()).astype(np.int64)
+        luts = np.einsum("bjd,jkd->bjk", Q.reshape(len(Q), m_, dsub), books_)
+        b_idx = np.arange(len(Q))[:, None]
+        j_idx = np.arange(m_)[None, :]
+        return pd.Series(luts[b_idx, j_idx, C].sum(axis=1))
+
+    scored = cand.withColumn("adc", adc_udf(F.col("qv"), F.col("code")))
+    w_pre = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.col("target_id"))
+    finalists = (
+        scored.withColumn("prerank", F.row_number().over(w_pre))
+        .filter(F.col("prerank") <= refine * k)
+        .select("query_id", "qv", "target_id")
+    )
+    tv = targets.select(
+        F.col(id_col).alias("target_id"), _as_double(F.col(vec_col)).alias("tv")
+    )
+    exact = finalists.join(tv, "target_id").withColumn(
+        "cosine", _dot("qv", "tv") / (_norm("qv") * _norm("tv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("target_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "target_id",
+                F.round("cosine", 6).alias("cosine"))
+    )

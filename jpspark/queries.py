@@ -1762,6 +1762,60 @@ def o_ann_ivf_recall() -> str:
     return _recall_oracle_sql(_ivf_topk_np(_embeddings_pdf(), k=5, n_clusters=16, nprobe=4), k=5)
 
 
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (the memory-scale path: candidate join carries 8-byte
+    PQ codes, never vectors; ADC pre-rank then exact re-rank on
+    refine·k finalists), gated on its recall number: per-query recall@5
+    vs exact brute force. Oracle: PQ result ids re-derived by the seeded
+    NumPy mirror (shared _kmeans/train_pq/pq_encode_np kernels — the
+    Spark cluster/code joins and the ADC window are what the oracle
+    checks), scored against independent brute-force SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    approx = similarity.cosine_topk_ivfpq(
+        q, emb, k=5, n_clusters=16, nprobe=4, m=8, ks=32, refine=8
+    )
+    return _recall_vs_brute(q, emb, approx, k=5)
+
+
+def _pq_topk_np(
+    pdf: pd.DataFrame, k: int, n_clusters: int, nprobe: int, m: int, ks: int, refine: int
+) -> list[tuple[int, int]]:
+    """Driver-side NumPy mirror of similarity.cosine_topk_ivfpq: same
+    seeded coarse k-means + PQ codebooks on the same sample order, same
+    ADC pre-rank (adc desc, target_id) and exact re-rank."""
+    ids = pdf["vec_id"].to_numpy()
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    cent = similarity._kmeans(V, n_clusters)
+    books = similarity.train_pq(V, m=m, ks=ks)
+    codes = similarity.pq_encode_np(V, books)
+    norm = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    sims = norm @ cent.T
+    t_cluster = np.argsort(-sims, axis=1)[:, 0]
+    out = []
+    for qpos in np.where(ids < 8)[0]:
+        probes = np.argsort(-sims[qpos])[:nprobe]
+        cand = np.isin(t_cluster, probes)
+        cand[qpos] = False
+        idx = np.where(cand)[0]
+        adc = similarity._pq_adc_np(V[qpos], codes[idx], books)
+        pre = np.lexsort((ids[idx], -adc))[: refine * k]
+        fin = idx[pre]
+        cos = (V[fin] @ V[qpos]) / (
+            np.linalg.norm(V[fin], axis=1) * np.linalg.norm(V[qpos])
+        )
+        top = np.lexsort((ids[fin], -cos))[:k]
+        out += [(int(ids[qpos]), int(ids[fin][t])) for t in top]
+    return out
+
+
+def o_ann_pq_recall() -> str:
+    return _recall_oracle_sql(
+        _pq_topk_np(_embeddings_pdf(), k=5, n_clusters=16, nprobe=4, m=8, ks=32, refine=8),
+        k=5,
+    )
+
+
 def _embeddings_pdf() -> pd.DataFrame:
     """embeddings table for oracle-literal baking (same SF-resolution rule
     as _documents_pdf)."""
@@ -2443,6 +2497,7 @@ QUERIES = {
     "simplify_dp": q_simplify,
     "multimodal_curation": q_multimodal_curation,
     "cell_compact": q_cell_compact,
+    "ann_pq_recall": q_ann_pq_recall,
 }
 
 def build_oracles() -> dict[str, str]:
@@ -2518,4 +2573,5 @@ def _build_oracles() -> dict[str, str]:
     "simplify_dp": o_simplify(),
     "multimodal_curation": o_multimodal_curation(),
     "cell_compact": o_cell_compact(),
+    "ann_pq_recall": o_ann_pq_recall(),
     }

@@ -259,3 +259,67 @@ def test_knn_as_arrays_matches_exploded(spark):
         row = arrays.loc[arrays["query_id"] == qid].iloc[0]
         assert list(row["target_ids"]) == list(grp["target_id"])
         assert np.allclose(list(row["dists"]), list(grp["dist"]))
+
+
+def test_ann_ivfpq_recall_and_exact_rerank(spark):
+    """IVF-PQ: mean recall@10 vs brute force in the approximate regime,
+    and the exact-rerank property — reported cosines must EQUAL the
+    brute-force cosines for every (query, target) the approx path
+    returns (approximation can lose candidates, never mis-score them)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 16)
+    exact = similarity.cosine_topk_bruteforce(q, emb, k=10).toPandas()
+    approx = similarity.cosine_topk_ivfpq(
+        q, emb, k=10, n_clusters=16, nprobe=8, m=8, ks=32, refine=8
+    ).toPandas()
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact.loc[exact["query_id"] == qid, "target_id"])
+        a = set(approx.loc[approx["query_id"] == qid, "target_id"])
+        recalls.append(len(e & a) / len(e))
+    assert float(np.mean(recalls)) >= 0.65, f"mean IVF-PQ recall {np.mean(recalls)}"
+    merged = approx.merge(
+        exact, on=["query_id", "target_id"], suffixes=("_a", "_e")
+    )
+    assert len(merged) > 0
+    assert (merged["cosine_a"] == merged["cosine_e"]).all()
+
+
+def test_pq_codebook_identity_on_duplicates(spark):
+    """A planted exact duplicate of a query must be its top-1 IVF-PQ
+    result: same vector -> same cluster, same code, max ADC score, and
+    the exact re-rank puts cosine=1 first."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    dup = emb.iloc[:4].copy()
+    dup["vec_id"] = dup["vec_id"] + 100_000
+    big = spark.createDataFrame(pd.concat([emb, dup], ignore_index=True))
+    q = big.filter(F.col("vec_id") >= 100_000)
+    out = similarity.cosine_topk_ivfpq(
+        q, big, k=3, n_clusters=8, nprobe=2, m=8, ks=16
+    ).toPandas()
+    top1 = out[out["rank"] == 1].set_index("query_id")["target_id"]
+    for qid in (100_000, 100_001, 100_002, 100_003):
+        assert int(top1[qid]) == qid - 100_000
+    assert (out[out["rank"] == 1]["cosine"] == 1.0).all()
+
+
+def test_pq_encode_codes_shape_and_reconstruction():
+    """Codebook training sanity: codes are [n, m] uint8 < ks, and the PQ
+    reconstruction approximates normalized vectors better than a random
+    codebook assignment."""
+    rng = np.random.default_rng(3)
+    V = rng.standard_normal((500, 64))
+    books = similarity.train_pq(V, m=8, ks=16)
+    codes = similarity.pq_encode_np(V, books)
+    assert codes.shape == (500, 8) and codes.dtype == np.uint8 and codes.max() < 16
+    x = V / np.linalg.norm(V, axis=1, keepdims=True)
+    recon = np.concatenate(
+        [books[j][codes[:, j]] for j in range(8)], axis=1
+    )
+    err = np.linalg.norm(x - recon, axis=1).mean()
+    rand_codes = rng.integers(0, 16, codes.shape)
+    rand_recon = np.concatenate(
+        [books[j][rand_codes[:, j]] for j in range(8)], axis=1
+    )
+    rand_err = np.linalg.norm(x - rand_recon, axis=1).mean()
+    assert err < 0.7 * rand_err
