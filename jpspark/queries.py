@@ -2268,6 +2268,76 @@ def o_mvt_tiles() -> str:
     """
 
 
+def q_stream_mvt_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming × tiling composition: the event table split into 4 files
+    streamed one-per-micro-batch (maxFilesPerTrigger=1); each batch runs
+    the DISTRIBUTED MVT point sink (foreachBatch — tile assignment +
+    vectorized protobuf encode exactly as in batch), the driver decodes
+    the batch's tile blobs (bounded: O(tiles) per batch) and accumulates.
+    A tile touched by several batches yields several blobs — incremental
+    tile updates — whose decoded feature/coordinate sums are ADDITIVE, so
+    the final per-tile aggregate must equal the batch path bit-for-bit:
+    the oracle IS o_mvt_tiles. At 10^12 rows this is the continuous
+    tiling shape: each micro-batch exchanges only (lon, lat, id) on the
+    tile key; blobs are born post-exchange."""
+    import os
+    import shutil
+    import tempfile
+
+    from .codec import mvt
+    from .ops import export
+
+    tmp = tempfile.mkdtemp(prefix="jpspark_smvt_")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/events")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/events")
+    )
+    pts = stream.selectExpr("event_id", f"{_LON_EXPR} AS lon", f"{_LAT_EXPR} AS lat")
+    acc: list[pd.DataFrame] = []
+
+    def handle(batch_df, batch_id):
+        tiles = export.mvt_tiles_points(batch_df, z=6, id_col="event_id").collect()
+        rows = []
+        for r in tiles:
+            layer = mvt.decode_tile(bytes(r.bytes))[0]
+            qx = qy = ids = 0
+            for f in layer["features"]:
+                pt = f["geometry"][0][0]
+                qx += int(pt[0]); qy += int(pt[1]); ids += int(f["id"])
+            rows.append((int(r.tile_x), int(r.tile_y), len(layer["features"]), qx, qy, ids))
+        if rows:
+            acc.append(
+                pd.DataFrame(
+                    rows,
+                    columns=["tile_x", "tile_y", "n_features", "sum_qx", "sum_qy", "sum_id"],
+                )
+            )
+
+    q = pts.writeStream.foreachBatch(handle).start()
+    q.processAllAvailable()
+    q.stop()
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged = pd.concat(acc, ignore_index=True)
+    n_batches = len(acc)
+    out = spark.createDataFrame(merged)
+    if n_batches < 2:
+        raise RuntimeError(f"expected multiple micro-batches, got {n_batches}")
+    return (
+        out.groupBy("tile_x", "tile_y")
+        .agg(
+            F.sum("n_features").alias("n_features"),
+            F.sum("sum_qx").alias("sum_qx"),
+            F.sum("sum_qy").alias("sum_qy"),
+            F.sum("sum_id").alias("sum_id"),
+        )
+    )
+
+
 def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H3-analog cover compaction (geom/cell.py compact/uncompact): the
     distinct res-6 cells of the event points are compacted IN PARALLEL —
@@ -2498,6 +2568,7 @@ QUERIES = {
     "multimodal_curation": q_multimodal_curation,
     "cell_compact": q_cell_compact,
     "ann_pq_recall": q_ann_pq_recall,
+    "stream_mvt_ingest": q_stream_mvt_ingest,
 }
 
 def build_oracles() -> dict[str, str]:
@@ -2574,4 +2645,5 @@ def _build_oracles() -> dict[str, str]:
     "multimodal_curation": o_multimodal_curation(),
     "cell_compact": o_cell_compact(),
     "ann_pq_recall": o_ann_pq_recall(),
+    "stream_mvt_ingest": o_mvt_tiles(),
     }
