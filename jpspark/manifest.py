@@ -393,7 +393,11 @@ def scan(
     from pyspark.sql import functions as F
 
     for col, op, value in filters:
-        df = df.filter(_FILTER_OPS[op](F.col(col), value))
+        # a column absent from the data (e.g. a clustering key this table
+        # was never written with) can't be filtered row-wise; stats
+        # pruning above already treated it as unknown (no prune)
+        if col in df.columns:
+            df = df.filter(_FILTER_OPS[op](F.col(col), value))
     return df, report
 
 
@@ -694,3 +698,71 @@ def observe_metrics(df: DataFrame, name: str = "metrics"):
 
     obs = Observation(name)
     return df.observe(obs, F.count(F.lit(1)).alias("rows")), obs
+
+
+def write_clustered_by_cell(
+    df: DataFrame,
+    out_dir: str,
+    res: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    num_partitions: int | None = None,
+    lineage: str = "",
+    storage=None,
+) -> dict:
+    """Z-order-clustered checkpoint write: add a Morton ``cell_id`` at
+    ``res`` (pure column math, geom/cell layout) and range-partition on
+    it before the manifest sink. Because Morton order interleaves x/y
+    bits, range partitions are spatially compact — every part file's
+    (min, max) cell_id stats cover a tight curve segment — which is what
+    makes :func:`scan_bbox` a file-skipping operation. The Iceberg
+    analog: write ordered by a space-filling curve so data-file bounds
+    align with spatial predicates."""
+    from pyspark.sql import functions as F
+
+    from .ops.tiles import cell_id_from_tile, tile_xy_cols
+
+    tx, ty = tile_xy_cols(lon_col, lat_col, res)
+    with_cell = df.withColumn("cell_id", cell_id_from_tile(tx, ty, res))
+    n = num_partitions or with_cell.rdd.getNumPartitions()
+    clustered = with_cell.repartitionByRange(n, "cell_id")
+    return write_checkpointed(
+        clustered, out_dir, lineage=lineage or f"cluster_by_cell res={res}", storage=storage
+    )
+
+
+def scan_bbox(
+    spark,
+    out_dir: str,
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+    res: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    version: int | None = None,
+    storage=None,
+) -> tuple["DataFrame", dict]:
+    """Spatial scan over a cell-clustered table: prune part files by the
+    bbox's cell cover against the per-file ``cell_id`` stats (the "in"
+    predicate prunes any file whose [min, max] excludes every cover
+    cell), then apply the EXACT lon/lat bbox as the residual — results
+    always equal a full-scan bbox filter regardless of clustering. On a
+    Z-ordered table a city-sized query over 10^12 rows touches
+    O(matching files); on an unclustered table it degrades to a full
+    scan, never to a wrong answer."""
+    from pyspark.sql import functions as F
+
+    from .geom import cell as cell_mod
+
+    cover = [int(c) for c in cell_mod.cover_bbox(xmin, ymin, xmax, ymax, res)]
+    df, report = scan(
+        spark, out_dir, [("cell_id", "in", cover)], version=version, storage=storage
+    )
+    df = df.filter(
+        (F.col(lon_col) >= xmin) & (F.col(lon_col) < xmax)
+        & (F.col(lat_col) >= ymin) & (F.col(lat_col) < ymax)
+    )
+    report["cover_cells"] = len(cover)
+    return df, report

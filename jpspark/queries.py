@@ -2338,6 +2338,53 @@ def q_stream_mvt_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Iceberg-geo loop in one query: write the event points
+    Z-order-clustered by Morton cell (manifest.write_clustered_by_cell —
+    range partitions on the space-filling curve give each part file tight
+    cell_id bounds), then answer a bbox query through the stats-pruned
+    scan (manifest.scan_bbox: cover cells vs per-file min/max, exact
+    lon/lat residual). The query RAISES unless pruning actually skipped
+    files, and the DuckDB oracle recomputes the bbox aggregate from the
+    closed-form points — so correctness-under-pruning and
+    actually-pruning are both gated."""
+    import shutil
+    import tempfile
+
+    from . import manifest as mf
+
+    pts = _event_points(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="jpspark_prune_")
+    try:
+        mf.write_clustered_by_cell(
+            pts, tmp, res=8, num_partitions=16, lineage="spatial_prune_scan gate"
+        )
+        bbox = (130.0, 25.0, 140.0, 35.0)
+        got, rep = mf.scan_bbox(spark, tmp, *bbox, res=8)
+        if not rep["files_read"] < rep["files_total"]:
+            raise RuntimeError(f"bbox scan pruned nothing: {rep}")
+        out = got.agg(
+            F.count("*").alias("n_points"),
+            F.sum("event_id").alias("sum_id"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        pd.DataFrame({"n_points": [int(out.n_points)], "sum_id": [int(out.sum_id)]})
+    )
+
+
+def o_spatial_prune_scan() -> str:
+    return f"""
+    WITH pts AS (SELECT event_id, {_LON_EXPR} AS lon, {_LAT_EXPR} AS lat FROM events)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM pts
+    WHERE lon >= CAST(130 AS DOUBLE) AND lon < CAST(140 AS DOUBLE)
+      AND lat >= CAST(25 AS DOUBLE) AND lat < CAST(35 AS DOUBLE)
+    """
+
+
 def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H3-analog cover compaction (geom/cell.py compact/uncompact): the
     distinct res-6 cells of the event points are compacted IN PARALLEL —
@@ -2569,6 +2616,7 @@ QUERIES = {
     "cell_compact": q_cell_compact,
     "ann_pq_recall": q_ann_pq_recall,
     "stream_mvt_ingest": q_stream_mvt_ingest,
+    "spatial_prune_scan": q_spatial_prune_scan,
 }
 
 def build_oracles() -> dict[str, str]:
@@ -2646,4 +2694,5 @@ def _build_oracles() -> dict[str, str]:
     "cell_compact": o_cell_compact(),
     "ann_pq_recall": o_ann_pq_recall(),
     "stream_mvt_ingest": o_mvt_tiles(),
+    "spatial_prune_scan": o_spatial_prune_scan(),
     }

@@ -544,3 +544,36 @@ def test_scan_time_travel_and_tableio(spark, tmp_path):
     tio.write(v1, "events_t")
     got, rep = tio.scan("events_t", [("id", "<", 25)])
     assert rep["files_read"] == 1 and got.count() == 25
+
+
+def test_write_clustered_scan_bbox(spark, tmp_path):
+    """Z-order clustered write + bbox scan: pruning must skip most files
+    for a small window on a clustered table, and results must equal the
+    full-scan bbox filter on BOTH a clustered and an unclustered table
+    (clustering is a performance property, never a semantics one)."""
+    out_c = str(tmp_path / "clustered")
+    out_u = str(tmp_path / "unclustered")
+    df = (
+        spark.range(40_000)
+        .withColumn("lon", (F.col("id") % 360).cast("double") - 180.0 + 0.5)
+        .withColumn("lat", ((F.col("id") * 7 % 180)).cast("double") - 90.0 + 0.5)
+    )
+    mf.write_clustered_by_cell(df, out_c, res=6, num_partitions=16)
+    mf.write_checkpointed(df.repartition(16), out_u)  # no cell_id column at all
+
+    bbox = (-20.0, -10.0, 25.0, 15.0)
+    full = mf.read_snapshot(spark, out_c).filter(
+        (F.col("lon") >= bbox[0]) & (F.col("lon") < bbox[2])
+        & (F.col("lat") >= bbox[1]) & (F.col("lat") < bbox[3])
+    )
+    exp = sorted(r.id for r in full.collect())
+
+    got_c, rep_c = mf.scan_bbox(spark, out_c, *bbox, res=6)
+    assert sorted(r.id for r in got_c.collect()) == exp
+    assert rep_c["files_read"] < rep_c["files_total"], rep_c  # real pruning
+
+    got_u, rep_u = mf.scan_bbox(spark, out_u, *bbox, res=6)
+    assert sorted(r.id for r in got_u.collect()) == exp  # degrades, never wrong
+
+    # clustered table prunes strictly better than the unclustered one
+    assert rep_c["files_read"] <= rep_u["files_read"]
