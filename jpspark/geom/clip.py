@@ -57,3 +57,63 @@ def clip_ring_bbox(
         if len(r) < 3:
             return r[:0]
     return r
+
+
+def clip_polyline_bbox(
+    line: np.ndarray, x0: float, y0: float, x1: float, y1: float
+) -> list[np.ndarray]:
+    """Clip an open polyline to the rectangle [x0,x1]×[y0,y1]
+    (Liang–Barsky per segment), reassembling maximal runs: consecutive
+    clipped segments that share their connecting endpoint merge into one
+    output part, so a polyline that leaves and re-enters the box yields
+    multiple parts. Degenerate (point) results are dropped."""
+    pts = np.asarray(line, dtype=np.float64)
+    parts: list[list[np.ndarray]] = []
+    cur: list[np.ndarray] = []
+    for a, b in zip(pts[:-1], pts[1:]):
+        d = b - a
+        t0, t1 = 0.0, 1.0
+        ok = True
+        for p, q in (
+            (-d[0], a[0] - x0), (d[0], x1 - a[0]),
+            (-d[1], a[1] - y0), (d[1], y1 - a[1]),
+        ):
+            if p == 0.0:
+                if q < 0.0:
+                    ok = False
+                    break
+                continue
+            r = q / p
+            if p < 0.0:
+                if r > t1:
+                    ok = False
+                    break
+                t0 = max(t0, r)
+            else:
+                if r < t0:
+                    ok = False
+                    break
+                t1 = min(t1, r)
+        if not ok or t0 > t1:
+            if len(cur) >= 2:
+                parts.append(cur)
+            cur = []
+            continue
+        ca, cb = a + t0 * d, a + t1 * d
+        if cur and np.array_equal(cur[-1], ca):
+            cur.append(cb)
+        else:
+            if len(cur) >= 2:
+                parts.append(cur)
+            cur = [ca, cb]
+    if len(cur) >= 2:
+        parts.append(cur)
+    out = []
+    for p in parts:
+        arr = np.array(p)
+        keep = np.ones(len(arr), dtype=bool)
+        keep[1:] = (arr[1:] != arr[:-1]).any(axis=1)
+        arr = arr[keep]
+        if len(arr) >= 2:
+            out.append(arr)
+    return out

@@ -27,6 +27,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..geom import wkb
 
@@ -412,5 +413,126 @@ def mvt_tiles_polygons(
         schema=(
             "tile_z int, tile_x long, tile_y long, n_features long, "
             "n_rings long, bytes binary"
+        ),
+    )
+
+
+def _multilinestring_parts(buf: bytes) -> list[np.ndarray]:
+    gtype, payload = wkb.parse(bytes(buf))
+    if gtype == wkb.LINESTRING:
+        return [np.asarray(payload)]
+    if gtype == wkb.MULTILINESTRING:
+        return [np.asarray(p) for p in payload]
+    raise ValueError(f"expected (multi)linestring, got geometry type {gtype}")
+
+
+def mvt_tiles_lines(
+    lines: DataFrame,
+    z: int,
+    *,
+    id_col: str,
+    geom_col: str = "geom",
+    extent: int = 4096,
+    buffer_px: int = 8,
+    simplify_px: float = 0.0,
+    layer_name: str = "lines",
+) -> DataFrame:
+    """Distributed vector-tile sink, LINESTRING features (roads, routes —
+    the reference's N07-style line layers): lines explode onto covering
+    tiles by bbox, each tile clips its lines to the buffered tile bbox
+    (Liang–Barsky with run reassembly, so a line that leaves and
+    re-enters yields multiple paths of ONE MultiLineString feature),
+    quantizes (floor, the point-sink convention) and encodes. Same scale
+    shape as the other sinks: one exchange on the tile key, per-tile
+    independent serialization, bytes born post-exchange.
+
+    Returns (tile_z, tile_x, tile_y, n_features, n_paths, bytes)."""
+    from ..codec import mvt
+    from ..geom import clip as gclip
+    from ..geom import simplify as simp
+    from ..geom.cell import LAT0, LON0, LAT1, LON1
+    from ..geom import cell as cell_mod
+
+    sx = (LON1 - LON0) / float(1 << z)
+    sy = (LAT1 - LAT0) / float(1 << z)
+    buf_x = buffer_px * sx / extent
+    buf_y = buffer_px * sy / extent
+
+    @F.pandas_udf("array<long>")
+    def cover_udf(geom: pd.Series) -> pd.Series:
+        out = []
+        for g in geom:
+            pts = np.vstack(_multilinestring_parts(g))
+            out.append(
+                cell_mod.cover_bbox(
+                    float(pts[:, 0].min()), float(pts[:, 1].min()),
+                    float(pts[:, 0].max()), float(pts[:, 1].max()), z,
+                ).tolist()
+            )
+        return pd.Series(out)
+
+    exploded = lines.select(id_col, geom_col).withColumn(
+        "cell_id", F.explode(cover_udf(F.col(geom_col)))
+    )
+    mask = F.lit((1 << 58) - 1)
+    m = F.col("cell_id").bitwiseAND(mask)
+
+    def unspread(c):
+        v = c
+        v = v.bitwiseAND(F.lit(0x5555555555555555))
+        v = v.bitwiseOR(F.shiftrightunsigned(v, 1)).bitwiseAND(F.lit(0x3333333333333333))
+        v = v.bitwiseOR(F.shiftrightunsigned(v, 2)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+        v = v.bitwiseOR(F.shiftrightunsigned(v, 4)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+        v = v.bitwiseOR(F.shiftrightunsigned(v, 8)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+        v = v.bitwiseOR(F.shiftrightunsigned(v, 16)).bitwiseAND(F.lit(0x00000000FFFFFFFF))
+        return v
+
+    cover = exploded.withColumn("tile_x", unspread(m)).withColumn(
+        "tile_y", unspread(F.shiftrightunsigned(m, 1))
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        txv, tyv = int(pdf["tile_x"].iloc[0]), int(pdf["tile_y"].iloc[0])
+        lon0 = LON0 + txv * sx
+        lat_top = LAT0 + (tyv + 1) * sy
+        cx0, cx1 = lon0 - buf_x, lon0 + sx + buf_x
+        cy0, cy1 = lat_top - sy - buf_y, lat_top + buf_y
+        feats, n_paths = [], 0
+        for fid, g in zip(pdf[id_col].to_numpy(), pdf[geom_col].to_numpy()):
+            paths = []
+            for part in _multilinestring_parts(g):
+                for c in gclip.clip_polyline_bbox(part, cx0, cy0, cx1, cy1):
+                    if simplify_px > 0:
+                        tol = simplify_px * min(sx, sy) / extent
+                        c = simp.simplify_polyline(c, tol)
+                    q = np.empty_like(c)
+                    q[:, 0] = np.floor((c[:, 0] - lon0) / sx * extent)
+                    q[:, 1] = np.floor((lat_top - c[:, 1]) / sy * extent)
+                    keep = np.ones(len(q), dtype=bool)
+                    keep[1:] = (q[1:] != q[:-1]).any(axis=1)
+                    q = q[keep]
+                    if len(q) >= 2:
+                        paths.append(q.astype(np.int64))
+            if paths:
+                n_paths += len(paths)
+                feats.append(
+                    mvt.encode_feature(
+                        mvt.linestring_geometry(paths), mvt.LINESTRING,
+                        feature_id=int(fid),
+                    )
+                )
+        blob = mvt.encode_tile([mvt.encode_layer(layer_name, feats, extent=extent)])
+        return pd.DataFrame(
+            {
+                "tile_z": [z], "tile_x": [txv], "tile_y": [tyv],
+                "n_features": [len(feats)], "n_paths": [n_paths], "bytes": [blob],
+            }
+        )
+
+    return cover.groupBy("tile_x", "tile_y").applyInPandas(
+        build,
+        schema=(
+            "tile_z int, tile_x long, tile_y long, n_features long, "
+            "n_paths long, bytes binary"
         ),
     )

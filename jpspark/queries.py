@@ -2338,6 +2338,103 @@ def q_stream_mvt_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mvt_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MVT LINESTRING sink (export.mvt_tiles_lines): one 3-vertex road
+    per nation row, each constructed fully inside a single z=6 tile (so
+    the oracle needs no clipping — the Liang–Barsky clipper is pinned by
+    pytest goldens and the cross-tile length-conservation test), encoded
+    through the real wire format and decoded back. Per-tile feature
+    counts and quantized vertex sums match a closed-form SQL replay of
+    the same IEEE construction + floor quantization."""
+    import pyarrow as pa
+
+    from .codec import mvt
+    from .geom import wkb as wkb_mod
+    from .ops import export
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey")
+
+    @F.pandas_udf(T.BinaryType())
+    def line_udf(keys: pd.Series) -> pd.Series:
+        out = []
+        for k in keys:
+            k = int(k)
+            tx, ty = 53 + k % 4, 38 + (k // 4) % 3
+            lon0 = -180.0 + tx * 5.625
+            lat0 = -90.0 + ty * 2.8125
+            v = np.arange(3, dtype=np.float64)
+            pts = np.column_stack([lon0 + (0.5 + v * 1.1), lat0 + (0.25 + v * 0.8)])
+            out.append(wkb_mod.encode_multilinestring([pts]))
+        return pd.Series(out)
+
+    lines = nat.withColumn("geom", line_udf("n_nationkey")).withColumnRenamed(
+        "n_nationkey", "line_id"
+    )
+    tiles_df = export.mvt_tiles_lines(lines, 6, id_col="line_id", buffer_px=0)
+
+    def decode(batches):
+        for rb in batches:
+            txs = rb.column("tile_x").to_numpy()
+            tys = rb.column("tile_y").to_numpy()
+            nf, sqx, sqy, sid = [], [], [], []
+            for r in range(rb.num_rows):
+                layer = mvt.decode_tile(rb.column("bytes")[r].as_py())[0]
+                qx = qy = ids = 0
+                for f in layer["features"]:
+                    ids += int(f["id"])
+                    for part in f["geometry"]:
+                        qx += int(part[:, 0].sum()); qy += int(part[:, 1].sum())
+                nf.append(len(layer["features"]))
+                sqx.append(qx); sqy.append(qy); sid.append(ids)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(txs, type=pa.int64()),
+                    pa.array(tys, type=pa.int64()),
+                    pa.array(nf, type=pa.int64()),
+                    pa.array(sqx, type=pa.int64()),
+                    pa.array(sqy, type=pa.int64()),
+                    pa.array(sid, type=pa.int64()),
+                ],
+                names=["tile_x", "tile_y", "n_features", "sum_qx", "sum_qy", "sum_id"],
+            )
+
+    return tiles_df.select("tile_x", "tile_y", "bytes").mapInArrow(
+        decode,
+        schema=(
+            "tile_x long, tile_y long, n_features bigint, sum_qx bigint, "
+            "sum_qy bigint, sum_id bigint"
+        ),
+    )
+
+
+def o_mvt_lines() -> str:
+    # replay: vertex v of line k sits at lon0+(0.5+v*1.1), lat0+(0.25+v*0.8)
+    # in tile (53+k%4, 38+(k//4)%3); y-down quantization with floor
+    return """
+    WITH l AS (
+      SELECT n_nationkey AS k,
+             53 + n_nationkey % 4 AS tx,
+             38 + (n_nationkey // 4) % 3 AS ty
+      FROM nation
+    ), v AS (
+      SELECT l.k, l.tx, l.ty,
+             (CAST(-180 AS DOUBLE) + CAST(l.tx AS DOUBLE) * CAST(5.625 AS DOUBLE))
+               + (CAST(0.5 AS DOUBLE) + CAST(g.g AS DOUBLE) * CAST(1.1 AS DOUBLE)) AS lon,
+             (CAST(-90 AS DOUBLE) + CAST(l.ty AS DOUBLE) * CAST(2.8125 AS DOUBLE))
+               + (CAST(0.25 AS DOUBLE) + CAST(g.g AS DOUBLE) * CAST(0.8 AS DOUBLE)) AS lat
+      FROM l, generate_series(0, 2) g(g)
+    )
+    SELECT CAST(tx AS BIGINT) AS tile_x, CAST(ty AS BIGINT) AS tile_y,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_features,
+           CAST(SUM(floor((lon - (CAST(-180 AS DOUBLE) + CAST(tx AS DOUBLE) * CAST(5.625 AS DOUBLE)))
+                          / CAST(5.625 AS DOUBLE) * CAST(4096 AS DOUBLE))) AS BIGINT) AS sum_qx,
+           CAST(SUM(floor(((CAST(-90 AS DOUBLE) + (CAST(ty AS DOUBLE) + CAST(1 AS DOUBLE)) * CAST(2.8125 AS DOUBLE)) - lat)
+                          / CAST(2.8125 AS DOUBLE) * CAST(4096 AS DOUBLE))) AS BIGINT) AS sum_qy,
+           CAST(SUM(k) // 3 AS BIGINT) AS sum_id
+    FROM v GROUP BY tx, ty
+    """
+
+
 def q_spatial_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full Iceberg-geo loop in one query: write the event points
     Z-order-clustered by Morton cell (manifest.write_clustered_by_cell —
@@ -2617,6 +2714,7 @@ QUERIES = {
     "ann_pq_recall": q_ann_pq_recall,
     "stream_mvt_ingest": q_stream_mvt_ingest,
     "spatial_prune_scan": q_spatial_prune_scan,
+    "mvt_lines": q_mvt_lines,
 }
 
 def build_oracles() -> dict[str, str]:
@@ -2695,4 +2793,5 @@ def _build_oracles() -> dict[str, str]:
     "ann_pq_recall": o_ann_pq_recall(),
     "stream_mvt_ingest": o_mvt_tiles(),
     "spatial_prune_scan": o_spatial_prune_scan(),
+    "mvt_lines": o_mvt_lines(),
     }

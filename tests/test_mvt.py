@@ -265,3 +265,72 @@ def test_mvt_tiles_points_fast_path(spark):
             q = f["geometry"][0][0]
             assert q[0] == min(int(np.floor((row.lon - lon0) / sx * 4096)), 4095)
             assert q[1] == min(int(np.floor((lat_top - row.lat) / sy * 4096)), 4095)
+
+
+def test_clip_polyline_cases():
+    # crossing, re-entering, inside, outside + length conservation
+    line = np.array([[-5, 5], [15, 5]], float)
+    p = gclip.clip_polyline_bbox(line, 0, 0, 10, 10)
+    assert len(p) == 1 and np.allclose(p[0], [[0, 5], [10, 5]])
+    v = np.array([[2, 2], [5, -6], [8, 2]], float)
+    assert len(gclip.clip_polyline_bbox(v, 0, 0, 10, 10)) == 2
+    inside = np.array([[1, 1], [2, 3], [4, 4]], float)
+    assert np.allclose(gclip.clip_polyline_bbox(inside, 0, 0, 10, 10)[0], inside)
+    assert gclip.clip_polyline_bbox(np.array([[20, 20], [30, 30]], float), 0, 0, 10, 10) == []
+    diag = np.array([[2, 2], [18, 8]], float)
+    l1 = gclip.clip_polyline_bbox(diag, 0, 0, 10, 10)[0]
+    l2 = gclip.clip_polyline_bbox(diag, 10, 0, 20, 10)[0]
+    tot = np.hypot(*(l1[-1] - l1[0])) + np.hypot(*(l2[-1] - l2[0]))
+    assert abs(tot - np.hypot(16, 6)) < 1e-9
+
+
+def test_mvt_tiles_lines_sink(spark):
+    """A road crossing 2 tiles + a V-shaped line that exits and re-enters
+    its tile: per-tile features carry the correct id, path count, and a
+    screen-length sum consistent with the clipped geographic length."""
+    z, extent = 4, 4096
+    sx, sy = (LON1 - LON0) / 16, (LAT1 - LAT0) / 16
+    road = wkb.encode_multilinestring(
+        [np.array([[5, 5], [40, 8]], dtype=float)]  # crosses tile x boundary at 22.5
+    )
+    vline = wkb.encode_multilinestring(
+        [np.array([[2, 2], [8, -20], [14, 2]], dtype=float)]  # dips into the tile below
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"line_id": [1, 2], "geom": [road, vline]})
+    )
+    out = export.mvt_tiles_lines(df, z, id_col="line_id", buffer_px=0).collect()
+    by_tile = {(r.tile_x, r.tile_y): r for r in out}
+    total_len_px = 0.0
+    n_paths_line2 = 0
+    for r in out:
+        L = mvt.decode_tile(bytes(r.bytes))[0]
+        assert L["version"] == 2
+        for f in L["features"]:
+            assert f["type"] == mvt.LINESTRING
+            for part in f["geometry"]:
+                d = np.diff(part, axis=0)
+                total_len_px += float(np.hypot(d[:, 0], d[:, 1]).sum())
+                if f["id"] == 2:
+                    n_paths_line2 += 1
+    # line 2 leaves its tile and re-enters: two paths in its home tile
+    assert n_paths_line2 >= 2
+    # screen length ~ geographic length scaled (anisotropic, so compare
+    # against the per-axis scaled polyline length)
+    def px_len(pts):
+        d = np.diff(np.asarray(pts, float), axis=0)
+        return float(np.hypot(d[:, 0] / sx * extent, d[:, 1] / sy * extent).sum())
+
+    exp = px_len([[5, 5], [40, 8]])  # the road, clipped pieces partition it
+    # the V's contribution: its clipped pieces inside each covered tile
+    vp = gclip.clip_polyline_bbox(
+        np.array([[2, 2], [8, -20], [14, 2]], float), 0, 0, 22.5, 11.25
+    )
+    vp += gclip.clip_polyline_bbox(
+        np.array([[2, 2], [8, -20], [14, 2]], float), 0, -11.25, 22.5, 0.0
+    )
+    vp += gclip.clip_polyline_bbox(
+        np.array([[2, 2], [8, -20], [14, 2]], float), 0, -22.5, 22.5, -11.25
+    )
+    exp_v = sum(px_len(p) for p in vp)
+    assert abs(total_len_px - (exp + exp_v)) / (exp + exp_v) < 0.02
