@@ -466,3 +466,52 @@ def dissolve_boundary(bufs: list[bytes]) -> bytes:
         if not placed:
             raise ValueError("dissolve_boundary: hole ring not contained in any outer ring")
     return encode_multipolygon(out_polys)
+
+
+def multipolygon_perimeter(buf: bytes) -> float:
+    """Total boundary length (exterior + interior rings, ST_Perimeter
+    semantics)."""
+    total = 0.0
+    for rings in parse_multipolygon(buf):
+        for ring in rings:
+            d = np.diff(ring, axis=0)
+            total += float(np.sqrt(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]).sum())
+    return total
+
+
+def multipolygon_centroid(buf: bytes) -> tuple[float, float]:
+    """Area-weighted centroid (holes subtract — ST_Centroid semantics for
+    areal geometry). Shoelace first moments per ring, signed by ring
+    role."""
+    num_x = num_y = denom = 0.0
+    for rings in parse_multipolygon(buf):
+        for ri, ring in enumerate(rings):
+            x, y = ring[:, 0], ring[:, 1]
+            cross = x * np.roll(y, -1) - np.roll(x, -1) * y
+            a2 = float(cross.sum())  # 2*signed area in vertex order
+            cx = float(((x + np.roll(x, -1)) * cross).sum())
+            cy = float(((y + np.roll(y, -1)) * cross).sum())
+            sign = 1.0 if ri == 0 else -1.0
+            # normalize each ring to |area| then apply role sign, so
+            # vertex winding never flips the weighting
+            if a2 < 0:
+                a2, cx, cy = -a2, -cx, -cy
+            num_x += sign * cx
+            num_y += sign * cy
+            denom += sign * a2
+    if denom == 0.0:
+        raise ValueError("centroid of zero-area geometry")
+    return num_x / (3.0 * denom), num_y / (3.0 * denom)
+
+
+def multilinestring_length(buf: bytes) -> float:
+    """Total path length of a (multi)linestring (ST_Length)."""
+    gtype, payload = parse(bytes(buf))
+    parts = [payload] if gtype == LINESTRING else list(payload)
+    if gtype not in (LINESTRING, MULTILINESTRING):
+        raise ValueError(f"expected (multi)linestring, got type {gtype}")
+    total = 0.0
+    for part in parts:
+        d = np.diff(np.asarray(part), axis=0)
+        total += float(np.sqrt(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]).sum())
+    return total

@@ -2435,6 +2435,71 @@ def o_mvt_lines() -> str:
     """
 
 
+def q_geo_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry measures (ops/measures.py — the ST_Area / ST_Perimeter /
+    ST_Centroid surface the reference's PostGIS consumers query): 2×2°
+    squares per nation row, every third with a 0.5° hole. The oracle
+    replays the closed forms (hole subtracts from area and the centroid
+    weighting, adds to the perimeter); all intermediates are exact binary
+    fractions, so the comparison is bit-exact — verified per-key in
+    pytest before baking the formulas."""
+    from .ops import measures
+
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey")
+
+    @F.pandas_udf(T.BinaryType())
+    def poly_udf(keys: pd.Series) -> pd.Series:
+        out = []
+        for k in keys:
+            k = int(k)
+            x0, y0 = 122.0 + (k % 5) * 2.0, 20.0 + (k // 5) * 2.0
+            sq = np.array(
+                [[x0, y0], [x0 + 2, y0], [x0 + 2, y0 + 2], [x0, y0 + 2], [x0, y0]]
+            )
+            rings = [sq]
+            if k % 3 == 0:
+                rings.append(
+                    np.array(
+                        [
+                            [x0 + 0.5, y0 + 0.5], [x0 + 1.0, y0 + 0.5],
+                            [x0 + 1.0, y0 + 1.0], [x0 + 0.5, y0 + 1.0],
+                            [x0 + 0.5, y0 + 0.5],
+                        ]
+                    )
+                )
+            out.append(wkb.encode_multipolygon([rings]))
+        return pd.Series(out)
+
+    polys = nat.withColumn("geom", poly_udf("n_nationkey"))
+    return measures.add_geom_measures(polys).select(
+        "n_nationkey", "area", "perimeter", "centroid_x", "centroid_y"
+    )
+
+
+def o_geo_measures() -> str:
+    return """
+    WITH b AS (
+      SELECT n_nationkey,
+             CAST(122 AS DOUBLE) + CAST(n_nationkey % 5 AS DOUBLE) * CAST(2 AS DOUBLE) AS x0,
+             CAST(20 AS DOUBLE) + CAST(n_nationkey // 5 AS DOUBLE) * CAST(2 AS DOUBLE) AS y0,
+             n_nationkey % 3 = 0 AS holed
+      FROM nation
+    )
+    SELECT n_nationkey,
+           CASE WHEN holed THEN CAST(3.75 AS DOUBLE) ELSE CAST(4 AS DOUBLE) END AS area,
+           CASE WHEN holed THEN CAST(10 AS DOUBLE) ELSE CAST(8 AS DOUBLE) END AS perimeter,
+           CASE WHEN holed
+                THEN (CAST(4 AS DOUBLE) * (x0 + CAST(1 AS DOUBLE))
+                      - CAST(0.25 AS DOUBLE) * (x0 + CAST(0.75 AS DOUBLE))) / CAST(3.75 AS DOUBLE)
+                ELSE x0 + CAST(1 AS DOUBLE) END AS centroid_x,
+           CASE WHEN holed
+                THEN (CAST(4 AS DOUBLE) * (y0 + CAST(1 AS DOUBLE))
+                      - CAST(0.25 AS DOUBLE) * (y0 + CAST(0.75 AS DOUBLE))) / CAST(3.75 AS DOUBLE)
+                ELSE y0 + CAST(1 AS DOUBLE) END AS centroid_y
+    FROM b
+    """
+
+
 def q_spatial_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full Iceberg-geo loop in one query: write the event points
     Z-order-clustered by Morton cell (manifest.write_clustered_by_cell —
@@ -2715,6 +2780,7 @@ QUERIES = {
     "stream_mvt_ingest": q_stream_mvt_ingest,
     "spatial_prune_scan": q_spatial_prune_scan,
     "mvt_lines": q_mvt_lines,
+    "geo_measures": q_geo_measures,
 }
 
 def build_oracles() -> dict[str, str]:
@@ -2794,4 +2860,5 @@ def _build_oracles() -> dict[str, str]:
     "stream_mvt_ingest": o_mvt_tiles(),
     "spatial_prune_scan": o_spatial_prune_scan(),
     "mvt_lines": o_mvt_lines(),
+    "geo_measures": o_geo_measures(),
     }

@@ -358,3 +358,55 @@ def test_cell_compact_incomplete_quartet_untouched():
     trio = cell.from_xy(np.array([2, 3, 2]), np.array([4, 4, 5]), 3)
     got = cell.compact(trio)
     assert (np.sort(got) == np.sort(trio)).all()
+
+
+# ------------------------------------------------------------- measures
+
+def test_geometry_measures_goldens():
+    import numpy as np
+
+    from jpspark.geom import wkb
+
+    sq = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]], float)
+    hole = np.array(
+        [[0.5, 0.5], [1.0, 0.5], [1.0, 1.0], [0.5, 1.0], [0.5, 0.5]], float
+    )
+    buf = wkb.encode_multipolygon([[sq, hole]])
+    assert wkb.multipolygon_area(buf) == 3.75
+    assert wkb.multipolygon_perimeter(buf) == 10.0
+    exp = (4 * 1.0 - 0.25 * 0.75) / 3.75
+    assert wkb.multipolygon_centroid(buf) == (exp, exp)
+    # winding-insensitive (reversed rings give identical centroid)
+    buf2 = wkb.encode_multipolygon([[sq[::-1], hole[::-1]]])
+    assert wkb.multipolygon_centroid(buf2) == (exp, exp)
+    # multipart: centroid is the area-weighted mean of the parts
+    far = sq + np.array([10.0, 0.0])
+    buf3 = wkb.encode_multipolygon([[sq], [far]])
+    assert wkb.multipolygon_centroid(buf3) == (6.0, 1.0)
+    line = wkb.encode_multilinestring([np.array([[0, 0], [3, 4], [3, 10]], float)])
+    assert wkb.multilinestring_length(line) == 11.0
+    with pytest.raises(ValueError):
+        wkb.multipolygon_centroid(
+            wkb.encode_multipolygon([[np.array([[0, 0], [1, 1], [0, 0]], float)]])
+        )
+
+
+def test_measures_op(spark):
+    import numpy as np
+    import pandas as pd
+
+    from jpspark.geom import wkb
+    from jpspark.ops import measures
+
+    sq = np.array([[5, 5], [8, 5], [8, 9], [5, 9], [5, 5]], float)
+    df = spark.createDataFrame(
+        pd.DataFrame({"gid": [1], "geom": [wkb.encode_multipolygon([[sq]])]})
+    )
+    row = measures.add_geom_measures(df).collect()[0]
+    assert (row.area, row.perimeter, row.centroid_x, row.centroid_y) == (12.0, 14.0, 6.5, 7.0)
+    line = spark.createDataFrame(
+        pd.DataFrame(
+            {"gid": [1], "geom": [wkb.encode_multilinestring([np.array([[0, 0], [0, 7]], float)])]}
+        )
+    )
+    assert measures.add_length(line).collect()[0].length == 7.0
