@@ -106,6 +106,21 @@ class LocalStorage:
             f.write(text)
         os.replace(tmp, path)
 
+    def put_bytes(self, root: str, key: str, data: bytes) -> None:
+        path = self._p(root, key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def get_bytes(self, root: str, key: str) -> bytes | None:
+        path = self._p(root, key)
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as f:
+            return f.read()
+
     def get_text(self, root: str, key: str) -> str | None:
         path = self._p(root, key)
         if not os.path.exists(path):
@@ -178,6 +193,21 @@ class ObjectStorage:
         with open(tmp, "w") as f:
             f.write(text)
         os.replace(tmp, blob)
+
+    def put_bytes(self, root: str, key: str, data: bytes) -> None:
+        os.makedirs(self.base, exist_ok=True)
+        blob = self._blob(root, key)
+        tmp = blob + ".staging"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, blob)
+
+    def get_bytes(self, root: str, key: str) -> bytes | None:
+        blob = self._blob(root, key)
+        if not os.path.exists(blob):
+            return None
+        with open(blob, "rb") as f:
+            return f.read()
 
     def get_text(self, root: str, key: str) -> str | None:
         blob = self._blob(root, key)

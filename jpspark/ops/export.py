@@ -536,3 +536,85 @@ def mvt_tiles_lines(
             "n_paths long, bytes binary"
         ),
     )
+
+
+def write_mvt_directory(
+    tiles: DataFrame,
+    path: str,
+    storage=None,
+    name: str = "jpspark",
+) -> dict:
+    """Materialize a tile-sink DataFrame (``tile_z, tile_x, tile_y,
+    bytes`` — output of mvt_tiles_points/polygons/lines) as the
+    ``{z}/{x}/{y}.mvt`` object layout tile servers read, plus a
+    TileJSON-3.0-shaped ``metadata.json`` (tilejson/name/tiles/minzoom/
+    maxzoom/bounds, from the public spec at
+    https://github.com/mapbox/tilejson-spec).
+
+    Distributed: each task PUTs its own tiles through the object-store
+    ``Storage`` seam (atomic per-object, no rename/mkdir in the
+    protocol — the same contract the checkpoint manifest is proven on),
+    and the driver writes metadata LAST, the commit-marker-after-data
+    idiom: a crash leaves tiles without metadata, never metadata naming
+    missing tiles. Y is flipped to the XYZ convention (origin top-left)
+    so standard viewers address tiles directly."""
+    from ..geom.cell import LAT0, LON0, LAT1, LON1
+    from ..manifest import LocalStorage
+
+    store = storage or LocalStorage()
+
+    def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        total = 0
+        zs: set[int] = set()
+        xmin = ymin = float("inf")
+        xmax = ymax = float("-inf")
+        for pdf in batches:
+            for z, x, y, blob in zip(
+                pdf["tile_z"].to_numpy(), pdf["tile_x"].to_numpy(),
+                pdf["tile_y"].to_numpy(), pdf["bytes"].to_numpy(),
+            ):
+                z, x, y = int(z), int(x), int(y)
+                y_xyz = (1 << z) - 1 - y  # engine y is northward; XYZ is top-down
+                store.put_bytes(path, f"{z}/{x}/{y_xyz}.mvt", bytes(blob))
+                n += 1
+                total += len(blob)
+                zs.add(z)
+                sx = (LON1 - LON0) / (1 << z)
+                sy = (LAT1 - LAT0) / (1 << z)
+                xmin = min(xmin, LON0 + x * sx); xmax = max(xmax, LON0 + (x + 1) * sx)
+                ymin = min(ymin, LAT0 + y * sy); ymax = max(ymax, LAT0 + (y + 1) * sy)
+        yield pd.DataFrame(
+            {
+                "n_tiles": [n], "bytes": [total],
+                "minz": [min(zs) if zs else None], "maxz": [max(zs) if zs else None],
+                "xmin": [None if n == 0 else xmin], "ymin": [None if n == 0 else ymin],
+                "xmax": [None if n == 0 else xmax], "ymax": [None if n == 0 else ymax],
+            }
+        )
+
+    stats = tiles.select("tile_z", "tile_x", "tile_y", "bytes").mapInPandas(
+        sink,
+        "n_tiles long, bytes long, minz int, maxz int, "
+        "xmin double, ymin double, xmax double, ymax double",
+    ).collect()
+    n_tiles = sum(r.n_tiles for r in stats)
+    if n_tiles == 0:
+        raise ValueError("write_mvt_directory: no tiles to write")
+    meta = {
+        "tilejson": "3.0.0",
+        "name": name,
+        "tiles": ["{z}/{x}/{y}.mvt"],
+        "minzoom": min(r.minz for r in stats if r.minz is not None),
+        "maxzoom": max(r.maxz for r in stats if r.maxz is not None),
+        "bounds": [
+            min(r.xmin for r in stats if r.xmin is not None),
+            min(r.ymin for r in stats if r.ymin is not None),
+            max(r.xmax for r in stats if r.xmax is not None),
+            max(r.ymax for r in stats if r.ymax is not None),
+        ],
+        "tile_count": n_tiles,
+        "total_bytes": int(sum(r.bytes for r in stats)),
+    }
+    store.put_text(path, "metadata.json", json.dumps(meta))
+    return meta

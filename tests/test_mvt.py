@@ -334,3 +334,44 @@ def test_mvt_tiles_lines_sink(spark):
     )
     exp_v = sum(px_len(p) for p in vp)
     assert abs(total_len_px - (exp + exp_v)) / (exp + exp_v) < 0.02
+
+
+def test_write_mvt_directory(spark, tmp_path):
+    """Tiles land as {z}/{x}/{y}.mvt files (XYZ y-flip), decode from
+    disk, and metadata.json (TileJSON 3.0 shape) is written LAST with
+    correct zoom range, bounds, and counts."""
+    import json
+    import os
+
+    rng = np.random.default_rng(21)
+    pdf = pd.DataFrame(
+        {
+            "pid": np.arange(300),
+            "lon": rng.uniform(0, 40, 300),
+            "lat": rng.uniform(0, 40, 300),
+        }
+    )
+    tiles = export.mvt_tiles_points(spark.createDataFrame(pdf), 4, id_col="pid")
+    out_dir = str(tmp_path / "tiles")
+    meta = export.write_mvt_directory(tiles, out_dir, name="t")
+    assert meta["tilejson"] == "3.0.0" and meta["minzoom"] == meta["maxzoom"] == 4
+    assert meta["bounds"][0] >= 0 - 22.5 and meta["bounds"][2] <= 45 + 22.5
+    disk = []
+    n_feat = 0
+    for z_dir in os.listdir(out_dir):
+        if not os.path.isdir(os.path.join(out_dir, z_dir)):
+            continue
+        for x_dir in os.listdir(os.path.join(out_dir, z_dir)):
+            for f in os.listdir(os.path.join(out_dir, z_dir, x_dir)):
+                assert f.endswith(".mvt")
+                with open(os.path.join(out_dir, z_dir, x_dir, f), "rb") as fh:
+                    L = mvt.decode_tile(fh.read())[0]
+                n_feat += len(L["features"])
+                disk.append((int(z_dir), int(x_dir), int(f[:-4])))
+    assert len(disk) == meta["tile_count"]
+    assert n_feat == 300
+    with open(os.path.join(out_dir, "metadata.json")) as fh:
+        assert json.load(fh)["tile_count"] == len(disk)
+    # XYZ flip: engine tile_y -> (2^z - 1 - y) on disk
+    eng = {(r.tile_z, r.tile_x, (1 << r.tile_z) - 1 - r.tile_y) for r in tiles.collect()}
+    assert set(disk) == eng
