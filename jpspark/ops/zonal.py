@@ -474,3 +474,82 @@ def polygonize(
             "n_edges long, n_rings int, geom binary"
         ),
     )
+
+
+def raster_histogram(tiles: DataFrame, band: int = 0) -> DataFrame:
+    """Global value histogram of one raster band: (value, n_px). The
+    classic first-look statistic over an imagery table. Shape: mapInArrow
+    emits ONE partial (value, count) row per distinct value per batch
+    (≤256 rows, not per pixel), then a single tiny exchange sums
+    partials — map-side combine for rasters."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            counts = np.zeros(256, dtype=np.int64)
+            for r in range(rb.num_rows):
+                px = img.decode(
+                    rb.column("bytes")[r].as_py(), rb.column("fmt")[r].as_py()
+                )[:, :, band]
+                counts += np.bincount(px.ravel(), minlength=256)
+            nz = np.nonzero(counts)[0]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(nz.astype(np.int64)),
+                    pa.array(counts[nz]),
+                ],
+                names=["value", "n_px"],
+            )
+
+    return (
+        tiles.select("bytes", "fmt")
+        .mapInArrow(kernel, schema="value long, n_px long")
+        .groupBy("value")
+        .agg(F.sum("n_px").alias("n_px"))
+    )
+
+
+def raster_band_math(
+    tiles: DataFrame,
+    fn,
+    *,
+    quantize: int = 1000,
+) -> DataFrame:
+    """Per-tile band algebra (the NDVI-shaped reduction): apply
+    ``fn(b0, b1, b2) -> float array`` to each tile's decoded bands,
+    QUANTIZE per-pixel values to integers (``floor(quantize · v)``) and
+    emit their exact integer sum per tile. Quantizing before the
+    reduction makes the aggregate order-independent and bit-replayable
+    by any engine — float sums of the same multiset would differ across
+    summation orders at the last ulp. Output: (tile_x, tile_y, n_px,
+    qsum)."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            txs = rb.column("tile_x").to_numpy()
+            tys = rb.column("tile_y").to_numpy()
+            npx, qs = [], []
+            for r in range(rb.num_rows):
+                px = img.decode(
+                    rb.column("bytes")[r].as_py(), rb.column("fmt")[r].as_py()
+                )
+                v = fn(
+                    px[:, :, 0].astype(np.float64),
+                    px[:, :, 1].astype(np.float64),
+                    px[:, :, 2].astype(np.float64),
+                )
+                q = np.floor(np.float64(quantize) * v).astype(np.int64)
+                npx.append(int(v.size))
+                qs.append(int(q.sum()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(txs.astype(np.int64)),
+                    pa.array(tys.astype(np.int64)),
+                    pa.array(npx, type=pa.int64()),
+                    pa.array(qs, type=pa.int64()),
+                ],
+                names=["tile_x", "tile_y", "n_px", "qsum"],
+            )
+
+    return tiles.select(
+        F.col("tile_x").cast("long"), F.col("tile_y").cast("long"), "bytes", "fmt"
+    ).mapInArrow(kernel, schema="tile_x long, tile_y long, n_px long, qsum long")

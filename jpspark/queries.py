@@ -2191,6 +2191,60 @@ def o_simplify() -> str:
     """
 
 
+def q_raster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global band-0 value histogram over the raster fixture tiles
+    (ops/zonal.py raster_histogram — per-batch partial counts, one tiny
+    exchange). DuckDB recomputes every pixel value from the closed form
+    and counts."""
+    from .ops import zonal
+
+    tiles, _ = _zonal_fixture(spark)
+    return zonal.raster_histogram(tiles).orderBy("value")
+
+
+def o_raster_histogram() -> str:
+    return """
+    WITH px AS (
+      SELECT (3 * gxs.g + 7 * gys.g) % 256 AS v
+      FROM generate_series(256, 383) gxs(g), generate_series(256, 383) gys(g)
+    )
+    SELECT CAST(v AS BIGINT) AS value, CAST(COUNT(*) AS BIGINT) AS n_px
+    FROM px GROUP BY v ORDER BY value
+    """
+
+
+def q_raster_band_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDVI-shaped band algebra (ops/zonal.py raster_band_math): per-tile
+    exact integer sums of floor(1000·(b0−b1)/(b0+b1+1)) — quantizing
+    BEFORE the reduction makes the aggregate order-independent, so the
+    oracle replays it bit-for-bit from the closed-form pixels with the
+    identical IEEE op sequence."""
+    from .ops import zonal
+
+    tiles, _ = _zonal_fixture(spark)
+    out = zonal.raster_band_math(
+        tiles, lambda b0, b1, b2: (b0 - b1) / (b0 + b1 + 1.0), quantize=1000
+    )
+    return out.orderBy("tile_x", "tile_y")
+
+
+def o_raster_band_math() -> str:
+    return """
+    WITH px AS (
+      SELECT gxs.g AS gx, gys.g AS gy,
+             CAST((3 * gxs.g + 7 * gys.g) % 256 AS DOUBLE) AS b0,
+             CAST(gxs.g % 256 AS DOUBLE) AS b1
+      FROM generate_series(256, 383) gxs(g), generate_series(256, 383) gys(g)
+    )
+    SELECT CAST(gx // 32 AS BIGINT) AS tile_x,
+           CAST(gy // 32 AS BIGINT) AS tile_y,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(floor(CAST(1000 AS DOUBLE) * ((b0 - b1) / (b0 + b1 + CAST(1 AS DOUBLE)))))
+                AS BIGINT) AS qsum
+    FROM px GROUP BY 1, 2 ORDER BY tile_x, tile_y
+    """
+
+
 def q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mapbox Vector Tile sink (codec/mvt.py + export.mvt_tiles_points):
     encode event points into one spec-2.1 MVT blob per z=6 tile, then
@@ -2781,6 +2835,8 @@ QUERIES = {
     "spatial_prune_scan": q_spatial_prune_scan,
     "mvt_lines": q_mvt_lines,
     "geo_measures": q_geo_measures,
+    "raster_histogram": q_raster_histogram,
+    "raster_band_math": q_raster_band_math,
 }
 
 def build_oracles() -> dict[str, str]:
@@ -2861,4 +2917,6 @@ def _build_oracles() -> dict[str, str]:
     "spatial_prune_scan": o_spatial_prune_scan(),
     "mvt_lines": o_mvt_lines(),
     "geo_measures": o_geo_measures(),
+    "raster_histogram": o_raster_histogram(),
+    "raster_band_math": o_raster_band_math(),
     }
