@@ -375,3 +375,30 @@ def test_write_mvt_directory(spark, tmp_path):
     # XYZ flip: engine tile_y -> (2^z - 1 - y) on disk
     eng = {(r.tile_z, r.tile_x, (1 << r.tile_z) - 1 - r.tile_y) for r in tiles.collect()}
     assert set(disk) == eng
+
+
+def test_read_mvt_directory_roundtrip(spark, tmp_path):
+    """write_mvt_directory -> read_mvt_directory recovers every feature
+    with lon/lat within one pixel of the original points."""
+    rng = np.random.default_rng(31)
+    pdf = pd.DataFrame(
+        {
+            "pid": np.arange(500),
+            "lon": rng.uniform(10, 80, 500),
+            "lat": rng.uniform(-30, 40, 500),
+        }
+    )
+    z = 5
+    tiles = export.mvt_tiles_points(spark.createDataFrame(pdf), z, id_col="pid")
+    out_dir = str(tmp_path / "rt_tiles")
+    export.write_mvt_directory(tiles, out_dir)
+    back = export.read_mvt_directory(spark, out_dir).toPandas()
+    assert len(back) == 500
+    assert set(back["feature_id"]) == set(range(500))
+    px_x = (LON1 - LON0) / (1 << z) / 4096
+    px_y = (LAT1 - LAT0) / (1 << z) / 4096
+    for _, r in back.iterrows():
+        pt = wkb.parse_multipoint(bytes(r["geom"]))[0]
+        orig = pdf[pdf.pid == r["feature_id"]].iloc[0]
+        assert abs(pt[0] - orig.lon) <= px_x + 1e-12
+        assert abs(pt[1] - orig.lat) <= px_y + 1e-12
