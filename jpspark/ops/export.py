@@ -328,6 +328,7 @@ def mvt_tiles_polygons(
     buffer_px: int = 8,
     simplify_px: float = 0.0,
     layer_name: str = "polygons",
+    drop_empty: bool = True,
 ) -> DataFrame:
     """Distributed vector-tile sink, polygon features: polygons explode
     onto their covering tiles (tiles.polygon_tiles — bbox cover, one row
@@ -408,13 +409,17 @@ def mvt_tiles_polygons(
             }
         )
 
-    return cover.groupBy("tile_x", "tile_y").applyInPandas(
+    out = cover.groupBy("tile_x", "tile_y").applyInPandas(
         build,
         schema=(
             "tile_z int, tile_x long, tile_y long, n_features long, "
             "n_rings long, bytes binary"
         ),
     )
+    # bbox cover is conservative: a tile can cover a polygon's bbox yet
+    # clip to nothing — drop those empties (tippecanoe behavior) unless
+    # the caller wants placeholder tiles
+    return out.filter(F.col("n_features") > 0) if drop_empty else out
 
 
 def _multilinestring_parts(buf: bytes) -> list[np.ndarray]:
@@ -436,6 +441,7 @@ def mvt_tiles_lines(
     buffer_px: int = 8,
     simplify_px: float = 0.0,
     layer_name: str = "lines",
+    drop_empty: bool = True,
 ) -> DataFrame:
     """Distributed vector-tile sink, LINESTRING features (roads, routes —
     the reference's N07-style line layers): lines explode onto covering
@@ -529,13 +535,14 @@ def mvt_tiles_lines(
             }
         )
 
-    return cover.groupBy("tile_x", "tile_y").applyInPandas(
+    out = cover.groupBy("tile_x", "tile_y").applyInPandas(
         build,
         schema=(
             "tile_z int, tile_x long, tile_y long, n_features long, "
             "n_paths long, bytes binary"
         ),
     )
+    return out.filter(F.col("n_features") > 0) if drop_empty else out
 
 
 def write_mvt_directory(

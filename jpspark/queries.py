@@ -151,6 +151,47 @@ def o_geo_knn() -> str:
     """
 
 
+def q_geo_knn_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 with an anisotropic metric: longitude pre-scaled by a constant
+    (the equirectangular cos(mid-lat) correction — at Japan's ~35°N a
+    degree of longitude is ~0.82 of a degree of latitude on the ground).
+    The factor is the binary-exact 0.8125 so both engines replay the
+    multiply bit-for-bit (a libm cos() would differ across engines).
+    Metric flexibility costs nothing: scale the coordinate columns in
+    codegen, run the IDENTICAL exact-kNN machinery in scaled space."""
+    C = 0.8125
+    pts = _event_points(spark, sf_dir).withColumn("lon", F.col("lon") * F.lit(C))
+    targets = (
+        _customer_points(spark, sf_dir)
+        .withColumn("lon", F.col("lon") * F.lit(C))
+        .toPandas()
+    )
+    out = knn.knn_join_broadcast(
+        pts, targets, k=3, query_id_col="event_id", target_id_col="c_custkey", res=5
+    )
+    return out.select(
+        F.col("query_id").alias("event_id"), "rank", F.col("target_id").alias("c_custkey"), "dist"
+    )
+
+
+def o_geo_knn_scaled() -> str:
+    return f"""
+    WITH q AS (SELECT event_id, ({_LON_EXPR}) * CAST(0.8125 AS DOUBLE) AS qx,
+                      {_LAT_EXPR} AS qy FROM events),
+         t AS (SELECT c_custkey, ({_TLON_EXPR}) * CAST(0.8125 AS DOUBLE) AS tx,
+                      {_TLAT_EXPR} AS ty FROM customer)
+    SELECT event_id, CAST(rank AS INTEGER) AS rank, c_custkey, dist FROM (
+      SELECT q.event_id, t.c_custkey,
+             sqrt((tx - qx) * (tx - qx) + (ty - qy) * (ty - qy)) AS dist,
+             row_number() OVER (
+               PARTITION BY q.event_id
+               ORDER BY sqrt((tx - qx) * (tx - qx) + (ty - qy) * (ty - qy)), t.c_custkey
+             ) AS rank
+      FROM q CROSS JOIN t
+    ) WHERE rank <= 3
+    """
+
+
 def q_geo_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster-tile assignment at z=6 (codegen'd Morton math), per-tile counts."""
     pts = _event_points(spark, sf_dir)
@@ -2837,6 +2878,7 @@ QUERIES = {
     "geo_measures": q_geo_measures,
     "raster_histogram": q_raster_histogram,
     "raster_band_math": q_raster_band_math,
+    "geo_knn_scaled": q_geo_knn_scaled,
 }
 
 def build_oracles() -> dict[str, str]:
@@ -2919,4 +2961,5 @@ def _build_oracles() -> dict[str, str]:
     "geo_measures": o_geo_measures(),
     "raster_histogram": o_raster_histogram(),
     "raster_band_math": o_raster_band_math(),
+    "geo_knn_scaled": o_geo_knn_scaled(),
     }

@@ -402,3 +402,17 @@ def test_read_mvt_directory_roundtrip(spark, tmp_path):
         orig = pdf[pdf.pid == r["feature_id"]].iloc[0]
         assert abs(pt[0] - orig.lon) <= px_x + 1e-12
         assert abs(pt[1] - orig.lat) <= px_y + 1e-12
+
+
+def test_sinks_drop_empty_tiles(spark):
+    """A diagonal line/polygon whose bbox covers tiles it never touches:
+    empties are dropped by default, kept with drop_empty=False."""
+    diag = wkb.encode_multilinestring(
+        [np.array([[1, 1], [43, 43]], dtype=float)]  # bbox covers ~2x4 tiles
+    )
+    df = spark.createDataFrame(pd.DataFrame({"line_id": [1], "geom": [diag]}))
+    kept = export.mvt_tiles_lines(df, 4, id_col="line_id", buffer_px=0)
+    all_t = export.mvt_tiles_lines(df, 4, id_col="line_id", buffer_px=0, drop_empty=False)
+    nk, na = kept.count(), all_t.count()
+    assert nk < na  # bbox-covered but untouched tiles existed and were dropped
+    assert kept.filter(F.col("n_features") == 0).count() == 0
