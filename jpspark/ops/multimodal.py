@@ -114,15 +114,17 @@ VIDEO_FRAME_SCHEMA = "media_id string, frame_idx int, bytes binary, w int, h int
 
 
 def decode_audio_stats(media: DataFrame, strict: bool = False) -> DataFrame:
-    """Audio decode: REAL for RIFF/WAVE integer PCM and (round 3)
-    IMA-ADPCM — WAV's standard compressed codec, pure integer math,
-    vectorized across blocks (codec/audio.py; no codec library needed).
-    Remaining compressed codecs (mp3/aac/opus/...) genuinely require
-    libraries absent from this environment and stay STUBBED: strict mode
-    raises NotImplementedError for non-WAV bytes, otherwise a
-    deterministic fake (rate 16 kHz, n_samples = len//2, rms from a byte
-    checksum) keeps the downstream plumbing exercisable end-to-end."""
+    """Audio decode: REAL for RIFF/WAVE integer PCM, IMA-ADPCM (round 3,
+    pure integer math vectorized across blocks) and FLAC (late round 3,
+    codec/flac.py — fixed predictors + Rice coding off RFC 9639, CRC
+    verified, lossless). Remaining compressed codecs (mp3/aac/opus/...)
+    genuinely require libraries absent from this environment and stay
+    STUBBED: strict mode raises NotImplementedError for unknown bytes,
+    otherwise a deterministic fake (rate 16 kHz, n_samples = len//2, rms
+    from a byte checksum) keeps the downstream plumbing exercisable
+    end-to-end."""
     from ..codec import audio as aud
+    from ..codec import flac as flc
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -134,10 +136,16 @@ def decode_audio_stats(media: DataFrame, strict: bool = False) -> DataFrame:
                     rows.append(
                         (mid, wav["sample_rate"], len(wav["samples"]), aud.rms(wav["samples"]))
                     )
+                elif b[:4] == flc.MAGIC:
+                    fl = flc.parse_flac(b)  # real decode path (lossless)
+                    rows.append(
+                        (mid, fl["sample_rate"], len(fl["samples"]), aud.rms(fl["samples"]))
+                    )
                 elif strict:
                     raise NotImplementedError(
-                        "non-WAV audio decode requires a codec library not present "
-                        "in this environment; WAV/PCM decodes for real"
+                        "audio decode for this container requires a codec library "
+                        "not present in this environment; WAV/PCM, IMA-ADPCM and "
+                        "FLAC decode for real"
                     )
                 else:
                     rows.append(

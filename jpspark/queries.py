@@ -1484,6 +1484,26 @@ def q_audio_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "tol": 2e-2,
             }
         )
+    # late round 3: FLAC rows — the from-scratch lossless codec
+    # (codec/flac.py, fixed predictors + Rice off RFC 9639). Lossless, so
+    # the rms expectation is the 16-bit-quantized sine's, same tol as PCM
+    from .codec import flac as flc
+
+    for i in range(5):
+        rate = 8000 + i * 250
+        amp = 0.15 + 0.08 * i
+        t = np.arange(rate) / rate
+        pcm = np.clip(
+            np.rint(amp * np.sin(2 * np.pi * 440 * t) * 32767.0), -32768, 32767
+        ).astype(np.int16)
+        rows.append(
+            {
+                "media_id": f"flc{i:03d}",
+                "bytes": flc.encode_flac(pcm, rate),
+                "amp": amp,
+                "tol": 1e-3,
+            }
+        )
     sdf = spark.createDataFrame(pd.DataFrame(rows))
     stats = mm.decode_audio_stats(sdf.select("media_id", "bytes"), strict=True)
     return stats.join(sdf.select("media_id", "amp", "tol"), "media_id").select(
@@ -1502,6 +1522,10 @@ def o_audio_validate() -> str:
     vals += "," + ",".join(
         f"('adp{i:03d}',{8000 + i * 400},CAST({8000 + i * 400} AS BIGINT),true)"
         for i in range(6)
+    )
+    vals += "," + ",".join(
+        f"('flc{i:03d}',{8000 + i * 250},CAST({8000 + i * 250} AS BIGINT),true)"
+        for i in range(5)
     )
     return f"SELECT * FROM (VALUES {vals}) AS t(media_id, sample_rate, n_samples, rms_ok)"
 

@@ -89,3 +89,58 @@ def test_images_fixture_deterministic():
     assert a["bytes"].equals(b["bytes"])
     assert a["caption"].equals(b["caption"])
     assert np.allclose(a["lon"], b["lon"])
+
+
+# ------------------------------------------------------------------ FLAC
+
+def test_flac_lossless_roundtrip_cases():
+    from jpspark.codec import flac
+
+    rng = np.random.default_rng(0)
+    cases = {
+        "sine": (0.4 * np.sin(2 * np.pi * 440 * np.arange(8000) / 8000) * 32767).astype(np.int16),
+        "noise": rng.integers(-3000, 3000, 10000).astype(np.int16),
+        "ramp": (np.arange(5000) % 20000 - 10000).astype(np.int16),
+        "const": np.full(4096, -123, dtype=np.int16),
+        "extremes": np.array([32767, -32768, 0, 1, -1] * 2000, dtype=np.int16),
+        "short": np.array([5, -7, 9], dtype=np.int16),
+        "stereo": np.column_stack(
+            [
+                (0.3 * np.sin(2 * np.pi * 200 * np.arange(9000) / 8000) * 32767).astype(np.int16),
+                rng.integers(-500, 500, 9000).astype(np.int16),
+            ]
+        ),
+    }
+    for name, s in cases.items():
+        buf = flac.encode_flac(s, 8000)
+        d = flac.parse_flac(buf)
+        exp = s if s.ndim == 2 else s[:, None]
+        assert (d["samples_int"] == exp).all(), name
+        assert d["sample_rate"] == 8000 and d["bits"] == 16
+
+
+def test_flac_spec_layout_and_compression():
+    from jpspark.codec import flac
+
+    sig = (np.arange(6000) % 4000 - 2000).astype(np.int16)  # near-linear: tiny file
+    buf = flac.encode_flac(sig, 44100)
+    assert buf[:4] == b"fLaC"
+    # STREAMINFO: last-metadata flag + type 0, length 34
+    assert buf[4] == 0x80 and int.from_bytes(buf[5:8], "big") == 34
+    # first frame starts with the 14-bit sync (0xFF, 0b111110xx)
+    frame0 = 8 + 34
+    assert buf[frame0] == 0xFF and (buf[frame0 + 1] & 0xFC) == 0xF8
+    # fixed-predictor residuals collapse a near-linear signal
+    assert len(buf) < len(sig) * 2 / 4
+    # sample rate from STREAMINFO round-trips
+    assert flac.parse_flac(buf)["sample_rate"] == 44100
+
+
+def test_flac_crc_detects_corruption():
+    from jpspark.codec import flac
+
+    sig = (np.sin(np.arange(5000)) * 10000).astype(np.int16)
+    buf = bytearray(flac.encode_flac(sig, 16000))
+    buf[len(buf) // 2] ^= 0x10
+    with pytest.raises(ValueError):
+        flac.parse_flac(bytes(buf))

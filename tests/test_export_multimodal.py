@@ -213,3 +213,18 @@ def test_flatgeobuf_sink_feature_budget(spark, tmp_path):
         ex.write_flatgeobuf(sdf, str(tmp_path / "t.fgb"), max_features=10)
     out = ex.write_flatgeobuf(sdf, str(tmp_path / "t.fgb"), max_features=50)
     assert out["features_count"] == 50
+
+
+def test_flac_in_audio_operator(spark):
+    from jpspark.codec import flac
+    from jpspark.ops import multimodal as mm
+
+    rate = 12000
+    t = np.arange(rate) / rate
+    pcm = np.clip(np.rint(0.25 * np.sin(2 * np.pi * 440 * t) * 32767), -32768, 32767).astype(np.int16)
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": ["f0"], "bytes": [flac.encode_flac(pcm, rate)]})
+    )
+    row = mm.decode_audio_stats(df, strict=True).collect()[0]
+    assert row.sample_rate == rate and row.n_samples == rate
+    assert abs(row.rms - 0.25 / np.sqrt(2)) < 1e-3
