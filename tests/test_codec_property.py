@@ -337,3 +337,22 @@ def test_gram_hash_batch_matches_gram_list_reference(texts):
     for h, g in zip(hs, flat_ref):
         assert by_hash.setdefault(int(h), g) == g
     assert len({int(h) for h in hs}) == len(set(flat_ref))
+
+
+@given(
+    st.integers(0, 2**31),
+    st.integers(1, 12000),
+    st.sampled_from([1, 2]),
+    st.integers(1, 8) ,
+)
+@settings(max_examples=25, deadline=None)
+def test_flac_roundtrip_property(seed, n, n_ch, scale_pow):
+    """FLAC is lossless on arbitrary int16 signals of any length/channel
+    count, including lengths far from the block size."""
+    from jpspark.codec import flac
+
+    rng = np.random.default_rng(seed)
+    hi = min(32767, 1 << (scale_pow + 7))
+    s = rng.integers(-hi, hi, (n, n_ch)).astype(np.int16)
+    d = flac.parse_flac(flac.encode_flac(s, 8000))
+    assert (d["samples_int"] == s).all()
