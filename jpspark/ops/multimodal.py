@@ -159,12 +159,15 @@ def decode_audio_stats(media: DataFrame, strict: bool = False) -> DataFrame:
 def sample_video_frames(media: DataFrame, every_n: int = 10, strict: bool = False) -> DataFrame:
     """Video frame sampling: REAL for RIFF/AVI with BI_RGB (uncompressed
     DIB) and — round 3 — MJPG frames (each a baseline JPEG, decoded by the
-    from-scratch T.81 codec); sampled frames re-encode as our 'raw' image
+    from-scratch T.81 codec) AND — late round 3 — YUV4MPEG2 (.y4m,
+    codec/y4m.py: BT.601 limited-range + 4:2:0 planar, the rawvideo
+    interchange format); sampled frames re-encode as our 'raw' image
     format so the whole image pipeline (decode/resize/features/pHash)
     composes downstream. Remaining compressed codecs (H.264/VP9/...) stay
-    STUBBED: strict mode raises for non-AVI bytes, otherwise the
+    STUBBED: strict mode raises for unknown bytes, otherwise the
     deterministic RAW1 fake container keeps the plumbing exercisable."""
     from ..codec import video as vid
+    from ..codec import y4m as y4m_codec
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -180,11 +183,19 @@ def sample_video_frames(media: DataFrame, every_n: int = 10, strict: bool = Fals
                                  avi["width"], avi["height"], "raw")
                             )
                     continue
+                if b[:9] == y4m_codec.MAGIC:
+                    d = y4m_codec.parse_y4m(b)  # real decode path
+                    for idx, frame in enumerate(d["frames"]):
+                        if idx % every_n == 0:
+                            rows.append(
+                                (mid, idx, img.encode(frame, "raw"), d["w"], d["h"], "raw")
+                            )
+                    continue
                 if strict:
                     raise NotImplementedError(
                         "compressed video decode requires a codec library not "
-                        "present in this environment; uncompressed AVI demuxes "
-                        "for real"
+                        "present in this environment; uncompressed AVI, MJPEG "
+                        "and YUV4MPEG2 decode for real"
                     )
                 # fake container: RAW1 frames back-to-back
                 off, idx = 0, 0

@@ -1541,12 +1541,20 @@ def q_video_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import fixtures as fx
     from .codec import image as img
     from .codec import video as vid
+    from .codec import y4m as y4m_codec
     from .ops import multimodal as mm
 
     rows = []
     for m in range(6):
         frames = [fx.pixel_pattern(m * 100 + i, 16, 16) for i in range(12 + m)]
         rows.append({"media_id": f"avi{m:02d}", "bytes": vid.encode_avi(frames, fps=10)})
+    for m in range(3):
+        # gentle-chroma frames (pattern/4 + 96): inside Y4M's >=40 dB regime
+        y4m_frames = [
+            (fx.pixel_pattern(9000 + m * 100 + i, 16, 16) // 4 + 96).astype(np.uint8)
+            for i in range(8 + m)
+        ]
+        rows.append({"media_id": f"y4m{m:02d}", "bytes": y4m_codec.encode_y4m(y4m_frames)})
     for m in range(4):
         frames = [fx.pixel_pattern(5000 + m * 100 + i, 16, 16) for i in range(10 + m)]
         rows.append(
@@ -1563,11 +1571,14 @@ def q_video_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ):
                 px = img.decode(bytes(buf), "raw")
                 mjpg = mid.startswith("mjp")
-                seed = (5000 if mjpg else 0) + int(mid[3:]) * 100 + int(idx)
+                isy4m = mid.startswith("y4m")
+                seed = (9000 if isy4m else 5000 if mjpg else 0) + int(mid[3:]) * 100 + int(idx)
                 expected = fx.pixel_pattern(seed, 16, 16)
+                if isy4m:
+                    expected = (expected // 4 + 96).astype(np.uint8)
                 ok.append(
                     bool(img.psnr(expected, px) >= 40.0)
-                    if mjpg
+                    if (mjpg or isy4m)
                     else bool(np.array_equal(px, expected))
                 )
             yield pd.DataFrame({"media_id": b["media_id"], "frame_ok": ok})
@@ -1587,6 +1598,10 @@ def o_video_validate() -> str:
     vals += "," + ",".join(
         f"('mjp{m:02d}',CAST({-(-(10 + m) // 4)} AS BIGINT),CAST({-(-(10 + m) // 4)} AS BIGINT))"
         for m in range(4)
+    )
+    vals += "," + ",".join(
+        f"('y4m{m:02d}',CAST({-(-(8 + m) // 4)} AS BIGINT),CAST({-(-(8 + m) // 4)} AS BIGINT))"
+        for m in range(3)
     )
     return f"SELECT * FROM (VALUES {vals}) AS t(media_id, n_sampled, n_frames_ok)"
 

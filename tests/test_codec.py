@@ -144,3 +144,54 @@ def test_flac_crc_detects_corruption():
     buf[len(buf) // 2] ^= 0x10
     with pytest.raises(ValueError):
         flac.parse_flac(bytes(buf))
+
+
+# ------------------------------------------------------------------ Y4M
+
+def test_y4m_layout_and_roundtrip_fidelity():
+    from jpspark.codec import y4m
+    from jpspark.codec.image import psnr
+
+    # gentle-chroma frames: >= 40 dB (the input_hint lossy contract)
+    frames = []
+    for i in range(5):
+        x = np.linspace(0, 64, 32)[None, :]
+        yv = np.linspace(0, 64, 16)[:, None]
+        f = np.stack(
+            [100 + x + 0 * yv, 90 + yv + 0 * x, np.full((16, 32), 80.0 + (i * 10) % 64)],
+            axis=-1,
+        )
+        frames.append(np.clip(f, 0, 255).astype(np.uint8))
+    buf = y4m.encode_y4m(frames, fps=30)
+    assert buf.startswith(b"YUV4MPEG2 W32 H16 F30:1")
+    assert buf.count(b"FRAME\n") == 5
+    # frame payload size: Y + 2 quarter chroma planes
+    hdr = buf.index(b"\n") + 1
+    assert len(buf) - hdr == 5 * (6 + 32 * 16 + 2 * 16 * 8)
+    d = y4m.parse_y4m(buf)
+    assert (d["w"], d["h"], d["fps"], len(d["frames"])) == (32, 16, 30, 5)
+    assert all(psnr(a, b) >= 40 for a, b in zip(frames, d["frames"]))
+    # steep full-range chroma: bounded degradation (4:2:0 inherent)
+    xg = np.linspace(0, 255, 32)[None, :]
+    yg = np.linspace(0, 255, 16)[:, None]
+    steep = np.clip(
+        np.stack([xg + 0 * yg, yg + 0 * xg, np.full((16, 32), 128.0)], axis=-1), 0, 255
+    ).astype(np.uint8)
+    d2 = y4m.parse_y4m(y4m.encode_y4m([steep]))
+    assert 30 <= psnr(steep, d2["frames"][0]) < 40
+    # gray (chroma-free) content round-trips near-exactly
+    g = np.repeat(RNG.integers(0, 256, (16, 32, 1)), 3, axis=2).astype(np.uint8)
+    d3 = y4m.parse_y4m(y4m.encode_y4m([g]))
+    assert psnr(g, d3["frames"][0]) >= 45
+
+
+def test_y4m_errors():
+    from jpspark.codec import y4m
+
+    with pytest.raises(ValueError):
+        y4m.parse_y4m(b"RIFFxxxx")
+    with pytest.raises(ValueError):
+        y4m.encode_y4m([np.zeros((15, 32, 3), dtype=np.uint8)])  # odd height
+    buf = y4m.encode_y4m([np.zeros((16, 32, 3), dtype=np.uint8)])
+    with pytest.raises(ValueError):
+        y4m.parse_y4m(buf[:-10])  # truncated frame
