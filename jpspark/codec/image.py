@@ -152,10 +152,24 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     return _jpeg.decode_jpeg(buf)
 
 
+def encode_gif(px: np.ndarray) -> bytes:
+    """GIF89a with LZW (codec/gif.py) — lossless for palette images
+    (<=256 distinct colors; raises beyond, see gif.py)."""
+    from . import gif as _gif
+
+    return _gif.encode_gif(px)
+
+
+def decode_gif(buf: bytes) -> np.ndarray:
+    from . import gif as _gif
+
+    return _gif.parse_gif(buf)
+
+
 _ENC = {"raw": encode_raw, "ppm": encode_ppm, "png": encode_png, "qlossy": encode_qlossy,
-        "jpeg": encode_jpeg}
+        "jpeg": encode_jpeg, "gif": encode_gif}
 _DEC = {"raw": decode_raw, "ppm": decode_ppm, "png": decode_png, "qlossy": decode_qlossy,
-        "jpeg": decode_jpeg}
+        "jpeg": decode_jpeg, "gif": decode_gif}
 
 
 def encode(px: np.ndarray, fmt: str) -> bytes:
@@ -181,6 +195,8 @@ def sniff_format(buf: bytes) -> str:
         return "qlossy"
     if head.startswith(b"\xff\xd8"):
         return "jpeg"
+    if head.startswith(b"GIF8"):
+        return "gif"
     raise ValueError("unknown image format")
 
 

@@ -516,3 +516,24 @@ def knn_oracle(
 
 def nfkc(s: str) -> str:
     return unicodedata.normalize("NFKC", s)
+
+
+def palette_pattern(i: int, w: int, h: int, n_colors: int = 16) -> np.ndarray:
+    """Deterministic palette-limited image (for the GIF fidelity rows):
+    ≤ ``n_colors`` distinct colors, indices from modular math, palette
+    from the shared integer hash — reconstructible from (i, w, h) alone."""
+    pal_raw = _hash_u64(
+        np.arange(n_colors, dtype=np.uint64) + np.uint64(i) * np.uint64(0x9E3779B97F4A7C15)
+    )
+    pal = np.stack(
+        [
+            (pal_raw % np.uint64(256)).astype(np.uint8),
+            ((pal_raw >> np.uint64(8)) % np.uint64(256)).astype(np.uint8),
+            ((pal_raw >> np.uint64(16)) % np.uint64(256)).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    idx = (3 * x + 5 * y + i) % n_colors
+    return pal[idx]

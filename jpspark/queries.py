@@ -1370,7 +1370,24 @@ def image_validate_rows(spark: SparkSession) -> DataFrame:
                 "phash": np.int64(phash64(img.decode(buf, "jpeg"))),
             }
         )
-    pdf = pd.concat([pdf, pd.DataFrame(jrows)], ignore_index=True)
+    # late round 3: GIF rows — palette-limited originals (codec/gif.py is
+    # lossless-only by design), ids reconstructible like the JPEG rows
+    grows = []
+    for i in range(24):
+        w, h = [(16, 16), (32, 32), (48, 24)][i % 3]
+        px = fx.palette_pattern(2000 + i, w, h)
+        buf = img.encode(px, "gif")
+        grows.append(
+            {
+                "image_id": f"gif{2000 + i:09d}",
+                "bytes": buf,
+                "fmt": "gif",
+                "w": np.int32(w),
+                "h": np.int32(h),
+                "phash": np.int64(phash64(img.decode(buf, "gif"))),
+            }
+        )
+    pdf = pd.concat([pdf, pd.DataFrame(jrows), pd.DataFrame(grows)], ignore_index=True)
     sdf = spark.createDataFrame(pdf)
 
     def validate(batches):
@@ -1381,12 +1398,15 @@ def image_validate_rows(spark: SparkSession) -> DataFrame:
                 b["w"].to_numpy(), b["h"].to_numpy(), b["phash"].to_numpy(),
             ):
                 decoded = img.decode(bytes(buf), fmt)
-                original = fx.pixel_pattern(int(iid[3:]), int(w), int(h))
+                if fmt == "gif":
+                    original = fx.palette_pattern(int(iid[3:]), int(w), int(h))
+                else:
+                    original = fx.pixel_pattern(int(iid[3:]), int(w), int(h))
                 p = img.psnr(original, decoded)
                 psnrs.append(min(p, 99.0))
                 ok_pixels.append(
                     bool(np.array_equal(decoded, original))
-                    if fmt in img.LOSSLESS
+                    if (fmt in img.LOSSLESS or fmt == "gif")
                     else bool(p >= 40.0)
                 )
                 ok_phash.append(int(phash64(decoded)) == int(ph))
@@ -1425,6 +1445,7 @@ def o_image_validate() -> str:
 
     counts = fx.images(200)["fmt"].value_counts().sort_index().to_dict()
     counts["jpeg"] = 30  # the appended real-JPEG gate rows
+    counts["gif"] = 24  # the appended palette-GIF gate rows (lossless)
     vals = ",".join(
         f"('{fmt}',CAST({int(n)} AS BIGINT),CAST({int(n)} AS BIGINT),"
         f"CAST({int(n)} AS BIGINT),CAST({int(n)} AS BIGINT))"

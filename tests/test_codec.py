@@ -195,3 +195,38 @@ def test_y4m_errors():
     buf = y4m.encode_y4m([np.zeros((16, 32, 3), dtype=np.uint8)])
     with pytest.raises(ValueError):
         y4m.parse_y4m(buf[:-10])  # truncated frame
+
+
+# ------------------------------------------------------------------ GIF
+
+def test_gif_lossless_roundtrip_and_guard():
+    from jpspark.codec import gif
+
+    rng = np.random.default_rng(3)
+    for shape, ncol in (((40, 60), 16), ((64, 64), 250), ((200, 300), 16),
+                        ((8, 8), 2), ((301, 17), 7)):
+        pal = rng.integers(0, 256, (ncol, 3)).astype(np.uint8)
+        im = pal[rng.integers(0, ncol, shape)]
+        assert (gif.parse_gif(gif.encode_gif(im)) == im).all(), (shape, ncol)
+    with pytest.raises(ValueError):
+        gif.encode_gif(rng.integers(0, 256, (64, 64, 3)).astype(np.uint8))
+    with pytest.raises(ValueError):
+        gif.parse_gif(b"NOTAGIF")
+
+
+def test_gif_spec_layout_and_dispatch():
+    from jpspark.codec import gif
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (4, 3)).astype(np.uint8)
+    im = pal[rng.integers(0, 4, (20, 30))]
+    buf = img.encode(im, "gif")
+    assert buf[:6] == b"GIF89a"
+    assert buf[-1:] == b"\x3b"  # trailer
+    import struct
+    w, h = struct.unpack_from("<HH", buf, 6)
+    assert (w, h) == (30, 20)
+    assert img.sniff_format(buf) == "gif"
+    assert (img.decode(buf, "gif") == im).all()
+    # LZW earns its keep on palette content
+    assert len(buf) < im.size
