@@ -200,14 +200,15 @@ def test_image_validate_all_rows_pass(spark):
     from jpspark.queries import image_validate_rows
 
     out = image_validate_rows(spark).toPandas()
-    assert len(out) == 230  # 200 fixture rows + 30 real-JPEG gate rows (r3)
+    assert len(out) == 254  # 200 fixture + 30 JPEG (r3) + 24 GIF (late r3)
     assert out["pixels_ok"].all()
     assert out["phash_ok"].all()
     lossy = out[out["fmt"].isin(["qlossy", "jpeg"])]
     assert len(lossy[lossy["fmt"] == "jpeg"]) == 30
+    assert len(out[out["fmt"] == "gif"]) == 24
     assert (lossy["psnr_db"] >= 40.0).all()
     lossless = out[~out["fmt"].isin(["qlossy", "jpeg"])]
-    assert (lossless["psnr_db"] == 99.0).all()  # capped inf
+    assert (lossless["psnr_db"] == 99.0).all()  # capped inf (GIF lossless too)
 
 
 def test_rolling_hashes_overlap_detection(spark):
