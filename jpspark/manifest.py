@@ -114,6 +114,19 @@ class LocalStorage:
             f.write(data)
         os.replace(tmp, path)
 
+    def put_text_new(self, root: str, key: str, text: str) -> bool:
+        """Exclusive create (the object-store conditional PUT /
+        If-None-Match): False if the key already exists. The primitive
+        optimistic concurrency builds on."""
+        path = self._p(root, key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            with open(path, "x") as f:
+                f.write(text)
+            return True
+        except FileExistsError:
+            return False
+
     def get_bytes(self, root: str, key: str) -> bytes | None:
         path = self._p(root, key)
         if not os.path.exists(path):
@@ -201,6 +214,15 @@ class ObjectStorage:
         with open(tmp, "wb") as f:
             f.write(data)
         os.replace(tmp, blob)
+
+    def put_text_new(self, root: str, key: str, text: str) -> bool:
+        os.makedirs(self.base, exist_ok=True)
+        try:
+            with open(self._blob(root, key), "x") as f:
+                f.write(text)
+            return True
+        except FileExistsError:
+            return False
 
     def get_bytes(self, root: str, key: str) -> bytes | None:
         blob = self._blob(root, key)
@@ -546,8 +568,18 @@ def write_checkpointed(
     )
     stats = df.mapInPandas(sink, stats_schema).collect()
 
+    # optimistic concurrency (Iceberg's commit model): CLAIM a snapshot
+    # version via exclusive create of its claim marker — two concurrent
+    # writers racing for the same version serialize here, the loser
+    # retries with the next number. Part files are content-addressed, so
+    # concurrent data writes never collide; only the version number does.
+    version = int(prior.get("version", 0)) + 1
+    while not store.put_text_new(
+        out_dir, f"{MANIFESTS_DIR}/manifest-{version:06d}.claim", lineage or "claim"
+    ):
+        version += 1
     manifest = {
-        "version": int(prior.get("version", 0)) + 1,
+        "version": version,
         "lineage": lineage,
         "schema": df.schema.simpleString(),
         "committed_at": time.time(),
@@ -565,8 +597,9 @@ def write_checkpointed(
             for r in stats
         },
     }
-    # snapshot commit order: shards first, then the archived root, then
-    # the latest pointer (a crash at any point leaves a readable state)
+    # commit order after the claim: shards, then the archived root, then
+    # the latest pointer (a crash at any point leaves a readable state; a
+    # claim without a root is a dead number, skipped by readers forever)
     to_write = manifest
     if len(manifest["partitions"]) > shard_size:
         pids = sorted(manifest["partitions"], key=int)
@@ -586,6 +619,10 @@ def write_checkpointed(
     store.put_text(
         out_dir, f"{MANIFESTS_DIR}/manifest-{manifest['version']:06d}.json", body
     )
+    # live pointer: last-writer-wins among concurrent committers (object-
+    # store semantics); every committed snapshot stays reachable by
+    # version, so a racing reader sees SOME committed snapshot, never a
+    # torn one
     store.put_text(out_dir, MANIFEST_NAME, body)
     return manifest
 
@@ -690,14 +727,19 @@ def vacuum(out_dir: str, keep_last: int = 1, storage=None) -> dict:
         if key.endswith(".parquet") and key not in referenced:
             store.delete(out_dir, key)
             removed_files += 1
-    # expired roots take their partition shards with them; shards of kept
-    # snapshots (and of the live pointer) survive
+    # expired roots take their partition shards AND their claim markers
+    # with them (only committed-then-expired claims: deleting the claim
+    # of an in-flight commit could let a racer reuse its version number;
+    # shards of kept snapshots and of the live pointer survive)
     for key in expire:
         m = json.loads(store.get_text(out_dir, key))
         for sk in m.get("partition_shards") or []:
             if sk not in kept_shards:
                 store.delete(out_dir, sk)
         store.delete(out_dir, key)
+        claim = key[: -len(".json")] + ".claim"
+        if store.exists(out_dir, claim):
+            store.delete(out_dir, claim)
     return {
         "kept_versions": kept_versions,
         "removed_files": removed_files,

@@ -577,3 +577,41 @@ def test_write_clustered_scan_bbox(spark, tmp_path):
 
     # clustered table prunes strictly better than the unclustered one
     assert rep_c["files_read"] <= rep_u["files_read"]
+
+
+# ------------------------------------------- optimistic concurrency
+
+
+@pytest.mark.parametrize("kind", ["local", "object"])
+def test_concurrent_commit_version_claims(spark, tmp_path, kind):
+    """Iceberg-style optimistic concurrency: a writer that loses the race
+    for a version number retries with the next one — simulated by
+    pre-claiming the version a second writer would take. Both snapshots
+    commit, both stay readable by version, the live pointer names a
+    committed snapshot, and no version number is ever shared."""
+    store = _storage_for(kind, tmp_path)
+    eff = store or mf.LocalStorage()
+    out_dir = str(tmp_path / "occ")
+    df1 = spark.range(100).withColumn("v", F.lit(1))
+    m1 = mf.write_checkpointed(df1, out_dir, num_partitions=2, storage=store)
+    assert m1["version"] == 1
+    # a rival writer claims v2 (as a concurrent commit in progress would)
+    assert eff.put_text_new(out_dir, f"{mf.MANIFESTS_DIR}/manifest-{2:06d}.claim", "rival")
+    df2 = spark.range(50).withColumn("v", F.lit(2))
+    m2 = mf.write_checkpointed(df2, out_dir, num_partitions=2, storage=store)
+    assert m2["version"] == 3  # skipped the rival's claimed number
+    # both committed snapshots readable; live pointer is the last committer
+    assert mf.read_snapshot(spark, out_dir, version=1, storage=store).count() == 100
+    assert mf.read_snapshot(spark, out_dir, version=3, storage=store).count() == 50
+    assert mf.load_manifest(out_dir, storage=store)["version"] == 3
+    # the rival's dead claim blocks nothing further
+    df3 = spark.range(10).withColumn("v", F.lit(3))
+    assert mf.write_checkpointed(df3, out_dir, num_partitions=2, storage=store)["version"] == 4
+    # vacuum expires committed claims with their roots, keeps the dead
+    # in-flight claim (deleting it could let a racer reuse the number)
+    res = mf.vacuum(out_dir, keep_last=1, storage=store)
+    assert res["removed_snapshots"] == 2
+    claims = [k for k in eff.list(out_dir, f"{mf.MANIFESTS_DIR}/manifest-") if k.endswith(".claim")]
+    assert f"{mf.MANIFESTS_DIR}/manifest-{2:06d}.claim" in claims  # in-flight survives
+    assert f"{mf.MANIFESTS_DIR}/manifest-{1:06d}.claim" not in claims  # expired with root
+    assert mf.read_snapshot(spark, out_dir, storage=store).count() == 10
