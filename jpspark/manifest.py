@@ -838,3 +838,114 @@ def scan_bbox(
     )
     report["cover_cells"] = len(cover)
     return df, report
+
+
+def delete_where(spark, out_dir: str, filters, storage=None) -> dict:
+    """Row-level DELETE, Iceberg copy-on-write style with FILE-LEVEL
+    pruning: part files whose column stats prove no row matches the
+    predicate conjunction carry over into the new snapshot BY REFERENCE
+    (content-addressed, so snapshots share them); only files that may
+    contain matching rows are read, filtered, and rewritten. At 10^12
+    rows a clustered-key delete rewrites O(matching files), not the
+    table. Deleting is just another commit: the previous snapshot stays
+    readable by version until vacuum, and the optimistic version claim
+    serializes concurrent committers.
+
+    Returns the new manifest plus a ``delete_report`` entry
+    {files_total, files_rewritten, rows_before, rows_deleted}."""
+    from pyspark.sql import functions as F
+
+    store = storage or LocalStorage()
+    prior = load_manifest(out_dir, store)
+    parts = prior.get("partitions", {})
+    if not parts:
+        raise ValueError(f"delete_where: no committed snapshot under {out_dir}")
+    affected, kept_entries = {}, {}
+    for pid, meta in parts.items():
+        if _file_may_match(meta.get("stats") or {}, int(meta["row_count"]), filters):
+            affected[pid] = meta
+        else:
+            kept_entries[pid] = meta
+    rows_before = sum(int(p["row_count"]) for p in parts.values())
+    report = {
+        "files_total": len(parts),
+        "files_rewritten": len(affected),
+        "rows_before": rows_before,
+        "rows_deleted": 0,
+    }
+    new_entries = dict(kept_entries)
+    if affected:
+        uris = [store.uri(out_dir, _part_key(m["path"])) for m in affected.values()]
+        df = spark.read.parquet(*uris)
+        keep_pred = None
+        for col, op, value in filters:
+            c = _FILTER_OPS[op](F.col(col), value)
+            keep_pred = c if keep_pred is None else (keep_pred & c)
+        # NULL predicate values never match a delete (SQL three-valued
+        # logic): such rows survive
+        survivors = df.filter((~keep_pred) | keep_pred.isNull())
+        base_pid = max((int(p) for p in parts), default=-1) + 1
+        arrow_schema = pa.Schema.from_pandas(df.limit(0).toPandas(), preserve_index=False)
+
+        def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ctx = TaskContext.get()
+            pid = (ctx.partitionId() if ctx is not None else 0) + base_pid
+            pdfs = [b for b in batches if len(b)]
+            pdf = pd.concat(pdfs, ignore_index=True) if pdfs else pd.DataFrame()
+            fp = _fingerprint_pdf(pdf)
+            key = f"part-{pid:05d}-{fp:016x}.parquet"
+            table = _spark_readable(
+                pa.Table.from_pandas(pdf, preserve_index=False)
+                if len(pdf)
+                else arrow_schema.empty_table()
+            )
+            store.put_table(out_dir, key, table)
+            yield pd.DataFrame(
+                {
+                    "partition_id": [pid], "fingerprint": [fp],
+                    "row_count": [len(pdf)], "bytes": [store.size(out_dir, key)],
+                    "path": [key], "col_stats": [json.dumps(_col_stats(pdf))],
+                }
+            )
+
+        n_parts = max(1, len(affected))
+        stats = (
+            survivors.repartition(n_parts)
+            .mapInPandas(
+                sink,
+                "partition_id int, fingerprint long, row_count long, bytes long, "
+                "path string, col_stats string",
+            )
+            .collect()
+        )
+        for r in stats:
+            new_entries[str(r.partition_id)] = {
+                "fingerprint": int(r.fingerprint),
+                "row_count": int(r.row_count),
+                "bytes": int(r.bytes),
+                "path": r.path,
+                "status": "committed",
+                "skipped_on_last_run": False,
+                "stats": json.loads(r.col_stats),
+            }
+    rows_after = sum(int(p["row_count"]) for p in new_entries.values())
+    report["rows_deleted"] = rows_before - rows_after
+
+    version = int(prior.get("version", 0)) + 1
+    while not store.put_text_new(
+        out_dir, f"{MANIFESTS_DIR}/manifest-{version:06d}.claim", "delete"
+    ):
+        version += 1
+    manifest = {
+        "version": version,
+        "lineage": f"delete_where {filters!r} ({report['files_rewritten']}/{report['files_total']} files rewritten)",
+        "schema": prior.get("schema"),
+        "committed_at": time.time(),
+        "total_rows": rows_after,
+        "partitions": new_entries,
+        "delete_report": report,
+    }
+    body = json.dumps(manifest, ensure_ascii=False, indent=1)
+    store.put_text(out_dir, f"{MANIFESTS_DIR}/manifest-{version:06d}.json", body)
+    store.put_text(out_dir, MANIFEST_NAME, body)
+    return manifest

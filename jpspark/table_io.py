@@ -83,6 +83,23 @@ class TableIO:
             self.spark, self._path(name), filters, version=version, storage=self.storage
         )
 
+    def delete_where(self, name: str, filters):
+        """Row-level DELETE (Iceberg copy-on-write with file-level
+        pruning on the parquet fallback — see manifest.delete_where;
+        Iceberg catalogs take the engine's native DELETE)."""
+        if self.catalog:
+            from . import manifest as mf
+
+            cond = " AND ".join(
+                f"{c} {op if op != '=' else '='} {value!r}" for c, op, value in filters
+            )
+            return self.spark.sql(f"DELETE FROM {self._ident(name)} WHERE {cond}")
+        from . import manifest as mf
+
+        return mf.delete_where(
+            self.spark, self._path(name), filters, storage=self.storage
+        )
+
     def snapshots(self, name: str) -> list[dict]:
         from . import manifest as mf
 

@@ -615,3 +615,55 @@ def test_concurrent_commit_version_claims(spark, tmp_path, kind):
     assert f"{mf.MANIFESTS_DIR}/manifest-{2:06d}.claim" in claims  # in-flight survives
     assert f"{mf.MANIFESTS_DIR}/manifest-{1:06d}.claim" not in claims  # expired with root
     assert mf.read_snapshot(spark, out_dir, storage=store).count() == 10
+
+
+# ------------------------------------------------- row-level delete (CoW)
+
+
+def test_delete_where_partial_copy_on_write(spark, tmp_path):
+    """Iceberg-style DELETE: on a range-clustered table, deleting a key
+    range rewrites ONLY the files whose stats admit matching rows — the
+    rest carry over by reference (same part keys shared between the old
+    and new snapshots). Counts, time travel, and vacuum sharing all
+    hold."""
+    out_dir = str(tmp_path / "del")
+    df = spark.range(1000).withColumn("v", F.col("id") * 2).repartitionByRange(8, "id")
+    m1 = mf.write_checkpointed(df, out_dir)
+    old_keys = {p["path"] for p in m1["partitions"].values()}
+
+    m2 = mf.delete_where(spark, out_dir, [("id", ">=", 900)])
+    rep = m2["delete_report"]
+    assert rep["files_rewritten"] < rep["files_total"]
+    assert rep["rows_deleted"] == 100 and m2["total_rows"] == 900
+    new_keys = {p["path"] for p in m2["partitions"].values()}
+    # untouched files shared by reference between snapshots
+    assert len(old_keys & new_keys) == rep["files_total"] - rep["files_rewritten"]
+
+    back = mf.read_snapshot(spark, out_dir)
+    assert back.count() == 900 and back.filter(F.col("id") >= 900).count() == 0
+    assert back.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(900))
+    # time travel still sees the pre-delete table
+    assert mf.read_snapshot(spark, out_dir, version=1).count() == 1000
+    # vacuum keeps files shared by the surviving snapshot
+    mf.vacuum(out_dir, keep_last=1)
+    assert mf.read_snapshot(spark, out_dir).count() == 900
+
+    # delete matching nothing: zero rewrites, table unchanged
+    m3 = mf.delete_where(spark, out_dir, [("id", ">=", 5000)])
+    assert m3["delete_report"]["files_rewritten"] == 0
+    assert m3["delete_report"]["rows_deleted"] == 0
+    assert mf.read_snapshot(spark, out_dir).count() == 900
+
+
+def test_delete_where_conjunction_and_nulls(spark, tmp_path):
+    """Conjunction deletes only rows matching ALL predicates; rows where
+    the predicate is NULL survive (SQL three-valued logic)."""
+    out_dir = str(tmp_path / "deln")
+    pdf = pd.DataFrame(
+        {"id": range(10), "grp": ["a", "b"] * 5, "x": [1, 2, 3, None, 5, 6, None, 8, 9, 10]}
+    )
+    mf.write_checkpointed(spark.createDataFrame(pdf), out_dir, num_partitions=2)
+    mf.delete_where(spark, out_dir, [("grp", "=", "a"), ("x", ">", 4)])
+    back = mf.read_snapshot(spark, out_dir).toPandas().sort_values("id")
+    # deleted: grp=a AND x>4 -> ids 4 (x=5), 8 (x=9); id 6 (x NULL) survives
+    assert sorted(back["id"]) == [0, 1, 2, 3, 5, 6, 7, 9]
