@@ -2702,6 +2702,68 @@ def o_spatial_prune_scan() -> str:
     """
 
 
+def q_delete_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE through the manifest table format
+    (manifest.delete_where): write the event points Z-order-clustered,
+    DELETE a bbox-clustered id range (file-level pruning must rewrite
+    only a strict subset of files — the query RAISES otherwise), then
+    aggregate the surviving table. The oracle recomputes the survivors'
+    aggregate closed-form; the pre-delete snapshot must still time-travel
+    (also asserted in-query)."""
+    import shutil
+    import tempfile
+
+    from . import manifest as mf
+
+    pts = _event_points(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="jpspark_del_")
+    try:
+        mf.write_clustered_by_cell(
+            pts, tmp, res=8, num_partitions=16, lineage="delete gate"
+        )
+        n_before = mf.read_snapshot(spark, tmp).count()
+        # 2D delete region expressed the way a clustered table prunes:
+        # cell-cover "in" (prunable against the Morton cell_id stats) AND
+        # the exact bbox residual — rows match iff inside the bbox
+        from .geom import cell as cell_mod
+
+        cover = [int(c) for c in cell_mod.cover_bbox(130.0, 25.0, 140.0, 35.0, 8)]
+        m = mf.delete_where(
+            spark,
+            tmp,
+            [
+                ("cell_id", "in", cover),
+                ("lon", ">=", 130.0), ("lon", "<", 140.0),
+                ("lat", ">=", 25.0), ("lat", "<", 35.0),
+            ],
+        )
+        rep = m["delete_report"]
+        if not rep["files_rewritten"] < rep["files_total"]:
+            raise RuntimeError(f"delete pruned nothing: {rep}")
+        if mf.read_snapshot(spark, tmp, version=1).count() != n_before:
+            raise RuntimeError("time travel lost the pre-delete snapshot")
+        out = mf.read_snapshot(spark, tmp).agg(
+            F.count("*").alias("n_rows"),
+            F.sum("event_id").alias("sum_id"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        pd.DataFrame({"n_rows": [int(out.n_rows)], "sum_id": [int(out.sum_id)]})
+    )
+
+
+def o_delete_snapshot() -> str:
+    return f"""
+    WITH pts AS (SELECT event_id, {_LON_EXPR} AS lon, {_LAT_EXPR} AS lat FROM events)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM pts
+    WHERE NOT (lon >= CAST(130 AS DOUBLE) AND lon < CAST(140 AS DOUBLE)
+               AND lat >= CAST(25 AS DOUBLE) AND lat < CAST(35 AS DOUBLE))
+    """
+
+
 def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H3-analog cover compaction (geom/cell.py compact/uncompact): the
     distinct res-6 cells of the event points are compacted IN PARALLEL —
@@ -2939,6 +3001,7 @@ QUERIES = {
     "raster_histogram": q_raster_histogram,
     "raster_band_math": q_raster_band_math,
     "geo_knn_scaled": q_geo_knn_scaled,
+    "delete_snapshot": q_delete_snapshot,
 }
 
 def build_oracles() -> dict[str, str]:
@@ -3022,4 +3085,5 @@ def _build_oracles() -> dict[str, str]:
     "raster_histogram": o_raster_histogram(),
     "raster_band_math": o_raster_band_math(),
     "geo_knn_scaled": o_geo_knn_scaled(),
+    "delete_snapshot": o_delete_snapshot(),
     }
