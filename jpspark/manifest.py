@@ -262,6 +262,16 @@ class ObjectStorage:
         return self._blob(root, key)
 
 
+def _arrow_schema_of(df: "DataFrame") -> "pa.Schema":
+    """The Arrow schema Spark's OWN type mapping declares for a frame —
+    not pandas inference, which turns null-filled int columns into
+    float64 (⇒ DOUBLE parquet that later clashes with INT files from
+    sibling partitions) and empty binary columns into the null type."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(df.schema)
+
+
 def _spark_readable(table: "pa.Table") -> "pa.Table":
     """Cast nanosecond timestamps to microseconds before writing: pandas
     hands the sink datetime64[ns], but parquet TIMESTAMP(NANOS) is
@@ -531,7 +541,7 @@ def write_checkpointed(
     bc_committed = spark.sparkContext.broadcast(committed)
     if num_partitions:
         df = df.repartition(num_partitions)
-    arrow_schema = pa.Schema.from_pandas(df.limit(0).toPandas(), preserve_index=False)
+    arrow_schema = _arrow_schema_of(df)
 
     def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
@@ -545,7 +555,7 @@ def write_checkpointed(
         skipped = bc_committed.value.get(pid) == fp and store.exists(out_dir, key)
         if not skipped:
             table = _spark_readable(
-                pa.Table.from_pandas(pdf, preserve_index=False)
+                pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False)
                 if len(pdf)
                 else arrow_schema.empty_table()
             )
@@ -885,7 +895,7 @@ def delete_where(spark, out_dir: str, filters, storage=None) -> dict:
         # logic): such rows survive
         survivors = df.filter((~keep_pred) | keep_pred.isNull())
         base_pid = max((int(p) for p in parts), default=-1) + 1
-        arrow_schema = pa.Schema.from_pandas(df.limit(0).toPandas(), preserve_index=False)
+        arrow_schema = _arrow_schema_of(df)
 
         def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ctx = TaskContext.get()
@@ -895,7 +905,7 @@ def delete_where(spark, out_dir: str, filters, storage=None) -> dict:
             fp = _fingerprint_pdf(pdf)
             key = f"part-{pid:05d}-{fp:016x}.parquet"
             table = _spark_readable(
-                pa.Table.from_pandas(pdf, preserve_index=False)
+                pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False)
                 if len(pdf)
                 else arrow_schema.empty_table()
             )

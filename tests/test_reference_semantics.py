@@ -667,3 +667,26 @@ def test_delete_where_conjunction_and_nulls(spark, tmp_path):
     back = mf.read_snapshot(spark, out_dir).toPandas().sort_values("id")
     # deleted: grp=a AND x>4 -> ids 4 (x=5), 8 (x=9); id 6 (x NULL) survives
     assert sorted(back["id"]) == [0, 1, 2, 3, 5, 6, 7, 9]
+
+
+def test_schema_evolution_across_snapshots(spark, tmp_path):
+    """Schema evolution by construction: every snapshot is self-contained
+    (one schema per commit), so adding a column is just the next commit;
+    time travel reads each snapshot with ITS schema, and merge_upsert
+    unions by name with null-fill for rows predating the column."""
+    from jpspark.table_io import TableIO
+
+    out = str(tmp_path)
+    tio = TableIO(spark, out, namespace="t")
+    v1 = spark.range(10).withColumn("a", F.lit("x"))
+    tio.write(v1, "evo")
+    v2 = spark.range(5).withColumn("a", F.lit("y")).withColumn("b", F.lit(1))
+    tio.write(v2, "evo")
+    assert tio.read("evo").columns == ["id", "a", "b"]
+    assert tio.read("evo", version=1).columns == ["id", "a"]
+    # upsert a narrower frame into the wider table: b null-filled
+    tio.merge_upsert(spark.range(2).withColumn("a", F.lit("z")), "evo", key="id")
+    back = tio.read("evo").toPandas().sort_values("id")
+    assert list(back.columns) == ["id", "a", "b"]
+    assert back[back["id"] < 2]["b"].isna().all()
+    assert back[back["id"] < 2]["a"].tolist() == ["z", "z"]
