@@ -514,6 +514,7 @@ def write_checkpointed(
     num_partitions: int | None = None,
     storage=None,
     shard_size: int = 8192,
+    mode: str = "overwrite",
 ) -> dict:
     """Write ``df`` to ``out_dir`` with per-partition commit semantics.
 
@@ -521,6 +522,12 @@ def write_checkpointed(
     skips partitions whose content fingerprint is already committed
     (idempotent resume). Call again after a simulated crash and only
     missing/changed partitions are re-written.
+
+    ``mode="append"`` commits the prior snapshot's partitions PLUS the
+    new rows (new partition ids continue after the existing ones; no
+    resume-skip, every append writes fresh parts) — the append stream
+    :func:`read_incremental` consumes. Default "overwrite" replaces the
+    table contents as a new snapshot (createOrReplace semantics).
 
     ``shard_size``: commits with more partitions than this store the
     partition map across shard files and keep only the shard list in the
@@ -530,13 +537,23 @@ def write_checkpointed(
     the live pointer — a crash at any point leaves a readable previous
     state and no root referencing missing shards.
     """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     store = storage or LocalStorage()
     prior = load_manifest(out_dir, store)
-    committed = {
-        int(pid): meta["fingerprint"]
-        for pid, meta in prior.get("partitions", {}).items()
-        if meta.get("status") == "committed"
-    }
+    prior_parts = prior.get("partitions", {})
+    committed = (
+        {}
+        if mode == "append"
+        else {
+            int(pid): meta["fingerprint"]
+            for pid, meta in prior_parts.items()
+            if meta.get("status") == "committed"
+        }
+    )
+    base_pid = (
+        max((int(p) for p in prior_parts), default=-1) + 1 if mode == "append" else 0
+    )
     spark = df.sparkSession
     bc_committed = spark.sparkContext.broadcast(committed)
     if num_partitions:
@@ -545,7 +562,7 @@ def write_checkpointed(
 
     def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx is not None else 0
+        pid = (ctx.partitionId() if ctx is not None else 0) + base_pid
         parts = [b for b in batches if len(b)]
         pdf = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
         fp = _fingerprint_pdf(pdf)
@@ -588,13 +605,7 @@ def write_checkpointed(
         out_dir, f"{MANIFESTS_DIR}/manifest-{version:06d}.claim", lineage or "claim"
     ):
         version += 1
-    manifest = {
-        "version": version,
-        "lineage": lineage,
-        "schema": df.schema.simpleString(),
-        "committed_at": time.time(),
-        "total_rows": int(sum(r.row_count for r in stats)),
-        "partitions": {
+    new_parts = {
             str(r.partition_id): {
                 "fingerprint": int(r.fingerprint),
                 "row_count": int(r.row_count),
@@ -605,7 +616,15 @@ def write_checkpointed(
                 "stats": json.loads(r.col_stats),
             }
             for r in stats
-        },
+    }
+    all_parts = {**prior_parts, **new_parts} if mode == "append" else new_parts
+    manifest = {
+        "version": version,
+        "lineage": lineage,
+        "schema": df.schema.simpleString(),
+        "committed_at": time.time(),
+        "total_rows": int(sum(int(p["row_count"]) for p in all_parts.values())),
+        "partitions": all_parts,
     }
     # commit order after the claim: shards, then the archived root, then
     # the latest pointer (a crash at any point leaves a readable state; a
@@ -959,3 +978,138 @@ def delete_where(spark, out_dir: str, filters, storage=None) -> dict:
     store.put_text(out_dir, f"{MANIFESTS_DIR}/manifest-{version:06d}.json", body)
     store.put_text(out_dir, MANIFEST_NAME, body)
     return manifest
+
+
+def update_where(spark, out_dir: str, filters, set_exprs: dict, storage=None) -> dict:
+    """Row-level UPDATE, same copy-on-write machinery as
+    :func:`delete_where`: files whose stats exclude the predicate carry
+    over by reference; affected files are read once and rewritten with
+    ``set_exprs`` (column -> Spark Column/literal) applied to matching
+    rows only (NULL predicates never match). Completes the DML triad
+    next to write (insert/overwrite), merge_upsert, and delete_where."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    store = storage or LocalStorage()
+    prior = load_manifest(out_dir, store)
+    parts = prior.get("partitions", {})
+    if not parts:
+        raise ValueError(f"update_where: no committed snapshot under {out_dir}")
+    affected, kept_entries = {}, {}
+    for pid, meta in parts.items():
+        if _file_may_match(meta.get("stats") or {}, int(meta["row_count"]), filters):
+            affected[pid] = meta
+        else:
+            kept_entries[pid] = meta
+    report = {"files_total": len(parts), "files_rewritten": len(affected)}
+    new_entries = dict(kept_entries)
+    if affected:
+        uris = [store.uri(out_dir, _part_key(m["path"])) for m in affected.values()]
+        df = spark.read.parquet(*uris)
+        pred = None
+        for col, op, value in filters:
+            c = _FILTER_OPS[op](F.col(col), value)
+            pred = c if pred is None else (pred & c)
+        updated = df
+        for col, expr in set_exprs.items():
+            val = expr if isinstance(expr, Column) else F.lit(expr)
+            updated = updated.withColumn(
+                col, F.when(pred, val).otherwise(F.col(col))
+            )
+        base_pid = max((int(p) for p in parts), default=-1) + 1
+        arrow_schema = _arrow_schema_of(df)
+
+        def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ctx = TaskContext.get()
+            pid = (ctx.partitionId() if ctx is not None else 0) + base_pid
+            pdfs = [b for b in batches if len(b)]
+            pdf = pd.concat(pdfs, ignore_index=True) if pdfs else pd.DataFrame()
+            fp = _fingerprint_pdf(pdf)
+            key = f"part-{pid:05d}-{fp:016x}.parquet"
+            table = _spark_readable(
+                pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False)
+                if len(pdf)
+                else arrow_schema.empty_table()
+            )
+            store.put_table(out_dir, key, table)
+            yield pd.DataFrame(
+                {
+                    "partition_id": [pid], "fingerprint": [fp],
+                    "row_count": [len(pdf)], "bytes": [store.size(out_dir, key)],
+                    "path": [key], "col_stats": [json.dumps(_col_stats(pdf))],
+                }
+            )
+
+        stats = (
+            updated.repartition(max(1, len(affected)))
+            .mapInPandas(
+                sink,
+                "partition_id int, fingerprint long, row_count long, bytes long, "
+                "path string, col_stats string",
+            )
+            .collect()
+        )
+        for r in stats:
+            new_entries[str(r.partition_id)] = {
+                "fingerprint": int(r.fingerprint),
+                "row_count": int(r.row_count),
+                "bytes": int(r.bytes),
+                "path": r.path,
+                "status": "committed",
+                "skipped_on_last_run": False,
+                "stats": json.loads(r.col_stats),
+            }
+    version = int(prior.get("version", 0)) + 1
+    while not store.put_text_new(
+        out_dir, f"{MANIFESTS_DIR}/manifest-{version:06d}.claim", "update"
+    ):
+        version += 1
+    manifest = {
+        "version": version,
+        "lineage": f"update_where {filters!r} ({report['files_rewritten']}/{report['files_total']} files rewritten)",
+        "schema": prior.get("schema"),
+        "committed_at": time.time(),
+        "total_rows": sum(int(p["row_count"]) for p in new_entries.values()),
+        "partitions": new_entries,
+        "update_report": report,
+    }
+    body = json.dumps(manifest, ensure_ascii=False, indent=1)
+    store.put_text(out_dir, f"{MANIFESTS_DIR}/manifest-{version:06d}.json", body)
+    store.put_text(out_dir, MANIFEST_NAME, body)
+    return manifest
+
+
+def read_incremental(
+    spark, out_dir: str, from_version: int, to_version: int | None = None, storage=None
+) -> "DataFrame":
+    """Iceberg incremental (append) scan: the rows ADDED between two
+    snapshots = rows of part files present in ``to_version`` but not in
+    ``from_version`` (content-addressed keys make the diff exact).
+    Raises if files were REMOVED in the range (delete/update/compaction
+    rewrote data — the diff is then not an append stream; consume such
+    tables by full snapshot instead)."""
+    store = storage or LocalStorage()
+
+    def _load(v):
+        if v is None:
+            return load_manifest(out_dir, store)
+        text = store.get_text(out_dir, f"{MANIFESTS_DIR}/manifest-{v:06d}.json")
+        if text is None:
+            raise FileNotFoundError(f"no snapshot version {v} under {out_dir}")
+        return _resolve_partitions(json.loads(text), out_dir, store)
+
+    m_from = _load(from_version)
+    m_to = _load(to_version)
+    keys_from = {_part_key(p["path"]) for p in m_from.get("partitions", {}).values()}
+    keys_to = {_part_key(p["path"]) for p in m_to.get("partitions", {}).values()}
+    removed = keys_from - keys_to
+    if removed:
+        raise ValueError(
+            f"read_incremental: {len(removed)} file(s) of v{from_version} were "
+            "rewritten/removed in the range — not an append-only diff; read the "
+            "full snapshot instead"
+        )
+    added = sorted(keys_to - keys_from)
+    if not added:
+        return read_snapshot(spark, out_dir, version=to_version, storage=store).limit(0)
+    return spark.read.parquet(*[store.uri(out_dir, k) for k in added])

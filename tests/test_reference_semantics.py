@@ -690,3 +690,52 @@ def test_schema_evolution_across_snapshots(spark, tmp_path):
     assert list(back.columns) == ["id", "a", "b"]
     assert back[back["id"] < 2]["b"].isna().all()
     assert back[back["id"] < 2]["a"].tolist() == ["z", "z"]
+
+
+def test_append_mode_and_incremental_read(spark, tmp_path):
+    """mode='append' commits prior partitions plus the new rows;
+    read_incremental returns EXACTLY the appended rows between two
+    versions (content-addressed file diff), and refuses a range where a
+    rewrite (delete) broke append-only semantics."""
+    out = str(tmp_path / "app")
+    mf.write_checkpointed(spark.range(100).withColumn("v", F.lit(1)), out, num_partitions=2)
+    mf.write_checkpointed(
+        spark.range(100, 150).withColumn("v", F.lit(2)), out, num_partitions=2, mode="append"
+    )
+    mf.write_checkpointed(
+        spark.range(150, 160).withColumn("v", F.lit(3)), out, num_partitions=1, mode="append"
+    )
+    assert mf.read_snapshot(spark, out).count() == 160
+    inc = mf.read_incremental(spark, out, from_version=1, to_version=2)
+    assert sorted(r.id for r in inc.collect()) == list(range(100, 150))
+    inc13 = mf.read_incremental(spark, out, from_version=1)  # to latest
+    assert sorted(r.id for r in inc13.collect()) == list(range(100, 160))
+    # same-version diff: empty, schema preserved
+    assert mf.read_incremental(spark, out, 2, 2).count() == 0
+    # a delete rewrites files -> the diff is no longer an append stream
+    mf.delete_where(spark, out, [("id", "<", 10)])
+    with pytest.raises(ValueError):
+        mf.read_incremental(spark, out, from_version=1)
+    # but the post-delete baseline works again for future appends
+    mf.write_checkpointed(
+        spark.range(200, 210).withColumn("v", F.lit(4)), out, num_partitions=1, mode="append"
+    )
+    inc45 = mf.read_incremental(spark, out, from_version=4)
+    assert sorted(r.id for r in inc45.collect()) == list(range(200, 210))
+
+
+def test_update_where_partial_copy_on_write(spark, tmp_path):
+    """UPDATE rewrites only stat-matching files; matched rows take the
+    new values, everything else is untouched; time travel keeps the
+    pre-update values."""
+    out = str(tmp_path / "upd")
+    df = spark.range(1000).withColumn("v", F.col("id") * 2).repartitionByRange(8, "id")
+    mf.write_checkpointed(df, out)
+    m = mf.update_where(spark, out, [("id", ">=", 900)], {"v": F.lit(-1)})
+    rep = m["update_report"]
+    assert rep["files_rewritten"] < rep["files_total"]
+    back = mf.read_snapshot(spark, out)
+    assert back.count() == 1000
+    assert back.filter(F.col("id") >= 900).filter(F.col("v") == -1).count() == 100
+    assert back.filter((F.col("id") < 900) & (F.col("v") != F.col("id") * 2)).count() == 0
+    assert mf.read_snapshot(spark, out, version=1).filter(F.col("v") == -1).count() == 0
