@@ -83,6 +83,35 @@ class TableIO:
             self.spark, self._path(name), filters, version=version, storage=self.storage
         )
 
+    def append(self, df: DataFrame, name: str, lineage: str = "", partitions: int | None = None):
+        """Append rows as a new snapshot (Iceberg append commit; fallback:
+        manifest mode='append' — the stream read_incremental consumes)."""
+        if self.catalog:
+            df.writeTo(self._ident(name)).append()
+            return {"backend": "iceberg", "table": self._ident(name)}
+        from . import manifest as mf
+
+        return mf.write_checkpointed(
+            df, self._path(name), lineage=lineage, num_partitions=partitions,
+            storage=self.storage, mode="append",
+        )
+
+    def read_incremental(self, name: str, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Rows added between two snapshots (append-only ranges only)."""
+        from . import manifest as mf
+
+        return mf.read_incremental(
+            self.spark, self._path(name), from_version, to_version, storage=self.storage
+        )
+
+    def update_where(self, name: str, filters, set_exprs: dict):
+        """Row-level UPDATE (CoW with file pruning on the fallback)."""
+        from . import manifest as mf
+
+        return mf.update_where(
+            self.spark, self._path(name), filters, set_exprs, storage=self.storage
+        )
+
     def delete_where(self, name: str, filters):
         """Row-level DELETE (Iceberg copy-on-write with file-level
         pruning on the parquet fallback — see manifest.delete_where;
