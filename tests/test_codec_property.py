@@ -356,3 +356,21 @@ def test_flac_roundtrip_property(seed, n, n_ch, scale_pow):
     s = rng.integers(-hi, hi, (n, n_ch)).astype(np.int16)
     d = flac.parse_flac(flac.encode_flac(s, 8000))
     assert (d["samples_int"] == s).all()
+
+
+@given(
+    st.integers(0, 2**31),
+    st.integers(1, 80),
+    st.integers(1, 60),
+    st.integers(1, 200),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_property(seed, w, h, n_colors):
+    """GIF round-trips losslessly for any image within its palette
+    contract (random sizes, palettes from 1 to 200 colors)."""
+    from jpspark.codec import gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (n_colors, 3)).astype(np.uint8)
+    im = pal[rng.integers(0, n_colors, (h, w))]
+    assert (gif.parse_gif(gif.encode_gif(im)) == im).all()
