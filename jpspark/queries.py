@@ -496,6 +496,61 @@ def o_stream_window_counts() -> str:
 
 # ====================================================== relational (SURVEY §2)
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (Spark ``percentile`` — the exact
+    variant, not approx_percentile, so DuckDB's quantile_cont replays it
+    value-for-value): quartiles of l_quantity by return flag. The
+    distributed shape is the classic two-phase sort-based percentile;
+    Catalyst plans the exact aggregate with a single exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("q50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def o_percentiles() -> str:
+    return """
+    SELECT l_returnflag,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS q25,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS q50,
+           quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS q75,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """
+
+
+def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP grouping sets: ROLLUP over (returnflag, linestatus) — per
+    (flag, status), per flag subtotal, and the grand total in one pass
+    (Catalyst expands the grouping sets into a single shuffle). NULL
+    grouping keys are aliased to sentinels so the driver's value-hash is
+    well-defined on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+    return out.select(
+        F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("flag"),
+        F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("status"),
+        "n_rows",
+        "sum_qty",
+    )
+
+
+def o_rollup_summary() -> str:
+    return """
+    SELECT COALESCE(l_returnflag, '<all>') AS flag,
+           COALESCE(l_linestatus, '<all>') AS status,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-class flagship agg (TPC-H Q1 shape): decimal-exact sums."""
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -3002,6 +3057,8 @@ QUERIES = {
     "raster_band_math": q_raster_band_math,
     "geo_knn_scaled": q_geo_knn_scaled,
     "delete_snapshot": q_delete_snapshot,
+    "percentiles": q_percentiles,
+    "rollup_summary": q_rollup_summary,
 }
 
 def build_oracles() -> dict[str, str]:
@@ -3086,4 +3143,6 @@ def _build_oracles() -> dict[str, str]:
     "raster_band_math": o_raster_band_math(),
     "geo_knn_scaled": o_geo_knn_scaled(),
     "delete_snapshot": o_delete_snapshot(),
+    "percentiles": o_percentiles(),
+    "rollup_summary": o_rollup_summary(),
     }
