@@ -374,3 +374,35 @@ def test_gif_roundtrip_property(seed, w, h, n_colors):
     pal = rng.integers(0, 256, (n_colors, 3)).astype(np.uint8)
     im = pal[rng.integers(0, n_colors, (h, w))]
     assert (gif.parse_gif(gif.encode_gif(im)) == im).all()
+
+
+@given(st.integers(0, 2**31), st.integers(2, 40), st.integers(2, 30))
+@settings(max_examples=30, deadline=None)
+def test_y4m_gray_near_exact_property(seed, w2, h2):
+    """Chroma-free (gray) content round-trips within limited-range
+    quantization error for any even frame size."""
+    from jpspark.codec import y4m
+    from jpspark.codec.image import psnr
+
+    rng = np.random.default_rng(seed)
+    w, h = 2 * w2, 2 * h2
+    g = np.repeat(rng.integers(0, 256, (h, w, 1)), 3, axis=2).astype(np.uint8)
+    d = y4m.parse_y4m(y4m.encode_y4m([g]))
+    assert d["frames"][0].shape == (h, w, 3)
+    assert psnr(g, d["frames"][0]) >= 45
+
+
+@given(st.integers(0, 2**31), st.integers(2, 10), st.integers(10, 3000))
+@settings(max_examples=30, deadline=None)
+def test_cell_compact_roundtrip_property(seed, res, n):
+    """compact/uncompact round-trips any random cell set at any
+    resolution; compact never grows the set."""
+    from jpspark.geom import cell
+
+    rng = np.random.default_rng(seed)
+    side = 1 << res
+    s = np.unique(cell.from_xy(rng.integers(0, side, n), rng.integers(0, side, n), res))
+    c = cell.compact(s)
+    assert len(c) <= len(s)
+    assert (cell.uncompact(c, res) == s).all()
+    assert (cell.compact(c) == c).all()  # idempotent
