@@ -22,6 +22,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .mapping import CATCH_ALL, ShapefileMapping, template_to_regex
 
@@ -223,7 +224,14 @@ def crosswalk_from_xlsx(spark: SparkSession, buf: bytes) -> DataFrame:
     # wins; sequential-insert parity requires the file-order dedup here,
     # before the rows reach any distributed (unordered) stage
     pdf = pdf.drop_duplicates(subset=[CROSSWALK_COLUMNS[0]], keep="first")
-    return spark.createDataFrame(pdf)
+    # Explicit all-varchar schema: the reference declares every crosswalk
+    # column as varchar (/root/reference/data/schema.sql:3-15), and an
+    # all-None object column (政令市・郡・支庁… is empty in many files)
+    # breaks plain type inference under a non-Arrow createDataFrame path.
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in CROSSWALK_COLUMNS]
+    )
+    return spark.createDataFrame(pdf, schema=schema)
 
 
 def read_archives(spark: SparkSession, glob_path: str, n_slots: int = 15) -> DataFrame:
