@@ -48,12 +48,37 @@ class _Reader:
         return a.astype(np.float64)
 
 
+_EWKB_Z = 0x80000000
+_EWKB_M = 0x40000000
+_EWKB_SRID = 0x20000000
+
+
 def _read_header(r: _Reader) -> int:
+    """Parse a (E)WKB header to the base 2D geometry type.
+
+    PostGIS-style EWKB (the WKB the reference pipeline's PostGIS tables
+    emit) sets flag bits in the type word: SRID presence is handled by
+    skipping the 4-byte SRID that follows; Z/M payloads change the
+    coordinate stride and are REJECTED explicitly, as are ISO 1000+ type
+    codes (Z=1000s, M=2000s, ZM=3000s) — masking them away (the round-3
+    behavior) silently misparsed the stream at a shifted offset."""
     order = r.byte()
     if order != _LE:
         raise ValueError("big-endian WKB not supported")
     gtype = r.u32()
-    gtype &= 0xFF  # strip any EWKB/Z flags
+    if gtype & (_EWKB_Z | _EWKB_M):
+        raise ValueError(
+            f"EWKB Z/M geometry not supported (type word 0x{gtype:08x}): "
+            "3D/measured coordinates have a different stride"
+        )
+    if gtype & _EWKB_SRID:
+        r.u32()  # the SRID word follows the type; geometry is unaffected
+        gtype &= ~_EWKB_SRID
+    if gtype >= 1000:
+        raise ValueError(
+            f"ISO WKB Z/M type code {gtype} not supported (Z=1000s, "
+            "M=2000s, ZM=3000s); only 2D geometries are accepted"
+        )
     return gtype
 
 

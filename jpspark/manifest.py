@@ -164,6 +164,11 @@ class LocalStorage:
     def delete(self, root: str, key: str) -> None:
         os.remove(self._p(root, key))
 
+    def mtime(self, root: str, key: str) -> float:
+        """Last-modified time (epoch seconds) — object-store PUT time.
+        vacuum's orphan grace window is measured against this."""
+        return os.path.getmtime(self._p(root, key))
+
     def uri(self, root: str, key: str) -> str:
         """Location Spark's parquet reader resolves for this object."""
         return self._p(root, key)
@@ -258,18 +263,172 @@ class ObjectStorage:
     def delete(self, root: str, key: str) -> None:
         os.remove(self._blob(root, key))
 
+    def mtime(self, root: str, key: str) -> float:
+        """Last-modified time (epoch seconds) — object-store PUT time.
+        vacuum's orphan grace window is measured against this."""
+        return os.path.getmtime(self._blob(root, key))
+
     def uri(self, root: str, key: str) -> str:
         return self._blob(root, key)
+
+
+_MEM_SERVER_STORE: dict = {}
+
+
+def _mem_get_dict():
+    """Runs inside the KV server process; returns ITS dict (the single
+    shared namespace every connected client proxies to)."""
+    return _MEM_SERVER_STORE
+
+
+class _KVManager(__import__("multiprocessing.managers", fromlist=["BaseManager"]).BaseManager):
+    pass
+
+
+_KVManager.register(
+    "get_dict",
+    callable=_mem_get_dict,
+    proxytype=__import__("multiprocessing.managers", fromlist=["DictProxy"]).DictProxy,
+)
+
+
+class MemoryStorage:
+    """In-memory object store with NO filesystem at all: blobs live in a
+    dict inside a driver-spawned KV server process (multiprocessing
+    ``BaseManager``); every process — Spark Python workers included —
+    reaches it over a loopback socket with an explicit authkey, so the
+    full distributed write path (mapInPandas sinks) runs against it.
+    This is the non-POSIX existence proof for the commit protocol: the
+    same seam a real fsspec/S3 backend implements, with exclusive create
+    mapping to S3's If-None-Match conditional PUT (what Iceberg's S3
+    commit uses) — here ``DictProxy.setdefault``, atomic because it
+    executes as one operation in the server process.
+
+    Limitations, by design: ``uri()`` raises — Spark's JVM parquet scan
+    needs an addressable filesystem, so read objects back with
+    :meth:`get_table` / ``get_bytes`` + pyarrow. The store dies with the
+    server process (call :meth:`shutdown` when done)."""
+
+    def __init__(self):
+        import os as _os
+
+        self._mgr = _KVManager(address=("127.0.0.1", 0), authkey=_os.urandom(16))
+        self._mgr.start()
+        self._addr = self._mgr.address
+        self._authkey = bytes(self._mgr._authkey)
+        self._d = self._mgr.get_dict()  # key -> (nonce, mtime, bytes)
+        self._n = 0
+
+    # ship only (address, authkey); each process reconnects its own client
+    def __getstate__(self):
+        return {"_addr": self._addr, "_authkey": self._authkey}
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._mgr = None
+        self._d = None
+        self._n = 0
+
+    def _dict(self):
+        if self._d is None:
+            client = _KVManager(address=self._addr, authkey=self._authkey)
+            client.connect()
+            self._client = client  # keep the connection alive
+            self._d = client.get_dict()
+        return self._d
+
+    def shutdown(self) -> None:
+        if getattr(self, "_mgr", None) is not None:
+            self._mgr.shutdown()
+            self._mgr = None
+            self._d = None
+
+    def _k(self, root: str, key: str) -> str:
+        return f"{root}/{key}".replace("//", "/")
+
+    def _nonce(self) -> bytes:
+        self._n += 1
+        return f"{os.getpid()}-{id(self)}-{self._n}".encode()
+
+    def _put(self, root: str, key: str, data: bytes) -> None:
+        self._dict()[self._k(root, key)] = (self._nonce(), time.time(), data)
+
+    def put_table(self, root: str, key: str, table: "pa.Table") -> None:
+        import io
+
+        buf = io.BytesIO()
+        pq.write_table(table, buf)
+        self._put(root, key, buf.getvalue())
+
+    def get_table(self, root: str, key: str) -> "pa.Table":
+        import io
+
+        return pq.read_table(io.BytesIO(self.get_bytes(root, key)))
+
+    def put_text(self, root: str, key: str, text: str) -> None:
+        self._put(root, key, text.encode())
+
+    def put_bytes(self, root: str, key: str, data: bytes) -> None:
+        self._put(root, key, bytes(data))
+
+    def put_text_new(self, root: str, key: str, text: str) -> bool:
+        nonce = self._nonce()
+        got = self._dict().setdefault(
+            self._k(root, key), (nonce, time.time(), text.encode())
+        )
+        return got[0] == nonce
+
+    def get_bytes(self, root: str, key: str) -> bytes | None:
+        v = self._dict().get(self._k(root, key))
+        return None if v is None else v[2]
+
+    def get_text(self, root: str, key: str) -> str | None:
+        b = self.get_bytes(root, key)
+        return None if b is None else b.decode()
+
+    def exists(self, root: str, key: str) -> bool:
+        return self._dict().get(self._k(root, key)) is not None
+
+    def size(self, root: str, key: str) -> int:
+        return len(self._dict()[self._k(root, key)][2])
+
+    def mtime(self, root: str, key: str) -> float:
+        return self._dict()[self._k(root, key)][1]
+
+    def list(self, root: str, prefix: str) -> list[str]:
+        full = self._k(root, prefix)
+        base = self._k(root, "")
+        return sorted(
+            k[len(base):] for k in self._dict().keys() if k.startswith(full)
+        )
+
+    def delete(self, root: str, key: str) -> None:
+        del self._dict()[self._k(root, key)]
+
+    def uri(self, root: str, key: str) -> str:
+        raise NotImplementedError(
+            "MemoryStorage has no filesystem address for Spark's parquet "
+            "scan; read objects back via get_table()/get_bytes()"
+        )
 
 
 def _arrow_schema_of(df: "DataFrame") -> "pa.Schema":
     """The Arrow schema Spark's OWN type mapping declares for a frame —
     not pandas inference, which turns null-filled int columns into
     float64 (⇒ DOUBLE parquet that later clashes with INT files from
-    sibling partitions) and empty binary columns into the null type."""
+    sibling partitions) and empty binary columns into the null type.
+
+    Every field is declared NULLABLE regardless of the Spark schema:
+    the pandas boundary cannot distinguish float NaN from null (both are
+    NaN in a numpy-backed column), and Arrow canonicalizes that NaN to
+    parquet NULL — a declared non-null double field would make
+    ``Table.from_pandas`` raise on any NaN row. NaN ⇒ NULL is this
+    table format's write contract (see _col_stats), and Spark reads
+    parquet as nullable anyway."""
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    return to_arrow_schema(df.schema)
+    sch = to_arrow_schema(df.schema)
+    return pa.schema([f.with_nullable(True) for f in sch])
 
 
 def _spark_readable(table: "pa.Table") -> "pa.Table":
@@ -318,7 +477,18 @@ def _col_stats(pdf: pd.DataFrame) -> dict:
     bound (a prefix is < the full string, so it would be an invalid max)
     — matching Iceberg's truncate(16) semantics without the increment
     trick. Columns of other dtypes (binary, arrays) carry null counts
-    only."""
+    only.
+
+    Float NaN (round-3 ADVICE): pandas counts NaN as null here, which
+    would be unsound if NaN values reached the part files — Spark orders
+    NaN above every double, so ``x > 5`` matches NaN rows while these
+    stats would prune the file. They never do: every sink in this module
+    converts through ``pa.Table.from_pandas``, which canonicalizes float
+    NaN to parquet NULL (verified by test_scan_nan_rows_not_pruned), so
+    a NaN produced anywhere upstream is stored as NULL, reads back as
+    NULL, fails every predicate — exactly what counting it in ``nulls``
+    assumes. An Iceberg-style separate ``nan_count`` would only be
+    needed for a writer that bypasses the pandas/Arrow boundary."""
     out: dict = {}
     for c in pdf.columns:
         s = pdf[c]
@@ -507,6 +677,108 @@ def load_manifest(out_dir: str, storage=None) -> dict:
     return {"partitions": {}, "committed_at": None, "schema": None}
 
 
+def _root_key(version: int) -> str:
+    return f"{MANIFESTS_DIR}/manifest-{version:06d}.json"
+
+
+def _latest_committed_version(store, out_dir: str) -> int:
+    """Highest version with a committed root manifest archive. A root's
+    existence IS commit (exclusive create, below); in-flight writers have
+    no root yet and don't count. Falls back to the live pointer for
+    pre-archive tables."""
+    import re
+
+    names = [
+        k for k in store.list(out_dir, f"{MANIFESTS_DIR}/manifest-") if _is_root_manifest(k)
+    ]
+    if names:
+        return max(int(re.search(r"manifest-(\d{6})\.json$", k).group(1)) for k in names)
+    text = store.get_text(out_dir, MANIFEST_NAME)
+    if text is None:
+        return 0
+    return int(json.loads(text).get("version", 0) or 0)
+
+
+def _load_committed(store, out_dir: str) -> dict:
+    """The latest COMMITTED snapshot, resolved from the root archive —
+    not the live pointer, which can briefly lag a concurrent publisher.
+    This is the base every committer must derive from (Iceberg's
+    'refresh before commit')."""
+    v = _latest_committed_version(store, out_dir)
+    text = store.get_text(out_dir, _root_key(v)) if v else None
+    if text is None:
+        return load_manifest(out_dir, store)
+    return _resolve_partitions(json.loads(text), out_dir, store)
+
+
+def _publish_pointer(store, out_dir: str, version: int, body: str) -> None:
+    """Monotonic live-pointer publish. The pointer is a plain PUT
+    (last-writer-wins on object stores), so a slower committer of an
+    OLDER version could clobber a newer pointer and silently roll the
+    live table back (round-3 ADVICE lost-update family). Publish only
+    while ours is the newest committed root, and re-check afterwards:
+    a rival's root is always written BEFORE its pointer, so the
+    post-write check is guaranteed to see any root whose pointer write
+    ours could have overwritten; republishing that newer root converges."""
+    cur_v, cur_body = version, body
+    for _ in range(64):  # each lap strictly advances cur_v
+        h = _latest_committed_version(store, out_dir)
+        if h > cur_v:
+            t = store.get_text(out_dir, _root_key(h))
+            if t is not None:
+                cur_v, cur_body = h, t
+                continue
+        store.put_text(out_dir, MANIFEST_NAME, cur_body)
+        h2 = _latest_committed_version(store, out_dir)
+        if h2 <= cur_v:
+            return
+        t = store.get_text(out_dir, _root_key(h2))
+        if t is None:
+            return
+        cur_v, cur_body = h2, t
+
+
+def _try_commit(store, out_dir: str, manifest: dict, shard_size: int | None = None) -> bool:
+    """Iceberg-style atomic commit. The exclusive create of the root
+    manifest archive IS the commit point: it fails exactly when a rival
+    committed the same successor version, which is how a stale snapshot
+    base is DETECTED (round-3 ADVICE: a bare version-number claim
+    serialized numbers but not the base, silently dropping interleaved
+    commits). Callers reload the base and retry on False.
+
+    Order inside a winning commit: partition shards first (under
+    content-addressed keys, so two racers for the same version can never
+    overwrite each other's shards), then the root referencing them, then
+    the monotonic live-pointer publish — a crash at any point leaves a
+    readable previous state and no root referencing missing shards."""
+    import hashlib
+
+    version = int(manifest["version"])
+    to_write = manifest
+    parts = manifest["partitions"]
+    if shard_size is not None and len(parts) > shard_size:
+        pids = sorted(parts, key=int)
+        shard_keys = []
+        for i in range(0, len(pids), shard_size):
+            chunk = {p: parts[p] for p in pids[i : i + shard_size]}
+            body = json.dumps({"partitions": chunk})
+            tok = hashlib.blake2b(body.encode(), digest_size=6).hexdigest()
+            sk = (
+                f"{MANIFESTS_DIR}/manifest-{version:06d}"
+                f"-shard-{i // shard_size:04d}-{tok}.json"
+            )
+            store.put_text(out_dir, sk, body)
+            shard_keys.append(sk)
+        to_write = dict(manifest)
+        to_write["partitions"] = {}
+        to_write["partition_shards"] = shard_keys
+    body = json.dumps(to_write, ensure_ascii=False, indent=1)
+    if not store.put_text_new(out_dir, _root_key(version), body):
+        return False
+    _publish_pointer(store, out_dir, version, body)
+    return True
+
+
 def write_checkpointed(
     df: DataFrame,
     out_dir: str,
@@ -540,7 +812,7 @@ def write_checkpointed(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     store = storage or LocalStorage()
-    prior = load_manifest(out_dir, store)
+    prior = _load_committed(store, out_dir)
     prior_parts = prior.get("partitions", {})
     committed = (
         {}
@@ -595,16 +867,6 @@ def write_checkpointed(
     )
     stats = df.mapInPandas(sink, stats_schema).collect()
 
-    # optimistic concurrency (Iceberg's commit model): CLAIM a snapshot
-    # version via exclusive create of its claim marker — two concurrent
-    # writers racing for the same version serialize here, the loser
-    # retries with the next number. Part files are content-addressed, so
-    # concurrent data writes never collide; only the version number does.
-    version = int(prior.get("version", 0)) + 1
-    while not store.put_text_new(
-        out_dir, f"{MANIFESTS_DIR}/manifest-{version:06d}.claim", lineage or "claim"
-    ):
-        version += 1
     new_parts = {
             str(r.partition_id): {
                 "fingerprint": int(r.fingerprint),
@@ -617,43 +879,43 @@ def write_checkpointed(
             }
             for r in stats
     }
-    all_parts = {**prior_parts, **new_parts} if mode == "append" else new_parts
-    manifest = {
-        "version": version,
-        "lineage": lineage,
-        "schema": df.schema.simpleString(),
-        "committed_at": time.time(),
-        "total_rows": int(sum(int(p["row_count"]) for p in all_parts.values())),
-        "partitions": all_parts,
-    }
-    # commit order after the claim: shards, then the archived root, then
-    # the latest pointer (a crash at any point leaves a readable state; a
-    # claim without a root is a dead number, skipped by readers forever)
-    to_write = manifest
-    if len(manifest["partitions"]) > shard_size:
-        pids = sorted(manifest["partitions"], key=int)
-        shard_keys = []
-        for i in range(0, len(pids), shard_size):
-            sk = (
-                f"{MANIFESTS_DIR}/manifest-{manifest['version']:06d}"
-                f"-shard-{i // shard_size:04d}.json"
-            )
-            chunk = {p: manifest["partitions"][p] for p in pids[i : i + shard_size]}
-            store.put_text(out_dir, sk, json.dumps({"partitions": chunk}))
-            shard_keys.append(sk)
-        to_write = dict(manifest)
-        to_write["partitions"] = {}
-        to_write["partition_shards"] = shard_keys
-    body = json.dumps(to_write, ensure_ascii=False, indent=1)
-    store.put_text(
-        out_dir, f"{MANIFESTS_DIR}/manifest-{manifest['version']:06d}.json", body
+    # Iceberg commit loop: target the latest committed version + 1 and
+    # let the exclusive root create arbitrate. On conflict, reload the
+    # base — and in append mode RE-MERGE onto the rival's partitions
+    # (remapping our partition ids past its tail if they collide), so a
+    # commit that landed between our base read and ours is never dropped
+    # (round-3 ADVICE lost update). Part objects are content-addressed,
+    # so only manifest ids move on remap, never data files. Overwrite
+    # mode replaces table contents by definition — a stale base only
+    # means our resume-skip decisions were conservative.
+    base_version = int(prior.get("version", 0) or 0)
+    for _attempt in range(1000):
+        all_parts = {**prior_parts, **new_parts} if mode == "append" else new_parts
+        manifest = {
+            "version": base_version + 1,
+            "lineage": lineage,
+            "schema": df.schema.simpleString(),
+            "committed_at": time.time(),
+            "total_rows": int(sum(int(p["row_count"]) for p in all_parts.values())),
+            "partitions": all_parts,
+        }
+        if _try_commit(store, out_dir, manifest, shard_size=shard_size):
+            return manifest
+        base = _load_committed(store, out_dir)
+        base_version = max(base_version + 1, int(base.get("version", 0) or 0))
+        if mode == "append":
+            prior_parts = base.get("partitions", {})
+            max_pid = max((int(p) for p in prior_parts), default=-1)
+            if any(int(p) <= max_pid for p in new_parts):
+                new_parts = {
+                    str(max_pid + 1 + i): meta
+                    for i, (_, meta) in enumerate(
+                        sorted(new_parts.items(), key=lambda kv: int(kv[0]))
+                    )
+                }
+    raise RuntimeError(
+        f"write_checkpointed: commit conflict persisted after 1000 retries under {out_dir}"
     )
-    # live pointer: last-writer-wins among concurrent committers (object-
-    # store semantics); every committed snapshot stays reachable by
-    # version, so a racing reader sees SOME committed snapshot, never a
-    # torn one
-    store.put_text(out_dir, MANIFEST_NAME, body)
-    return manifest
 
 
 def read_snapshot(spark, out_dir: str, version: int | None = None, storage=None) -> "DataFrame":
@@ -720,7 +982,9 @@ def compact(spark, out_dir: str, target_bytes: int = 128 << 20, storage=None) ->
     )
 
 
-def vacuum(out_dir: str, keep_last: int = 1, storage=None) -> dict:
+def vacuum(
+    out_dir: str, keep_last: int = 1, storage=None, grace_seconds: float = 86400.0
+) -> dict:
     """Expire old snapshots: keep the newest ``keep_last`` manifest
     archives, delete part files referenced by none of them, drop expired
     manifest archives. The LIVE ``_manifest.json`` is always unioned into
@@ -730,6 +994,14 @@ def vacuum(out_dir: str, keep_last: int = 1, storage=None) -> dict:
     the data its pointer references. Part files are matched by storage
     KEY (root-relative), so a moved/renamed table root or a relative-vs-
     absolute spelling of ``out_dir`` cannot misclassify live files.
+
+    ``grace_seconds`` (round-3 ADVICE; Iceberg's orphan-file retention):
+    an UNREFERENCED part file younger than this is kept — it may belong
+    to an in-flight writer that has PUT its data objects but not yet
+    committed its root manifest; deleting it would leave that commit
+    referencing missing objects. Pass 0 only when no writer can be
+    concurrent (tests, single-writer maintenance windows). Referenced
+    files are never touched regardless.
     Returns {kept_versions, removed_files, removed_snapshots}."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the latest snapshot must survive)")
@@ -752,8 +1024,11 @@ def vacuum(out_dir: str, keep_last: int = 1, storage=None) -> dict:
     live = _resolve_partitions(live_raw, out_dir, store) if live_raw else {}
     referenced |= {_part_key(meta["path"]) for meta in live.get("partitions", {}).values()}
     removed_files = 0
+    now = time.time()
     for key in store.list(out_dir, "part-"):
         if key.endswith(".parquet") and key not in referenced:
+            if grace_seconds > 0 and (now - store.mtime(out_dir, key)) < grace_seconds:
+                continue  # possibly an in-flight writer's data — keep
             store.delete(out_dir, key)
             removed_files += 1
     # expired roots take their partition shards AND their claim markers
@@ -877,15 +1152,29 @@ def delete_where(spark, out_dir: str, filters, storage=None) -> dict:
     contain matching rows are read, filtered, and rewritten. At 10^12
     rows a clustered-key delete rewrites O(matching files), not the
     table. Deleting is just another commit: the previous snapshot stays
-    readable by version until vacuum, and the optimistic version claim
-    serializes concurrent committers.
+    readable by version until vacuum; concurrent committers are resolved
+    by the Iceberg commit loop — if a rival commit lands between our
+    base read and our root create, the whole operation RETRIES against
+    the new base (a rewrite derived from a replaced snapshot can't be
+    merged; part files written by a lost attempt become orphans that
+    vacuum's grace window collects).
 
     Returns the new manifest plus a ``delete_report`` entry
     {files_total, files_rewritten, rows_before, rows_deleted}."""
+    store = storage or LocalStorage()
+    for _attempt in range(8):
+        manifest = _delete_where_once(spark, out_dir, filters, store)
+        if manifest is not None:
+            return manifest
+    raise RuntimeError(
+        f"delete_where: commit conflict persisted after 8 retries under {out_dir}"
+    )
+
+
+def _delete_where_once(spark, out_dir: str, filters, store) -> dict | None:
     from pyspark.sql import functions as F
 
-    store = storage or LocalStorage()
-    prior = load_manifest(out_dir, store)
+    prior = _load_committed(store, out_dir)
     parts = prior.get("partitions", {})
     if not parts:
         raise ValueError(f"delete_where: no committed snapshot under {out_dir}")
@@ -960,13 +1249,8 @@ def delete_where(spark, out_dir: str, filters, storage=None) -> dict:
     rows_after = sum(int(p["row_count"]) for p in new_entries.values())
     report["rows_deleted"] = rows_before - rows_after
 
-    version = int(prior.get("version", 0)) + 1
-    while not store.put_text_new(
-        out_dir, f"{MANIFESTS_DIR}/manifest-{version:06d}.claim", "delete"
-    ):
-        version += 1
     manifest = {
-        "version": version,
+        "version": int(prior.get("version", 0) or 0) + 1,
         "lineage": f"delete_where {filters!r} ({report['files_rewritten']}/{report['files_total']} files rewritten)",
         "schema": prior.get("schema"),
         "committed_at": time.time(),
@@ -974,10 +1258,8 @@ def delete_where(spark, out_dir: str, filters, storage=None) -> dict:
         "partitions": new_entries,
         "delete_report": report,
     }
-    body = json.dumps(manifest, ensure_ascii=False, indent=1)
-    store.put_text(out_dir, f"{MANIFESTS_DIR}/manifest-{version:06d}.json", body)
-    store.put_text(out_dir, MANIFEST_NAME, body)
-    return manifest
+    # conflict => None: the caller retries the whole CoW pass on the new base
+    return manifest if _try_commit(store, out_dir, manifest) else None
 
 
 def update_where(spark, out_dir: str, filters, set_exprs: dict, storage=None) -> dict:
@@ -987,11 +1269,21 @@ def update_where(spark, out_dir: str, filters, set_exprs: dict, storage=None) ->
     ``set_exprs`` (column -> Spark Column/literal) applied to matching
     rows only (NULL predicates never match). Completes the DML triad
     next to write (insert/overwrite), merge_upsert, and delete_where."""
+    store = storage or LocalStorage()
+    for _attempt in range(8):
+        manifest = _update_where_once(spark, out_dir, filters, set_exprs, store)
+        if manifest is not None:
+            return manifest
+    raise RuntimeError(
+        f"update_where: commit conflict persisted after 8 retries under {out_dir}"
+    )
+
+
+def _update_where_once(spark, out_dir: str, filters, set_exprs: dict, store) -> dict | None:
     from pyspark.sql import Column
     from pyspark.sql import functions as F
 
-    store = storage or LocalStorage()
-    prior = load_manifest(out_dir, store)
+    prior = _load_committed(store, out_dir)
     parts = prior.get("partitions", {})
     if not parts:
         raise ValueError(f"update_where: no committed snapshot under {out_dir}")
@@ -1059,13 +1351,8 @@ def update_where(spark, out_dir: str, filters, set_exprs: dict, storage=None) ->
                 "skipped_on_last_run": False,
                 "stats": json.loads(r.col_stats),
             }
-    version = int(prior.get("version", 0)) + 1
-    while not store.put_text_new(
-        out_dir, f"{MANIFESTS_DIR}/manifest-{version:06d}.claim", "update"
-    ):
-        version += 1
     manifest = {
-        "version": version,
+        "version": int(prior.get("version", 0) or 0) + 1,
         "lineage": f"update_where {filters!r} ({report['files_rewritten']}/{report['files_total']} files rewritten)",
         "schema": prior.get("schema"),
         "committed_at": time.time(),
@@ -1073,10 +1360,8 @@ def update_where(spark, out_dir: str, filters, set_exprs: dict, storage=None) ->
         "partitions": new_entries,
         "update_report": report,
     }
-    body = json.dumps(manifest, ensure_ascii=False, indent=1)
-    store.put_text(out_dir, f"{MANIFESTS_DIR}/manifest-{version:06d}.json", body)
-    store.put_text(out_dir, MANIFEST_NAME, body)
-    return manifest
+    # conflict => None: the caller retries the whole CoW pass on the new base
+    return manifest if _try_commit(store, out_dir, manifest) else None
 
 
 def read_incremental(

@@ -275,6 +275,73 @@ def q_geo_knn_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_flag_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 guard="flag" contract under an UNDER-COVERED configuration
+    (round-3 VERDICT task #7): res=9 cells (0.70°x0.35°) are sparse for
+    this customer density, so with max_ring=1 some queries provably
+    cannot certify their kth neighbor inside the replicated disk — the
+    operator must surface every such query with exact=false (including
+    zero-candidate queries as a sentinel row) instead of silently
+    returning wrong neighbors. The oracle replays the ENTIRE contract in
+    SQL: the floor-grid cell assignment, the Chebyshev<=1 candidate
+    join, the (dist, id) top-k, the strict kth<bound certificate, and
+    the sentinel rows. Null sentinel fields are coalesced to (0, -1,
+    -1.0) on both sides so the gate's value-hash is dtype-stable."""
+    pts = _event_points(spark, sf_dir)
+    targets = _customer_points(spark, sf_dir)
+    out = knn.knn_join_shuffle(
+        pts, targets, k=3, query_id_col="event_id", target_id_col="c_custkey",
+        res=9, max_ring=1, guard="flag",
+    )
+    return out.select(
+        F.col("query_id").alias("event_id"),
+        F.coalesce(F.col("rank"), F.lit(0)).cast("int").alias("rank"),
+        F.coalesce(F.col("target_id"), F.lit(-1)).cast("long").alias("c_custkey"),
+        F.coalesce(F.col("dist"), F.lit(-1.0)).alias("dist"),
+        "exact",
+    )
+
+
+def o_knn_flag_guard() -> str:
+    from .geom import cell as _cell
+
+    n = 1 << 9
+    cw, ch = _cell.cell_size_deg(9)
+    bound = 1.0 * min(cw, ch)
+    return f"""
+    WITH q AS (
+      SELECT event_id, {_LON_EXPR} AS qlon, {_LAT_EXPR} AS qlat,
+             LEAST(GREATEST(CAST(floor(({_LON_EXPR} - CAST(-180 AS DOUBLE)) / CAST(360 AS DOUBLE) * CAST({n} AS DOUBLE)) AS BIGINT), 0), {n - 1}) AS cx,
+             LEAST(GREATEST(CAST(floor(({_LAT_EXPR} - CAST(-90 AS DOUBLE)) / CAST(180 AS DOUBLE) * CAST({n} AS DOUBLE)) AS BIGINT), 0), {n - 1}) AS cy
+      FROM events
+    ), t AS (
+      SELECT c_custkey, {_TLON_EXPR} AS tlon, {_TLAT_EXPR} AS tlat,
+             LEAST(GREATEST(CAST(floor(({_TLON_EXPR} - CAST(-180 AS DOUBLE)) / CAST(360 AS DOUBLE) * CAST({n} AS DOUBLE)) AS BIGINT), 0), {n - 1}) AS cx,
+             LEAST(GREATEST(CAST(floor(({_TLAT_EXPR} - CAST(-90 AS DOUBLE)) / CAST(180 AS DOUBLE) * CAST({n} AS DOUBLE)) AS BIGINT), 0), {n - 1}) AS cy
+      FROM customer
+    ), cand AS (
+      SELECT q.event_id, t.c_custkey,
+             sqrt((tlon - qlon) * (tlon - qlon) + (tlat - qlat) * (tlat - qlat)) AS dist
+      FROM q JOIN t ON abs(q.cx - t.cx) <= 1 AND abs(q.cy - t.cy) <= 1
+    ), topk AS (
+      SELECT * FROM (
+        SELECT event_id, c_custkey, dist,
+               row_number() OVER (PARTITION BY event_id ORDER BY dist, c_custkey) AS rnk
+        FROM cand
+      ) WHERE rnk <= 3
+    ), cert AS (
+      SELECT event_id, count(*) AS nc, max(dist) AS kd FROM topk GROUP BY 1
+    )
+    SELECT k.event_id, CAST(k.rnk AS INTEGER) AS rank, k.c_custkey, k.dist,
+           (c.nc >= 3 AND c.kd < CAST({bound!r} AS DOUBLE)) AS exact
+    FROM topk k JOIN cert c USING (event_id)
+    UNION ALL
+    SELECT q.event_id, 0 AS rank, CAST(-1 AS BIGINT) AS c_custkey,
+           CAST(-1.0 AS DOUBLE) AS dist, FALSE AS exact
+    FROM q WHERE NOT EXISTS (SELECT 1 FROM cand c WHERE c.event_id = q.event_id)
+    """
+
+
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: bounded micro-batch run of a tumbling-window
     count over the events table (readStream -> window agg -> memory sink),
@@ -518,6 +585,50 @@ def o_percentiles() -> str:
            quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS q50,
            quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS q75,
            COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """
+
+
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe percentiles (round-3 VERDICT task #4): the exact
+    ``percentile`` aggregate buffers every group's values in executor
+    memory — correct here, an OOM risk when one group spans a
+    lineitem-scale table at 100x. ``approx_percentile`` (Greenwald-
+    Khanna sketch) is the bounded-memory default: O(accuracy·log n)
+    state per group, mergeable map-side, rank error <= n/accuracy.
+
+    Gate shape (same pattern as the ANN recall gates): the query
+    computes the approx quantiles AND verifies them against exact
+    rank-neighborhood bounds — with accuracy=1000 the sketch's rank
+    error is 0.1%, so the returned value must lie between the exact
+    0.48/0.52 (resp. 0.93/0.97) quantiles with 20x slack. The oracle
+    asserts those booleans are TRUE from independent exact SQL; the
+    sketch values themselves are engine-specific and never hashed.
+
+    Contract: use `percentile` only when every group is provably
+    bounded (e.g. per-tile stats); default to approx_percentile for
+    unbounded groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("double")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(CAST(l_quantity AS DOUBLE), array(0.5D, 0.95D), 1000)").alias("ap"),
+        F.expr("percentile(CAST(l_quantity AS DOUBLE), array(0.48D, 0.52D, 0.93D, 0.97D))").alias("ex"),
+        F.count("*").alias("n_rows"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        ((F.col("ap")[0] >= F.col("ex")[0]) & (F.col("ap")[0] <= F.col("ex")[1])).alias("p50_in_bounds"),
+        ((F.col("ap")[1] >= F.col("ex")[2]) & (F.col("ap")[1] <= F.col("ex")[3])).alias("p95_in_bounds"),
+    )
+
+
+def o_percentiles_approx() -> str:
+    # the oracle asserts the bound-check MUST hold: a sketch with rank
+    # error 0.1% cannot escape the exact 48th..52nd percentile window
+    return """
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           TRUE AS p50_in_bounds, TRUE AS p95_in_bounds
     FROM lineitem GROUP BY l_returnflag
     """
 
@@ -3042,8 +3153,10 @@ QUERIES = {
     # Iceberg-style DML over the checkpointed manifest table
     "delete_snapshot": q_delete_snapshot,
     "spatial_prune_scan": q_spatial_prune_scan,
-    # ---- end of driver-gate window (48 so far; 2 slots reserved for
-    # round-4 additions) ----
+    # round-4 additions: scale-safe OLAP + the guard-contract gate
+    "percentiles_approx": q_percentiles_approx,
+    "knn_flag_guard": q_knn_flag_guard,
+    # ---- end of driver-gate window (50) ----
     # shuffle/scaled twins of driver-signed broadcast queries
     "geo_pip_shuffle": q_geo_pip_shuffle,
     "geo_knn_shuffle": q_geo_knn_shuffle,
@@ -3156,5 +3269,7 @@ def _build_oracles() -> dict[str, str]:
     "geo_knn_scaled": o_geo_knn_scaled(),
     "delete_snapshot": o_delete_snapshot(),
     "percentiles": o_percentiles(),
+    "percentiles_approx": o_percentiles_approx(),
+    "knn_flag_guard": o_knn_flag_guard(),
     "rollup_summary": o_rollup_summary(),
     }

@@ -15,6 +15,36 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _sql_literal(v) -> str:
+    """Render a Python value as a Spark SQL literal. Strings are
+    single-quote-escaped ('' doubling), so values containing quotes can
+    neither break the statement nor inject clauses (round-3 ADVICE:
+    ``{value!r}`` produced Python repr — invalid for lists, unsafe for
+    strings)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _sql_predicate(col: str, op: str, value) -> str:
+    """One (col, op, value) filter as a SQL predicate; ``in`` renders a
+    parenthesized literal tuple, not a Python list repr."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", col):
+        raise ValueError(f"unsafe column identifier: {col!r}")
+    if op == "in":
+        vals = ", ".join(_sql_literal(x) for x in value)
+        return f"{col} IN ({vals})"
+    if op not in ("=", "<", "<=", ">", ">="):
+        raise ValueError(f"unsupported filter op: {op!r}")
+    return f"{col} {op} {_sql_literal(value)}"
+
+
 def iceberg_catalog(spark: SparkSession) -> str | None:
     """Name of a configured Iceberg catalog, or None."""
     for k, v in spark.sparkContext.getConf().getAll():
@@ -117,10 +147,8 @@ class TableIO:
         pruning on the parquet fallback — see manifest.delete_where;
         Iceberg catalogs take the engine's native DELETE)."""
         if self.catalog:
-            from . import manifest as mf
-
             cond = " AND ".join(
-                f"{c} {op if op != '=' else '='} {value!r}" for c, op, value in filters
+                _sql_predicate(c, op, value) for c, op, value in filters
             )
             return self.spark.sql(f"DELETE FROM {self._ident(name)} WHERE {cond}")
         from . import manifest as mf
@@ -134,11 +162,15 @@ class TableIO:
 
         return mf.snapshots(self._path(name), storage=self.storage)
 
-    def vacuum(self, name: str, keep_last: int = 1) -> dict:
-        """Expire old snapshots + delete unreferenced part files."""
+    def vacuum(self, name: str, keep_last: int = 1, grace_seconds: float = 86400.0) -> dict:
+        """Expire old snapshots + delete unreferenced part files older
+        than ``grace_seconds`` (in-flight writer protection)."""
         from . import manifest as mf
 
-        return mf.vacuum(self._path(name), keep_last=keep_last, storage=self.storage)
+        return mf.vacuum(
+            self._path(name), keep_last=keep_last, storage=self.storage,
+            grace_seconds=grace_seconds,
+        )
 
     def compact(self, name: str, target_bytes: int = 128 << 20) -> dict:
         """Rewrite small files into ~target_bytes partitions as a new

@@ -410,3 +410,32 @@ def test_measures_op(spark):
         )
     )
     assert measures.add_length(line).collect()[0].length == 7.0
+
+
+def test_wkb_ewkb_srid_skipped_zm_rejected():
+    """Round-3 ADVICE: PostGIS-style EWKB type-word flags. An SRID flag
+    must be handled by skipping the 4-byte SRID (the geometry parses
+    identically); Z/M flags and ISO 1000+ codes must raise cleanly, not
+    misparse at a shifted offset."""
+    import struct
+
+    plain = wkb.encode_point(139.7, 35.6)
+    # splice an EWKB SRID=4326 header onto the same coordinates
+    ewkb = (
+        b"\x01"
+        + struct.pack("<I", wkb.POINT | 0x20000000)
+        + struct.pack("<I", 4326)
+        + plain[5:]
+    )
+    t1, p1 = wkb.parse(plain)
+    t2, p2 = wkb.parse(ewkb)
+    assert t1 == t2 == wkb.POINT
+    assert np.allclose(p1, p2)
+    # EWKB Z flag: explicit rejection
+    zbuf = b"\x01" + struct.pack("<I", wkb.POINT | 0x80000000) + b"\x00" * 24
+    with pytest.raises(ValueError, match="Z/M"):
+        wkb.parse(zbuf)
+    # ISO 1001 (Point Z): explicit rejection, not (1001 & 0xFF) == garbage
+    iso = b"\x01" + struct.pack("<I", 1001) + b"\x00" * 24
+    with pytest.raises(ValueError, match="1000"):
+        wkb.parse(iso)

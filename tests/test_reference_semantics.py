@@ -276,7 +276,7 @@ def test_manifest_protocol_on_both_backends(spark, tmp_path, kind):
     versions = [s["version"] for s in mf.snapshots(out_dir, storage=store)]
     assert versions[-1] == 4 and 3 in versions
     assert mf.read_snapshot(spark, out_dir, version=3, storage=store).count() == 400
-    res = mf.vacuum(out_dir, keep_last=1, storage=store)
+    res = mf.vacuum(out_dir, keep_last=1, storage=store, grace_seconds=0)
     assert res["removed_files"] >= 4 and res["removed_snapshots"] >= 1
     assert mf.read_snapshot(spark, out_dir, storage=store).count() == 10
 
@@ -292,7 +292,7 @@ def test_vacuum_keeps_live_manifest_files_without_archives(spark, tmp_path):
     df = spark.range(200).withColumn("v", F.col("id"))
     mf.write_checkpointed(df, out_dir, num_partitions=3)
     shutil.rmtree(os.path.join(out_dir, mf.MANIFESTS_DIR))  # pre-archive era
-    res = mf.vacuum(out_dir, keep_last=1)
+    res = mf.vacuum(out_dir, keep_last=1, grace_seconds=0)
     assert res["removed_files"] == 0
     assert mf.read_snapshot(spark, out_dir).count() == 200
 
@@ -312,7 +312,7 @@ def test_vacuum_crash_window_keeps_pointer_snapshot(spark, tmp_path):
     # rewind the live pointer to v1 (simulating the crash window)
     with open(os.path.join(out_dir, mf.MANIFEST_NAME), "w") as f:
         json.dump(m1, f)
-    mf.vacuum(out_dir, keep_last=1)
+    mf.vacuum(out_dir, keep_last=1, grace_seconds=0)
     assert mf.read_snapshot(spark, out_dir).count() == 100  # v1 still reads
 
 
@@ -329,7 +329,7 @@ def test_manifest_survives_table_move_and_root_spelling(spark, tmp_path):
     moved = str(tmp_path / "moved")
     shutil.move(out_dir, moved)
     assert mf.read_snapshot(spark, moved).count() == 120
-    res = mf.vacuum(moved + os.sep, keep_last=1)  # alternate spelling
+    res = mf.vacuum(moved + os.sep, keep_last=1, grace_seconds=0)  # alternate spelling
     assert res["removed_files"] == 0
     assert mf.read_snapshot(spark, moved).count() == 120
 
@@ -410,7 +410,7 @@ def test_sharded_manifests_full_lifecycle(spark, tmp_path, kind):
         storage=store, shard_size=5,
     )
     assert mf.read_snapshot(spark, out_dir, version=3, storage=store).count() == 600
-    res = mf.vacuum(out_dir, keep_last=1, storage=store)
+    res = mf.vacuum(out_dir, keep_last=1, storage=store, grace_seconds=0)
     assert res["removed_files"] >= 12
     # expired sharded snapshots dropped their shard files too
     leftover = [
@@ -582,39 +582,177 @@ def test_write_clustered_scan_bbox(spark, tmp_path):
 # ------------------------------------------- optimistic concurrency
 
 
+from jpspark.testing import StaleReadStorage as _StaleReadStorage
+
+
 @pytest.mark.parametrize("kind", ["local", "object"])
-def test_concurrent_commit_version_claims(spark, tmp_path, kind):
-    """Iceberg-style optimistic concurrency: a writer that loses the race
-    for a version number retries with the next one — simulated by
-    pre-claiming the version a second writer would take. Both snapshots
-    commit, both stay readable by version, the live pointer names a
-    committed snapshot, and no version number is ever shared."""
-    store = _storage_for(kind, tmp_path)
-    eff = store or mf.LocalStorage()
+def test_occ_append_remerges_interleaved_commit(spark, tmp_path, kind):
+    """Round-3 ADVICE (lost update): an appender whose snapshot base was
+    read BEFORE a rival's append committed must not drop the rival's
+    partitions. The Iceberg commit loop detects the conflict at the
+    exclusive root create, reloads the base, re-merges (remapping
+    partition ids past the rival's tail), and commits the union."""
+    store = _storage_for(kind, tmp_path) or mf.LocalStorage()
     out_dir = str(tmp_path / "occ")
-    df1 = spark.range(100).withColumn("v", F.lit(1))
-    m1 = mf.write_checkpointed(df1, out_dir, num_partitions=2, storage=store)
-    assert m1["version"] == 1
-    # a rival writer claims v2 (as a concurrent commit in progress would)
-    assert eff.put_text_new(out_dir, f"{mf.MANIFESTS_DIR}/manifest-{2:06d}.claim", "rival")
-    df2 = spark.range(50).withColumn("v", F.lit(2))
-    m2 = mf.write_checkpointed(df2, out_dir, num_partitions=2, storage=store)
-    assert m2["version"] == 3  # skipped the rival's claimed number
-    # both committed snapshots readable; live pointer is the last committer
-    assert mf.read_snapshot(spark, out_dir, version=1, storage=store).count() == 100
-    assert mf.read_snapshot(spark, out_dir, version=3, storage=store).count() == 50
+    mf.write_checkpointed(
+        spark.range(100).withColumn("v", F.lit(1)), out_dir,
+        num_partitions=2, storage=store,
+    )
+    # the rival's append commits v2 while our base read (v1) is in hand
+    mf.write_checkpointed(
+        spark.range(100, 150).withColumn("v", F.lit(2)), out_dir,
+        num_partitions=2, storage=store, mode="append",
+    )
+    stale = _StaleReadStorage(store, visible_version=1)
+    m3 = mf.write_checkpointed(
+        spark.range(150, 175).withColumn("v", F.lit(3)), out_dir,
+        num_partitions=2, storage=stale, mode="append",
+    )
+    assert m3["version"] == 3
+    back = mf.read_snapshot(spark, out_dir, storage=store)
+    assert back.count() == 175  # nobody's rows were dropped
+    assert back.select("id").distinct().count() == 175
+    # every snapshot stays readable; version numbers never shared
+    assert mf.read_snapshot(spark, out_dir, version=2, storage=store).count() == 150
     assert mf.load_manifest(out_dir, storage=store)["version"] == 3
-    # the rival's dead claim blocks nothing further
-    df3 = spark.range(10).withColumn("v", F.lit(3))
-    assert mf.write_checkpointed(df3, out_dir, num_partitions=2, storage=store)["version"] == 4
-    # vacuum expires committed claims with their roots, keeps the dead
-    # in-flight claim (deleting it could let a racer reuse the number)
-    res = mf.vacuum(out_dir, keep_last=1, storage=store)
-    assert res["removed_snapshots"] == 2
-    claims = [k for k in eff.list(out_dir, f"{mf.MANIFESTS_DIR}/manifest-") if k.endswith(".claim")]
-    assert f"{mf.MANIFESTS_DIR}/manifest-{2:06d}.claim" in claims  # in-flight survives
-    assert f"{mf.MANIFESTS_DIR}/manifest-{1:06d}.claim" not in claims  # expired with root
-    assert mf.read_snapshot(spark, out_dir, storage=store).count() == 10
+
+
+def test_occ_delete_retries_on_interleaved_commit(spark, tmp_path):
+    """A CoW DELETE computed against a replaced snapshot must abort and
+    re-run on the new base (a rewrite cannot be merged): rival appends
+    ids 1000..1099 after our base read; the delete of id < 100 must
+    still see them."""
+    out_dir = str(tmp_path / "occdel")
+    df = spark.range(1000).withColumn("v", F.col("id") * 2).repartitionByRange(8, "id")
+    mf.write_checkpointed(df, out_dir)
+    mf.write_checkpointed(
+        spark.range(1000, 1100).withColumn("v", F.col("id") * 2), out_dir,
+        mode="append", num_partitions=1,
+    )
+    stale = _StaleReadStorage(mf.LocalStorage(), visible_version=1)
+    m = mf.delete_where(spark, out_dir, [("id", "<", 100)], storage=stale)
+    assert m["version"] == 3
+    assert m["delete_report"]["rows_before"] == 1100  # recomputed on v2
+    back = mf.read_snapshot(spark, out_dir)
+    assert back.count() == 1000
+    assert back.filter(F.col("id") >= 1000).count() == 100  # rival rows intact
+
+
+def test_live_pointer_never_rolls_back(spark, tmp_path):
+    """The live pointer is last-writer-wins; a slow committer of an OLD
+    version must not roll the live table backward. The monotonic publish
+    re-checks committed roots and converges on the newest."""
+    out_dir = str(tmp_path / "ptr")
+    store = mf.LocalStorage()
+    mf.write_checkpointed(spark.range(10).withColumn("v", F.lit(1)), out_dir)
+    mf.write_checkpointed(
+        spark.range(10, 30).withColumn("v", F.lit(2)), out_dir,
+        mode="append", num_partitions=1,
+    )
+    v1_body = store.get_text(out_dir, mf._root_key(1))
+    mf._publish_pointer(store, out_dir, 1, v1_body)  # the straggler's publish
+    assert mf.load_manifest(out_dir)["version"] == 2
+
+
+def test_vacuum_grace_window_protects_inflight_parts(spark, tmp_path):
+    """Round-3 ADVICE: an in-flight writer PUTs part objects before its
+    root manifest commits; vacuum must not delete young unreferenced
+    files (Iceberg orphan-file retention). grace_seconds=0 restores the
+    aggressive single-writer behavior."""
+    import pyarrow as pa
+
+    out_dir = str(tmp_path / "grace")
+    store = mf.LocalStorage()
+    mf.write_checkpointed(
+        spark.range(100).withColumn("v", F.lit(1)), out_dir, num_partitions=2
+    )
+    store.put_table(
+        out_dir, "part-99999-00000000deadbeef.parquet", pa.table({"id": [1]})
+    )
+    res = mf.vacuum(out_dir, keep_last=1)  # default grace window
+    assert res["removed_files"] == 0
+    assert store.exists(out_dir, "part-99999-00000000deadbeef.parquet")
+    res = mf.vacuum(out_dir, keep_last=1, grace_seconds=0)
+    assert res["removed_files"] == 1
+    assert mf.read_snapshot(spark, out_dir).count() == 100
+
+
+def test_scan_nan_rows_not_pruned(spark, tmp_path):
+    """Round-3 ADVICE (NaN vs stats pruning): every sink converts through
+    pa.Table.from_pandas, which canonicalizes float NaN to parquet NULL —
+    so a NaN produced upstream reads back as NULL, fails every predicate,
+    and counting it among `nulls` in the stats is exactly consistent.
+    scan() must equal the full-scan filter on NaN-bearing input."""
+    out_dir = str(tmp_path / "nan")
+    df = (
+        spark.range(100)
+        .withColumn(
+            "x",
+            F.when(F.col("id") < 50, F.lit(float("nan"))).otherwise(
+                F.col("id").cast("double")
+            ),
+        )
+        .repartitionByRange(4, "id")
+    )
+    mf.write_checkpointed(df, out_dir)
+    got, report = mf.scan(spark, out_dir, [("x", ">", 5.0)])
+    full = mf.read_snapshot(spark, out_dir).filter(F.col("x") > 5.0)
+    assert got.count() == full.count() == 50
+    m = mf.load_manifest(out_dir)
+    total_nulls = sum(p["stats"]["x"]["nulls"] for p in m["partitions"].values())
+    assert total_nulls == 50  # NaN recorded as null == stored as NULL
+    assert report["files_read"] < report["files_total"]  # all-NaN files pruned
+
+
+def test_memory_storage_commit_protocol(spark):
+    """The commit protocol on a store with NO filesystem: distributed
+    mapInPandas sinks write over a loopback KV server, commit/OCC/resume/
+    vacuum run unchanged, and the data reads back via Arrow. This is the
+    fsspec/S3-shaped proof the Storage seam promises."""
+    store = mf.MemoryStorage()
+    try:
+        out_dir = "mem://tbl"
+        m1 = mf.write_checkpointed(
+            spark.range(100).withColumn("v", F.lit(1)), out_dir,
+            num_partitions=2, storage=store,
+        )
+        assert m1["version"] == 1 and m1["total_rows"] == 100
+        m2 = mf.write_checkpointed(
+            spark.range(100, 130).withColumn("v", F.lit(2)), out_dir,
+            num_partitions=2, storage=store, mode="append",
+        )
+        assert m2["version"] == 2 and m2["total_rows"] == 130
+        # idempotent resume: identical overwrite skips every partition
+        m3 = mf.write_checkpointed(
+            spark.range(100).withColumn("v", F.lit(1)), out_dir,
+            num_partitions=2, storage=store,
+        )
+        assert all(p["skipped_on_last_run"] for p in m3["partitions"].values())
+        # read back through Arrow (no filesystem to hand to Spark)
+        m = mf.load_manifest(out_dir, storage=store)
+        total = sum(
+            store.get_table(out_dir, mf._part_key(p["path"])).num_rows
+            for p in m["partitions"].values()
+        )
+        assert total == m["total_rows"] == 100
+        # OCC on the KV store: stale appender re-merges the rival commit
+        stale = _StaleReadStorage(store, visible_version=2)
+        stale.stale = True
+        m4 = mf.write_checkpointed(
+            spark.range(200, 220).withColumn("v", F.lit(4)), out_dir,
+            num_partitions=1, storage=stale, mode="append",
+        )
+        assert m4["version"] == 4
+        res = mf.vacuum(out_dir, keep_last=1, storage=store, grace_seconds=0)
+        assert res["removed_snapshots"] == 3
+        m = mf.load_manifest(out_dir, storage=store)
+        total = sum(
+            store.get_table(out_dir, mf._part_key(p["path"])).num_rows
+            for p in m["partitions"].values()
+        )
+        assert total == m["total_rows"] == 120
+    finally:
+        store.shutdown()
 
 
 # ------------------------------------------------- row-level delete (CoW)
@@ -645,7 +783,7 @@ def test_delete_where_partial_copy_on_write(spark, tmp_path):
     # time travel still sees the pre-delete table
     assert mf.read_snapshot(spark, out_dir, version=1).count() == 1000
     # vacuum keeps files shared by the surviving snapshot
-    mf.vacuum(out_dir, keep_last=1)
+    mf.vacuum(out_dir, keep_last=1, grace_seconds=0)
     assert mf.read_snapshot(spark, out_dir).count() == 900
 
     # delete matching nothing: zero rewrites, table unchanged

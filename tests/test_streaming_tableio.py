@@ -122,7 +122,7 @@ def test_tableio_overwrite_snapshots_and_time_travel(spark, tmp_path):
     assert [s["version"] for s in snaps] == [1, 2]
     assert tio.read("t", version=1).count() == 1000
     # vacuum keeps the newest snapshot only; old data files are removed
-    res = tio.vacuum("t", keep_last=1)
+    res = tio.vacuum("t", keep_last=1, grace_seconds=0)
     assert res["kept_versions"] == [2] and res["removed_snapshots"] == 1
     assert res["removed_files"] >= 8
     assert tio.read("t").count() == 10
@@ -153,7 +153,7 @@ def test_tableio_compact_small_files(spark, tmp_path):
     assert got.count() == 50_000
     assert got.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
     assert tio.read("t", version=1).count() == 50_000  # old snapshot intact
-    res = tio.vacuum("t", keep_last=1)
+    res = tio.vacuum("t", keep_last=1, grace_seconds=0)
     assert res["removed_files"] >= 16
 
 
@@ -165,3 +165,26 @@ def test_tableio_merge_upsert_fallback(spark, tmp_path):
     tio.merge_upsert(upd, "t", key="k")
     got = {r["k"]: r["v"] for r in tio.read("t").collect()}
     assert got == {1: "a", 2: "B", 3: "c", 4: "D"}
+
+
+def test_sql_predicate_rendering():
+    """Round-3 ADVICE: the Iceberg-catalog DELETE path must render SQL
+    literals, not Python reprs — 'in' as a parenthesized tuple, strings
+    quote-escaped so they can't break or inject into the statement."""
+    from jpspark.table_io import _sql_predicate
+
+    assert _sql_predicate("k", "in", [1, 2]) == "k IN (1, 2)"
+    assert _sql_predicate("name", "=", "o'hara") == "name = 'o''hara'"
+    assert (
+        _sql_predicate("name", "=", "x' OR '1'='1")
+        == "name = 'x'' OR ''1''=''1'"
+    )
+    assert _sql_predicate("v", ">=", 2.5) == "v >= 2.5"
+    assert _sql_predicate("b", "=", True) == "b = TRUE"
+    assert _sql_predicate("n", "=", None) == "n = NULL"
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="identifier"):
+        _sql_predicate("k; DROP TABLE x", "=", 1)
+    with _pt.raises(ValueError, match="op"):
+        _sql_predicate("k", "like", "x")
