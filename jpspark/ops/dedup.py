@@ -549,3 +549,93 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Distributed connected components over a near-dup pair graph — the
+    cluster-RESOLUTION step dedup needs after pair finding: verified
+    pairs only say "a ~ b"; keeping one document per GROUP requires the
+    transitive closure (a~b, b~c => one cluster {a,b,c}).
+
+    Algorithm: min-label propagation with pointer jumping. Every round
+    (1) each node adopts the minimum label in its closed neighborhood
+    (one shuffle keyed on node id, labels-only exchange — 2 longs per
+    edge, never document payloads), then (2) labels chase their own
+    label's label (label(node) <- label(label(node))), which collapses
+    chains exponentially — the classic combination converges in
+    O(log n) rounds (cf. the MapReduce CC family: Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14; near-dup
+    clusters are tiny-diameter, so 2-4 rounds in practice).
+
+    Driver involvement per round is ONE scalar (the changed-label
+    count); labels persist between rounds and the lineage is cut with a
+    local checkpoint every few rounds, so the plan stays bounded at any
+    scale. Returns (node, component) with component = min reachable
+    node id; nodes are the edge endpoints (callers left-join their full
+    id set and coalesce singletons to themselves).
+    """
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    for rnd in range(max_rounds):
+        # (1) closed-neighborhood min: min label among neighbors
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # (2) pointer jump: label <- label(label)
+        parent = stepped.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            stepped.join(parent, stepped.label == parent.p_node, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
+            )
+            .persist()
+        )
+        if rnd % 4 == 3:
+            jumped = jumped.localCheckpoint(eager=False)
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = jumped
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_rounds} rounds "
+            "(graph diameter beyond the pointer-jump budget)"
+        )
+    sym.unpersist()
+    return labels.select("node", F.col("label").alias("component"))

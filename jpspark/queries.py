@@ -1887,6 +1887,174 @@ def o_minhash_verified_pairs() -> str:
     """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling — the training-data
+    "rebalance the corpus" op (cap each language at K docs). The sample
+    key is md5(doc_id), NOT rand(): reproducible across runs, engines
+    and retries, which is what makes a 10^12-row curation pipeline
+    auditable (the reference-class requirement behind SURVEY's
+    deterministic-ordering op O1). Plan: one shuffle on the stratum key,
+    row_number over (hash, id) inside each stratum, filter K — at scale
+    Catalyst runs this as a single window exchange; for tiny K a
+    per-partition top-K heap (mapInPandas) would cut the sort, but the
+    declarative window is the honest default."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 25)
+    )
+
+
+def o_stratified_sample() -> str:
+    return """
+    SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 25
+    """
+
+
+def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring over the corpus for a fixed term query —
+    the retrieval/quality-scoring op of a curation pipeline (score docs
+    against a topic probe, keep the tail or the head). k1=1.2, b=0.75.
+
+    Plan shape at 10^12 docs: split+explode stays in codegen (no
+    Python), the term filter lands BEFORE the tf aggregation so the
+    exchange carries only query-term hits, df and (sum_dl, n_docs) are
+    tiny broadcast aggregates, and the final score is one shuffle on
+    doc_id. avgdl is exact-integer SUM/COUNT so both engines divide the
+    same numbers; ln() is the only non-correctly-rounded op in the
+    chain, hence round(6) on the summed score."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["spark", "join", "window", "hash"]
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    )
+    dl = toks.select("doc_id", F.size("ws").alias("dl"))
+    tok = toks.select("doc_id", F.explode("ws").alias("term")).filter(
+        F.col("term").isin(terms)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = dl.agg(F.sum("dl").alias("sdl"), F.count("*").alias("nd"))
+    j = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("sdl").cast("double") / F.col("nd").cast("double")
+    idf = F.log(
+        (F.col("nd").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    score = (
+        idf
+        * (F.col("tf").cast("double") * F.lit(2.2))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(1.2)
+            * (F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl))
+        )
+    )
+    return j.groupBy("doc_id").agg(F.round(F.sum(score), 6).alias("bm25"))
+
+
+def o_bm25_score() -> str:
+    # identical IEEE op sequence; literals CAST to DOUBLE (bare decimals
+    # are DECIMAL in both parsers); dl counts the same [''] convention as
+    # the shingle oracles (trim + \s+ split)
+    return r"""
+    WITH w AS (
+      SELECT doc_id, CASE WHEN trim(text)='' THEN ['']
+             ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+      FROM documents
+    ), dl AS (SELECT doc_id, len(ws) AS dl FROM w),
+    tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ('spark', 'join', 'window', 'hash')
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    stats AS (SELECT sum(dl) AS sdl, count(*) AS nd FROM dl)
+    SELECT t.doc_id,
+           round(sum(
+             ln((CAST(s.nd AS DOUBLE) - CAST(f.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                / (CAST(f.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+             * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+             / (CAST(t.tf AS DOUBLE)
+                + CAST(1.2 AS DOUBLE)
+                  * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE)
+                       * (CAST(d.dl AS DOUBLE) / (CAST(s.sdl AS DOUBLE) / CAST(s.nd AS DOUBLE)))))
+           ), 6) AS bm25
+    FROM tf t JOIN dfreq f USING (term) JOIN dl d USING (doc_id) CROSS JOIN stats s
+    GROUP BY t.doc_id
+    """
+
+
+def q_dedup_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup RESOLUTION (the step after pair finding): MinHash
+    LSH candidates -> exact n-gram-Jaccard verify -> distributed
+    connected components (min-label propagation + pointer jumping,
+    ops/dedup.py:connected_components) -> one canonical document per
+    cluster (min doc_id wins, the deterministic first-wins rule), with
+    singletons kept as their own cluster. This is the 10^12-doc shape:
+    pairs say a~b, but a~b, b~c is ONE cluster {a,b,c} — only the
+    transitive closure dedups correctly; keeping "one of each verified
+    pair" would keep b twice or drop c.
+
+    Oracle: transitive closure via DuckDB recursive CTE over the same
+    exhaustively-computed Jaccard pairs — independent of the banded LSH,
+    the verify kernel, and the iterative propagation."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, k=64).persist()
+    cand = dedup.minhash_lsh_pairs(sigs, bands=16, rows_per_band=4, min_jaccard_est=0.0)
+    pairs = dedup.ngram_jaccard_pairs(docs, cand.select("id_a", "id_b"), min_jaccard=0.7)
+    cc = dedup.connected_components(pairs, "id_a", "id_b")
+    out = docs.select("doc_id").join(cc, F.col("doc_id") == F.col("node"), "left")
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        (F.coalesce(F.col("component"), F.col("doc_id")) == F.col("doc_id")).alias("keep"),
+    )
+
+
+def o_dedup_cluster_keep() -> str:
+    # same exhaustive shingle-Jaccard pair construction as
+    # o_minhash_verified_pairs, then the transitive closure as a
+    # recursive CTE; min reachable doc_id = cluster id, keep = canonical
+    return r"""
+    WITH RECURSIVE w AS (SELECT doc_id, CASE WHEN trim(text)='' THEN ['']
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS ws FROM documents),
+    g AS (SELECT doc_id,
+            CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                 ELSE list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])
+            END AS grams FROM w),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.7),
+    e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b AS s, id_a AS d FROM p),
+    r AS (
+      SELECT doc_id AS node, doc_id AS lab FROM documents
+      UNION
+      SELECT e.d AS node, r.lab FROM r JOIN e ON e.s = r.node
+    )
+    SELECT node AS doc_id, min(lab) AS cluster_id,
+           (min(lab) = node) AS keep
+    FROM r GROUP BY node
+    """
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with full probing (nprobe = n_clusters): exercises the
     whole IVF machinery (spherical k-means training, distributed assign,
@@ -3118,9 +3286,9 @@ QUERIES = {
     "first_wins_dedup": q_first_wins_dedup,
     "union_by_name": q_union_by_name,
     "fk_broadcast_join": q_fk_broadcast_join,
-    "range_join": q_range_join,
-    "left_anti": q_left_anti,
     "a40_ranges": q_a40_ranges,
+    "stratified_sample": q_stratified_sample,
+    "bm25_score": q_bm25_score,
     # OLAP aggregates
     "percentiles": q_percentiles,
     "rollup_summary": q_rollup_summary,
@@ -3137,7 +3305,7 @@ QUERIES = {
     "image_validate": q_image_validate,
     "audio_validate": q_audio_validate,
     "video_validate": q_video_validate,
-    "curation_pipeline": q_curation_pipeline,
+    "dedup_cluster_keep": q_dedup_cluster_keep,
     "multimodal_curation": q_multimodal_curation,
     "shapefile_pipeline": q_shapefile_pipeline,
     "xlsx_crosswalk": q_xlsx_crosswalk,
@@ -3179,6 +3347,11 @@ QUERIES = {
     "token_count_by_lang": q_token_count_by_lang,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    # composition of driver-signed components (itself signed green in r3)
+    "curation_pipeline": q_curation_pipeline,
+    # relational twins driver-signed green in r3
+    "range_join": q_range_join,
+    "left_anti": q_left_anti,
     # exact/brute twins of the LSH/IVF queries above (driver-signed r3)
     "embedding_neardup": q_embedding_neardup,
     "ann_topk": q_ann_topk,
@@ -3240,6 +3413,9 @@ def _build_oracles() -> dict[str, str]:
     "embedding_neardup": o_embedding_neardup(),
     "embedding_neardup_lsh": o_embedding_neardup_lsh(),
     "minhash_verified_pairs": o_minhash_verified_pairs(),
+    "dedup_cluster_keep": o_dedup_cluster_keep(),
+    "stratified_sample": o_stratified_sample(),
+    "bm25_score": o_bm25_score(),
     "simhash_pairs": o_simhash_pairs(),
     "image_validate": o_image_validate(),
     "audio_validate": o_audio_validate(),

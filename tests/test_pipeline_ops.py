@@ -324,3 +324,30 @@ def test_pq_encode_codes_shape_and_reconstruction():
     )
     rand_err = np.linalg.norm(x - rand_recon, axis=1).mean()
     assert err < 0.7 * rand_err
+
+
+def test_connected_components_chain_and_islands(spark):
+    """CC over a 12-node path (worst-case diameter — pointer jumping must
+    collapse it without hitting the round budget), two islands, a
+    triangle, and isolated implicit singletons via the caller-side
+    left-join convention."""
+    chain = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(11)]  # n00..n11 path
+    tri = [("t1", "t2"), ("t2", "t3"), ("t1", "t3")]
+    island = [("z8", "z9")]
+    edges = spark.createDataFrame(chain + tri + island, ["id_a", "id_b"])
+    cc = dedup.connected_components(edges).toPandas().set_index("node")["component"]
+    assert all(cc[f"n{i:02d}"] == "n00" for i in range(12))
+    assert all(cc[t] == "t1" for t in ("t1", "t2", "t3"))
+    assert cc["z8"] == "z8" and cc["z9"] == "z8"
+    assert len(cc) == 17  # only edge endpoints appear
+
+
+def test_connected_components_convergence_guard(spark):
+    """max_rounds=0-ish budget must raise loudly, not return partial
+    labels (a silent under-propagated clustering would merge nothing)."""
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="convergence"):
+        dedup.connected_components(edges, max_rounds=1)
+    # 2 rounds suffice for diameter 2 with pointer jumping
+    cc = dedup.connected_components(edges, max_rounds=3).toPandas()
+    assert set(cc["component"]) == {"a"}
