@@ -1887,6 +1887,80 @@ def o_minhash_verified_pairs() -> str:
     """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (ops/asof.py): each event picks the customer's latest
+    order with o_orderdate <= ts — the point-in-time/feature-store join
+    Spark lacks natively, expressed as union + one keyed window pass
+    (single shuffle; the naive range join explodes O(|L_k|*|R_k|) rows
+    per key before its argmax). Oracle: the explicit argmax formulation
+    with the same deterministic tie-break (max date, then max orderkey)."""
+    from .ops import asof
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    out = asof.asof_join_backward(
+        ev, orders,
+        left_on="user_id", right_on="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        right_id="o_orderkey", right_cols=["o_orderkey", "o_totalprice"],
+    )
+    return out.select(
+        "event_id",
+        F.coalesce(F.col("asof.o_orderkey"), F.lit(-1)).cast("long").alias("o_orderkey"),
+        F.coalesce(F.col("asof.o_totalprice"), F.lit(-1.0)).alias("o_totalprice"),
+    )
+
+
+def o_asof_join() -> str:
+    return """
+    WITH j AS (
+      SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+             ) AS rn
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT e.event_id,
+           COALESCE(j.o_orderkey, -1) AS o_orderkey,
+           COALESCE(j.o_totalprice, CAST(-1.0 AS DOUBLE)) AS o_totalprice
+    FROM events e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
+    """
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct counts per event_type — the OLAP
+    cardinality op whose sketch is mergeable map-side (constant memory
+    per group at 10^12 rows, vs the exact count-distinct's shuffle of
+    every distinct value). Gate shape: the query computes BOTH the
+    sketch and the exact count and asserts the sketch lands within 5x
+    the configured relative standard deviation (rsd=0.01 -> 5% bound,
+    ~5 sigma); the oracle recomputes the exact count and pins the bound
+    check TRUE."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users").cast("double") - F.col("exact_users").cast("double"))
+            <= F.lit(0.05) * F.col("exact_users").cast("double")
+        ).alias("within_5rsd"),
+    )
+
+
+def o_approx_distinct() -> str:
+    return """
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_5rsd
+    FROM events GROUP BY event_type
+    """
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum downsampling — the training-data
     "rebalance the corpus" op (cap each language at K docs). The sample
@@ -3283,8 +3357,8 @@ QUERIES = {
     # relational operators (SURVEY §2.2-2.5)
     "pricing_summary": q_pricing_summary,
     "argmax_latest": q_argmax_latest,
-    "first_wins_dedup": q_first_wins_dedup,
-    "union_by_name": q_union_by_name,
+    "asof_join": q_asof_join,
+    "approx_distinct": q_approx_distinct,
     "fk_broadcast_join": q_fk_broadcast_join,
     "a40_ranges": q_a40_ranges,
     "stratified_sample": q_stratified_sample,
@@ -3352,6 +3426,8 @@ QUERIES = {
     # relational twins driver-signed green in r3
     "range_join": q_range_join,
     "left_anti": q_left_anti,
+    "union_by_name": q_union_by_name,
+    "first_wins_dedup": q_first_wins_dedup,
     # exact/brute twins of the LSH/IVF queries above (driver-signed r3)
     "embedding_neardup": q_embedding_neardup,
     "ann_topk": q_ann_topk,
@@ -3415,6 +3491,8 @@ def _build_oracles() -> dict[str, str]:
     "minhash_verified_pairs": o_minhash_verified_pairs(),
     "dedup_cluster_keep": o_dedup_cluster_keep(),
     "stratified_sample": o_stratified_sample(),
+    "asof_join": o_asof_join(),
+    "approx_distinct": o_approx_distinct(),
     "bm25_score": o_bm25_score(),
     "simhash_pairs": o_simhash_pairs(),
     "image_validate": o_image_validate(),

@@ -351,3 +351,36 @@ def test_connected_components_convergence_guard(spark):
     # 2 rounds suffice for diameter 2 with pointer jumping
     cc = dedup.connected_components(edges, max_rounds=3).toPandas()
     assert set(cc["component"]) == {"a"}
+
+
+def test_asof_join_backward_semantics(spark):
+    """As-of join contract: latest right row with t <= left t; equal
+    timestamps count (right sorts before left); ties at equal time go to
+    the greatest right id; keys with no prior right row get a null
+    struct; right rows never create output rows."""
+    import datetime as dt
+
+    from jpspark.ops import asof
+
+    T = lambda d: dt.datetime(2024, 1, d)
+    left = spark.createDataFrame(
+        [(1, 10, T(5)), (2, 10, T(2)), (3, 20, T(4)), (4, 30, T(9))],
+        ["event_id", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, T(2), 5.0),   # equal ts as event 2 -> counts
+            (101, 10, T(2), 6.0),   # same ts, greater id -> wins the tie
+            (102, 10, T(4), 7.0),   # latest <= T(5) for event 1
+            (103, 20, T(6), 8.0),   # AFTER event 3 -> no match for key 20
+        ],
+        ["oid", "k", "t", "v"],
+    )
+    out = asof.asof_join_backward(
+        left, right, "k", "k", "ts", "t", "oid", ["oid", "v"]
+    ).toPandas().set_index("event_id")
+    assert out.loc[1, "asof"]["oid"] == 102 and out.loc[1, "asof"]["v"] == 7.0
+    assert out.loc[2, "asof"]["oid"] == 101  # tie at T(2): max id wins
+    assert out.loc[3, "asof"] is None or out.loc[3, "asof"]["oid"] is None
+    assert out.loc[4, "asof"] is None or out.loc[4, "asof"]["oid"] is None
+    assert len(out) == 4  # right rows don't surface
