@@ -21,8 +21,11 @@ from jpspark.queries import QUERIES, build_oracles
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return QUERIES["geo_pip_join"](spark, "/root/testdata/sf0.001")
+    """Flagship on /root/testdata/sf0.001 (driver checks rows>0): the
+    north_star composition — geotagged image table through decode/pHash
+    curation, PIP assignment, and the checkpointed manifest, aggregated
+    per municipality (see q_geo_image_pipeline)."""
+    return QUERIES["geo_image_pipeline"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

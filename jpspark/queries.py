@@ -1887,6 +1887,118 @@ def o_minhash_verified_pairs() -> str:
     """
 
 
+def q_geo_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE north_star composition as ONE gated query: a geotagged
+    image+caption table (input_hint shape, synthesized distributed from
+    events — pattern = event_id % 50, format cycling over all five
+    codecs) is DECODED + validated (pixel-exact for lossless, PSNR >= 40
+    for lossy) + pHashed by the real codecs, near-dup-curated via the
+    guaranteed-recall Hamming block join (keep a row iff no smaller-id
+    neighbor within Hamming <= 8), PIP-ASSIGNED to the polygon grid by
+    the broadcast settled-grid index, WRITTEN through the checkpointed
+    Iceberg-style manifest, read back FROM THE COMMITTED SNAPSHOT, and
+    aggregated per municipality.
+
+    Oracle (never sees bytes, hashes, manifests): dedup replays through
+    the r3-measured construction congruence (pHash clusters exactly by
+    pattern across all five codecs: intra <= 4 bits, inter >= 14 at
+    32x32), PIP through the floor closed form, validity pinned TRUE. Any
+    codec, pHash, block-join, PIP, or manifest regression diverges the
+    per-polygon counts."""
+    import shutil
+    import tempfile
+
+    from . import fixtures as fx
+    from . import manifest as mf
+    from .codec import image as img_codec
+    from .codec.phash import phash64
+    from .ops import similarity
+
+    FMTS = ("raw", "ppm", "png", "qlossy", "jpeg")
+    ev = _t(spark, sf_dir, "events").selectExpr(
+        "event_id", f"{_LON_EXPR} AS lon", f"{_LAT_EXPR} AS lat"
+    )
+
+    def synth_dec(batches):
+        for pdf in batches:
+            ks = pdf["event_id"].to_numpy()
+            phs, oks = [], []
+            for k in ks:
+                f = FMTS[(int(k) // 50) % 5]
+                px = fx.pixel_pattern(int(k) % 50, 32, 32)
+                dec = img_codec.decode(img_codec.encode(px, f), f)
+                ok = (
+                    bool(np.array_equal(dec, px))
+                    if f in ("raw", "ppm", "png")
+                    else bool(img_codec.psnr(px, dec) >= 40.0)
+                )
+                phs.append(
+                    np.int64(np.uint64(int(phash64(dec)) & 0xFFFFFFFFFFFFFFFF))
+                )
+                oks.append(ok)
+            yield pdf.assign(
+                phash=np.array(phs, dtype=np.int64), valid=np.array(oks)
+            )[["event_id", "lon", "lat", "phash", "valid"]]
+
+    ann = ev.mapInPandas(
+        synth_dec, "event_id long, lon double, lat double, phash long, valid boolean"
+    )
+    pairs = similarity.phash_neardup_pairs(
+        ann.select(F.col("event_id").alias("image_id"), "phash"), max_hamming=8
+    )
+    dropped = pairs.select(F.col("id_b").alias("event_id")).distinct()
+    flagged = ann.join(
+        dropped.withColumn("is_dup", F.lit(True)), "event_id", "left"
+    ).withColumn("kept", F.col("is_dup").isNull())
+    assigned = spatial_join.pip_join_broadcast(
+        flagged.select("event_id", "lon", "lat", "kept", "valid"),
+        _grid_polys_pdf(),
+        "poly_id",
+        out_col="poly_id",
+        out_type=T.LongType(),
+    ).select("event_id", "poly_id", "kept", "valid")
+
+    tmp = tempfile.mkdtemp(prefix="jpspark_geoimg_")
+    try:
+        out_dir = f"{tmp}/assignments"
+        mf.write_checkpointed(
+            assigned, out_dir, lineage="geo_image_pipeline", num_partitions=8
+        )
+        back = mf.read_snapshot(spark, out_dir)
+        result = back.groupBy("poly_id").agg(
+            F.count("*").alias("n_images"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.bool_and("valid").alias("all_valid"),
+        )
+        rows = result.collect()  # bounded: O(polygons); tmp dir must outlive the read
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "poly_id long, n_images bigint, n_kept bigint, all_valid boolean"
+    )
+
+
+def o_geo_image_pipeline() -> str:
+    return f"""
+    WITH imgs AS (
+      SELECT event_id, {_LON_EXPR} AS lon, {_LAT_EXPR} AS lat,
+             event_id % 50 AS pat
+      FROM events
+    ), kept AS (
+      SELECT event_id, lon, lat,
+             (event_id = min(event_id) OVER (PARTITION BY pat)) AS kept
+      FROM imgs
+    )
+    SELECT CAST(floor((lon - CAST(122 AS DOUBLE)) / CAST(4 AS DOUBLE))
+                + 8 * floor((lat - CAST(20 AS DOUBLE)) / CAST(3.25 AS DOUBLE))
+                AS BIGINT) AS poly_id,
+           COUNT(*) AS n_images,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           TRUE AS all_valid
+    FROM kept GROUP BY 1
+    """
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (ops/asof.py): each event picks the customer's latest
     order with o_orderdate <= ts — the point-in-time/feature-store join
@@ -3356,7 +3468,7 @@ QUERIES = {
     "stream_mvt_ingest": q_stream_mvt_ingest,
     # relational operators (SURVEY §2.2-2.5)
     "pricing_summary": q_pricing_summary,
-    "argmax_latest": q_argmax_latest,
+    "geo_image_pipeline": q_geo_image_pipeline,
     "asof_join": q_asof_join,
     "approx_distinct": q_approx_distinct,
     "fk_broadcast_join": q_fk_broadcast_join,
@@ -3428,6 +3540,7 @@ QUERIES = {
     "left_anti": q_left_anti,
     "union_by_name": q_union_by_name,
     "first_wins_dedup": q_first_wins_dedup,
+    "argmax_latest": q_argmax_latest,
     # exact/brute twins of the LSH/IVF queries above (driver-signed r3)
     "embedding_neardup": q_embedding_neardup,
     "ann_topk": q_ann_topk,
@@ -3490,6 +3603,7 @@ def _build_oracles() -> dict[str, str]:
     "embedding_neardup_lsh": o_embedding_neardup_lsh(),
     "minhash_verified_pairs": o_minhash_verified_pairs(),
     "dedup_cluster_keep": o_dedup_cluster_keep(),
+    "geo_image_pipeline": o_geo_image_pipeline(),
     "stratified_sample": o_stratified_sample(),
     "asof_join": o_asof_join(),
     "approx_distinct": o_approx_distinct(),

@@ -35,6 +35,13 @@ AUDIT = [
     "multimodal_curation", # expect: hamming-join exchanges carry (id, hash) — never image bytes
     "raster_histogram",    # expect: MapInArrow partials (≤256 rows/batch) -> one exchange
     "mvt_lines",           # expect: cover explode + ONE tile-key exchange; bytes post-exchange
+    # round 4
+    "asof_join",           # expect: union -> ONE key exchange -> window (the sort-merge asof)
+    "bm25_score",          # expect: text never rides an exchange; df/avgdl broadcast
+    "stratified_sample",   # expect: one stratum exchange; text pruned at the scan
+    "dedup_cluster_keep",  # iterative CC: labels-only exchanges (plan dump; see COVERAGE.md)
+    "percentiles_approx",  # expect: single partial+final agg, sketch map-side
+    "knn_flag_guard",      # expect: disk-explode exchange carries (id, cell, lon, lat) only
 ]
 
 
@@ -83,6 +90,22 @@ BAND_AUDITS = {
     "embedding_neardup_lsh": ("embedding", "bval"),
 }
 
+def audit_single_shuffle(plan: str, max_shuffles: int = 1) -> str:
+    """Assert the plan has at most N shuffle Exchanges (broadcasts don't
+    count) — the asof window pass must be ONE keyed exchange, not a
+    range-join explosion."""
+    blocks = plan.split("\n\n")
+    n = sum(
+        1
+        for b in blocks
+        if b.splitlines() and ") Exchange" in b.splitlines()[0] and "hashpartitioning" in b
+    )
+    assert n <= max_shuffles, f"{n} shuffle exchanges (expected <= {max_shuffles})"
+    return f"AUDIT: {n} shuffle exchange(s) (<= {max_shuffles}) — single keyed pass. PASS"
+
+
+SINGLE_SHUFFLE_AUDITS = {"asof_join": 1}
+
 NO_HEAVY_AUDITS = {
     "raster_zonal_stats": ("bytes",),
     "polygonize": ("bytes", "geom"),
@@ -92,6 +115,9 @@ NO_HEAVY_AUDITS = {
     # mvt_lines: WKB legitimately rides the tile-key exchange (clipping
     # happens per tile); the produced blob must not re-shuffle
     "mvt_lines": ("bytes",),
+    # round 4: document text must be pruned before any exchange
+    "bm25_score": ("text",),
+    "stratified_sample": ("text",),
 }
 
 
@@ -111,6 +137,8 @@ def main():
             out += [audit_band_exchange(plan, heavy, key), ""]
         if name in NO_HEAVY_AUDITS:
             out += [audit_no_heavy_exchange(plan, NO_HEAVY_AUDITS[name]), ""]
+        if name in SINGLE_SHUFFLE_AUDITS:
+            out += [audit_single_shuffle(plan, SINGLE_SHUFFLE_AUDITS[name]), ""]
         out += ["```", plan.strip(), "```", ""]
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out))
