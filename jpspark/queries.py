@@ -1999,6 +1999,119 @@ def o_geo_image_pipeline() -> str:
     """
 
 
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style sub-document dedup: documents are cut into
+    consecutive 10-word chunks (the deterministic analog of "lines" for
+    this corpus), every chunk that occurs more than once ACROSS THE
+    CORPUS is dropped, and each document is reassembled from its
+    surviving chunks in original order. This is the boilerplate-removal
+    op every LLM corpus pipeline runs before near-dup detection.
+
+    Plan at 10^12 docs: chunking is pure Column algebra (sequence +
+    transform + slice, whole-stage codegen); the only exchanges carry
+    (chunk-text, count) partials and (doc_id, pos) pairs — the classic
+    explode -> frequency -> anti-join -> ordered reassemble, with the
+    reassembly's sort local to each doc group (array_sort over structs,
+    no extra shuffle). Oracle: identical chunking in SQL, string_agg
+    ORDER BY pos — reassembled text compared as exact strings."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    )
+    n_chunks = F.expr("CAST(ceil(size(ws) / 10.0) AS INT)")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(F.col("ws"), i * 10 + 1, 10), " "),
+    )
+    cl = base.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+    freq = cl.groupBy("chunk").agg(F.count("*").alias("cnt"))
+    kept = cl.join(freq, "chunk").filter(F.col("cnt") < 2)
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("kept_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+def o_chunk_dedup() -> str:
+    return r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+    ), gch AS (
+      SELECT doc_id,
+             [array_to_string(ws[i*10+1:i*10+10], ' ')
+              for i in range(0, CAST(ceil(len(ws) / 10.0) AS INT))] AS chunks
+      FROM w
+    ), x AS (
+      SELECT doc_id, chunks, unnest(generate_series(1, len(chunks))) AS pos FROM gch
+    ), cl AS (
+      SELECT doc_id, pos, chunks[pos] AS chunk FROM x
+    ), freq AS (
+      SELECT chunk, count(*) AS cnt FROM cl GROUP BY 1
+    ), kept AS (
+      SELECT cl.doc_id, cl.pos, cl.chunk FROM cl JOIN freq USING (chunk) WHERE cnt < 2
+    )
+    SELECT d.doc_id,
+           COALESCE(string_agg(k.chunk, ' ' ORDER BY k.pos), '') AS kept_text,
+           CAST(count(k.chunk) AS BIGINT) AS n_kept
+    FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+    GROUP BY d.doc_id
+    """
+
+
+def q_length_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bottom-decile length filter — the "drop the shortest
+    10% of each language" corpus-rebalancing rule. The cutoff is the
+    INTEGER-EXACT rank rule keep iff rank*10 > n_lang (never
+    float-multiplied: 0.1*150 = 15.000000000000002 would ceil to 16 and
+    silently shift the cutoff), ordered by (n_tokens, doc_id) so ties
+    are deterministic. One shuffle on the stratum key; the count rides
+    the same window pass."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = textstats.token_count(F.col("text"))
+    base = docs.select("doc_id", "lang", n_tok.cast("long").alias("n_tokens"))
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    cw = Window.partitionBy("lang")
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_lang", F.count("*").over(cw))
+        .filter(F.col("rn") * 10 > F.col("n_lang"))
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
+def o_length_quantile_filter() -> str:
+    return r"""
+    SELECT doc_id, lang, n_tokens FROM (
+      SELECT doc_id, lang,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\s+')) END,
+                        doc_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    ) WHERE rn * 10 > n_lang
+    """
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (ops/asof.py): each event picks the customer's latest
     order with o_orderdate <= ts — the point-in-time/feature-store join
@@ -2039,6 +2152,62 @@ def o_asof_join() -> str:
            COALESCE(j.o_totalprice, CAST(-1.0 AS DOUBLE)) AS o_totalprice
     FROM events e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)
     """
+
+
+def q_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming x as-of composition: events streamed one file per
+    micro-batch (maxFilesPerTrigger=1 over a 4-way split) are enriched
+    per batch with the customer's latest prior order by the SAME asof
+    operator the batch path uses (ops/asof.py) against the static orders
+    table — the stream-static enrichment shape (the static side joins
+    inside each micro-batch plan; the stream side shuffles once per
+    batch on the key). As-of matching is per-row independent, so
+    streaming must equal batch bit-for-bit: the oracle IS the batch
+    asof oracle. Requires >= 2 real micro-batches or raises."""
+    import shutil
+    import tempfile
+
+    from .ops import asof
+
+    tmp = tempfile.mkdtemp(prefix="jpspark_sasof_")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/events")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/events")
+        .select("event_id", "user_id", "ts")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    acc: list[pd.DataFrame] = []
+
+    def handle(batch_df, batch_id):
+        out = asof.asof_join_backward(
+            batch_df, orders,
+            left_on="user_id", right_on="o_custkey",
+            left_time="ts", right_time="o_orderdate",
+            right_id="o_orderkey", right_cols=["o_orderkey", "o_totalprice"],
+        ).select(
+            "event_id",
+            F.coalesce(F.col("asof.o_orderkey"), F.lit(-1)).cast("long").alias("o_orderkey"),
+            F.coalesce(F.col("asof.o_totalprice"), F.lit(-1.0)).alias("o_totalprice"),
+        )
+        pdf = out.toPandas()
+        if len(pdf):
+            acc.append(pdf)
+
+    q = stream.writeStream.foreachBatch(handle).start()
+    q.processAllAvailable()
+    q.stop()
+    shutil.rmtree(tmp, ignore_errors=True)
+    if len(acc) < 2:
+        raise RuntimeError(f"expected multiple micro-batches, got {len(acc)}")
+    return spark.createDataFrame(
+        pd.concat(acc, ignore_index=True),
+        "event_id long, o_orderkey long, o_totalprice double",
+    )
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3466,23 +3635,23 @@ QUERIES = {
     "stream_dedup": q_stream_dedup,
     "stream_geo_enrich": q_stream_geo_enrich,
     "stream_mvt_ingest": q_stream_mvt_ingest,
+    "stream_asof_enrich": q_stream_asof_enrich,
     # relational operators (SURVEY §2.2-2.5)
     "pricing_summary": q_pricing_summary,
     "geo_image_pipeline": q_geo_image_pipeline,
     "asof_join": q_asof_join,
     "approx_distinct": q_approx_distinct,
-    "fk_broadcast_join": q_fk_broadcast_join,
-    "a40_ranges": q_a40_ranges,
     "stratified_sample": q_stratified_sample,
     "bm25_score": q_bm25_score,
     # OLAP aggregates
     "percentiles": q_percentiles,
     "rollup_summary": q_rollup_summary,
     # training-data pipeline: dedup + ANN
+    "chunk_dedup": q_chunk_dedup,
+    "length_quantile_filter": q_length_quantile_filter,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_verified_pairs": q_minhash_verified_pairs,
-    "simhash_pairs": q_simhash_pairs,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "phash_neardup": q_phash_neardup,
     "ann_ivf_recall": q_ann_ivf_recall,
@@ -3541,6 +3710,9 @@ QUERIES = {
     "union_by_name": q_union_by_name,
     "first_wins_dedup": q_first_wins_dedup,
     "argmax_latest": q_argmax_latest,
+    "fk_broadcast_join": q_fk_broadcast_join,
+    "a40_ranges": q_a40_ranges,
+    "simhash_pairs": q_simhash_pairs,
     # exact/brute twins of the LSH/IVF queries above (driver-signed r3)
     "embedding_neardup": q_embedding_neardup,
     "ann_topk": q_ann_topk,
@@ -3605,7 +3777,10 @@ def _build_oracles() -> dict[str, str]:
     "dedup_cluster_keep": o_dedup_cluster_keep(),
     "geo_image_pipeline": o_geo_image_pipeline(),
     "stratified_sample": o_stratified_sample(),
+    "chunk_dedup": o_chunk_dedup(),
+    "length_quantile_filter": o_length_quantile_filter(),
     "asof_join": o_asof_join(),
+    "stream_asof_enrich": o_asof_join(),
     "approx_distinct": o_approx_distinct(),
     "bm25_score": o_bm25_score(),
     "simhash_pairs": o_simhash_pairs(),
