@@ -273,14 +273,51 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
         timings,
     )
     extras["simhash_docs_per_sec"] = round(n_docs / timings["simhash_signatures"], 1)
+    # round 4: chunk-frequency dedup machinery at amplified scale (the
+    # x128 replicas make every chunk a corpus duplicate — worst case for
+    # the frequency join: all chunks survive the explode+groupBy+join
+    # and are then dropped)
+    from jpspark.ops import dedup as dd
+
+    def chunk_dedup_fn():
+        ws = F.split(F.trim(F.col("text")), r"\s+")
+        base = docs_big.select("doc_id", ws.alias("ws"))
+        n_chunks = F.expr("CAST(ceil(size(ws) / 10.0) AS INT)")
+        chunks = F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(F.col("ws"), i * 10 + 1, 10), " "),
+        )
+        cl = base.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+        freq = cl.groupBy("chunk").agg(F.count("*").alias("cnt"))
+        return cl.join(freq, "chunk").filter(F.col("cnt") < 2).count()
+
+    timed("chunk_dedup", chunk_dedup_fn, timings)
+    extras["chunk_docs_per_sec"] = round(n_docs / timings["chunk_dedup"], 1)
     docs_big.unpersist()
+
+    # round 4: connected components on a 2M-node near-dup-shaped graph
+    # (200k star clusters of 10 — the shape LSH-verified pair sets
+    # actually have: mutually-similar members all pair with the cluster
+    # min, so propagation converges in ~3 rounds). The adversarial
+    # long-chain case (O(log n) rounds via pointer jumping) is covered
+    # by pytest and costed in DESIGN.md §5b; a chain benchmark would
+    # measure round COUNT, not per-round throughput.
+    def cc_fn():
+        stars = spark.range(2_000_000).select(
+            F.col("id").alias("id_a"), (F.col("id") - F.pmod(F.col("id"), F.lit(10))).alias("id_b")
+        ).filter(F.col("id_a") != F.col("id_b"))
+        cc = dd.connected_components(stars, max_rounds=30)
+        return cc.agg(F.countDistinct("component")).collect()
+
+    timed("connected_components", cc_fn, timings)
+    extras["cc_nodes_per_sec"] = round(2_000_000 / timings["connected_components"], 1)
 
     # --- relational + training-data headliners from the registry
     # (minhash_verified_pairs = the full dedup pipeline: signatures ->
     # banded LSH candidates -> exact shingle-Jaccard verify; replaces the
     # former minhash_lsh_pairs headline, which round 3 turned into a
     # correctness audit rather than a pipeline stage)
-    for name in ("pricing_summary", "fk_broadcast_join", "minhash_verified_pairs", "ann_topk"):
+    for name in ("pricing_summary", "fk_broadcast_join", "minhash_verified_pairs", "ann_topk", "asof_join"):
         q = QUERIES[name]
         timed(name, lambda q=q: q(spark, sf_dir).count(), timings)
 

@@ -585,7 +585,7 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = (
+    labels = pinned = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
@@ -599,10 +599,13 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # old label rides along so convergence detection is a column
+        # compare on THIS frame — not a separate labels-vs-new join
         stepped = (
             labels.join(nbr_min, labels.node == nbr_min.src, "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
@@ -616,21 +619,27 @@ def connected_components(
             stepped.join(parent, stepped.label == parent.p_node, "left")
             .select(
                 "node",
+                "old_label",
                 F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
             )
             .persist()
         )
         if rnd % 4 == 3:
             jumped = jumped.localCheckpoint(eager=False)
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = jumped
-        if changed == 0:
+        # convergence probe via ONE full aggregate: it must scan every
+        # partition so the ENTIRE frame lands in the cache before the
+        # parent is unpersisted below — a short-circuit probe (isEmpty)
+        # leaves unvisited partitions uncached and every later scan
+        # recomputes the full round lineage recursively (measured
+        # blowup: 5s/round -> 55s by round 4)
+        changed = jumped.agg(
+            F.sum((F.col("label") != F.col("old_label")).cast("long")).alias("n")
+        ).collect()[0][0]
+        converged = not changed
+        pinned.unpersist()
+        pinned = jumped  # the persisted handle (labels is a projection of it)
+        labels = jumped.select("node", "label")
+        if converged:
             break
     else:
         raise RuntimeError(
@@ -638,4 +647,5 @@ def connected_components(
             "(graph diameter beyond the pointer-jump budget)"
         )
     sym.unpersist()
+    # the final round's cache (pinned) backs the returned frame
     return labels.select("node", F.col("label").alias("component"))
