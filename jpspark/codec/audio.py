@@ -281,3 +281,127 @@ def encode_wav_adpcm(
     body += b"fact" + struct.pack("<I", 4) + struct.pack("<I", len(pcm))
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ----------------------------------------------------- MPEG audio probe
+
+# MPEG-1/2 Layer III frame-header tables (public spec, ISO/IEC 11172-3
+# §2.4.1.3 / 13818-3): bitrate in kbit/s per (version, bitrate_index),
+# sample rate per (version, samplerate_index). FULL DECODE of Layer III
+# audio needs the hybrid filterbank + Huffman tables and stays an honest
+# strict stub (ops/multimodal.py) — but the PROBE below (duration,
+# bitrate, sample rate, frame walk) is pure header arithmetic, which is
+# what ingest pipelines actually need to catalog compressed audio they
+# won't transcode.
+_MP3_BITRATE_V1_L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATE_V2_L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_SAMPLERATE = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def parse_mp3_frame_header(buf: bytes, off: int = 0) -> dict | None:
+    """One MPEG audio frame header at ``off`` -> {version, layer,
+    bitrate_kbps, sample_rate, padding, frame_bytes, samples}; None if
+    the 4 bytes at ``off`` are not a valid Layer III header."""
+    if off + 4 > len(buf):
+        return None
+    b0, b1, b2, _b3 = buf[off : off + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version = (b1 >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+    layer = (b1 >> 1) & 0x3    # 1 == Layer III
+    if version == 1 or layer != 1:
+        return None
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-form/bad bitrate or reserved sample rate
+    table = _MP3_BITRATE_V1_L3 if version == 3 else _MP3_BITRATE_V2_L3
+    bitrate = table[br_idx] * 1000
+    sample_rate = _MP3_SAMPLERATE[version][sr_idx]
+    padding = (b2 >> 1) & 0x1
+    samples = 1152 if version == 3 else 576  # Layer III samples/frame
+    frame_bytes = (samples // 8) * bitrate // sample_rate + padding
+    return {
+        "version": version,
+        "layer": 3,
+        "bitrate_kbps": bitrate // 1000,
+        "sample_rate": sample_rate,
+        "padding": padding,
+        "frame_bytes": frame_bytes,
+        "samples": samples,
+    }
+
+
+def probe_mp3(buf: bytes) -> dict:
+    """Walk the frame chain of an MPEG-1/2 Layer III stream -> stream
+    metadata {n_frames, sample_rate, duration_sec, bitrate_kbps (mean),
+    vbr}. Skips an ID3v2 prefix (its size word is syncsafe). Raises on
+    streams with no valid frame — a probe that returns zeros would let a
+    corrupt object slide through the catalog."""
+    buf = bytes(buf)
+    off = 0
+    if buf[:3] == b"ID3" and len(buf) >= 10:
+        size = (buf[6] << 21) | (buf[7] << 14) | (buf[8] << 7) | buf[9]
+        off = 10 + size
+    n = 0
+    sr = None
+    total_bits = 0
+    total_samples = 0
+    vbr_rates = set()
+    while off + 4 <= len(buf):
+        h = parse_mp3_frame_header(buf, off)
+        if h is None:
+            if n:
+                break  # trailing junk/tag after the frame chain
+            off += 1  # resync scan before the first frame
+            continue
+        if sr is None:
+            sr = h["sample_rate"]
+        elif h["sample_rate"] != sr:
+            break  # sample-rate change = not one stream; stop at boundary
+        n += 1
+        vbr_rates.add(h["bitrate_kbps"])
+        total_bits += h["frame_bytes"] * 8
+        total_samples += h["samples"]
+        off += h["frame_bytes"]
+    if n == 0:
+        raise ValueError("probe_mp3: no valid MPEG Layer III frame found")
+    duration = total_samples / sr
+    return {
+        "n_frames": n,
+        "sample_rate": sr,
+        "duration_sec": duration,
+        "bitrate_kbps": round(total_bits / duration / 1000, 3),
+        "vbr": len(vbr_rates) > 1,
+    }
+
+
+def encode_mp3_frames(
+    n_frames: int,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    version: int = 3,
+    pad_every: int = 0,
+) -> bytes:
+    """Fixture writer: a syntactically valid MPEG Layer III frame chain
+    (correct headers, zeroed payloads — decoders would render silence's
+    worth of Huffman-empty data as garbage, which is why decode stays a
+    strict stub while the PROBE is real). ``pad_every``: every k-th
+    frame sets the padding bit, exercising the walker's variable frame
+    sizes."""
+    table = _MP3_BITRATE_V1_L3 if version == 3 else _MP3_BITRATE_V2_L3
+    br_idx = table.index(bitrate_kbps)
+    sr_idx = _MP3_SAMPLERATE[version].index(sample_rate)
+    samples = 1152 if version == 3 else 576
+    out = bytearray()
+    for i in range(n_frames):
+        padding = 1 if (pad_every and (i + 1) % pad_every == 0) else 0
+        b0 = 0xFF
+        b1 = 0xE0 | (version << 3) | (1 << 1) | 0x1  # layer III, no CRC
+        b2 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
+        b3 = 0xC0  # mono
+        frame_bytes = (samples // 8) * (bitrate_kbps * 1000) // sample_rate + padding
+        frame = bytearray(frame_bytes)
+        frame[0:4] = bytes((b0, b1, b2, b3))
+        out += frame
+    return bytes(out)

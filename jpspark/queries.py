@@ -1717,6 +1717,77 @@ def o_audio_validate() -> str:
     return f"SELECT * FROM (VALUES {vals}) AS t(media_id, sample_rate, n_samples, rms_ok)"
 
 
+def q_audio_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio metadata probe (codec/audio.py probe_mp3): MPEG
+    Layer III frame-header walking — duration / sample rate / frame
+    count / VBR flag from pure header arithmetic (ISO 11172-3 tables),
+    which is what a catalog pass needs for audio it will never
+    transcode; full Layer III DECODE remains an honest strict stub
+    (needs the hybrid filterbank). 14 synthetic frame chains spanning
+    MPEG-1/2, bitrates, padding cadences, ID3v2 prefixes, and a VBR
+    splice; oracle = closed-form per-stream arithmetic (integer ms so
+    no float ride the hash)."""
+    from .codec import audio as audio_codec
+
+    specs = []
+    for i in range(14):
+        version = 3 if i % 2 == 0 else 2
+        sr = (44100, 48000, 32000)[i % 3] if version == 3 else (22050, 24000, 16000)[i % 3]
+        br = (64, 96, 128, 160)[i % 4] if version == 3 else (32, 48, 64, 80)[i % 4]
+        specs.append((f"mp3{i:03d}", 40 + i * 7, br, sr, version, (0, 3, 5)[i % 3], i == 13))
+    rows = []
+    for mid, n, br, sr, ver, pad, vbr in specs:
+        buf = audio_codec.encode_mp3_frames(n, br, sr, version=ver, pad_every=pad)
+        if vbr:  # splice a second-bitrate run: the walker must keep going
+            buf += audio_codec.encode_mp3_frames(10, br * 2, sr, version=ver)
+        if mid.endswith(("2", "6")):  # some streams carry an ID3v2 prefix
+            buf = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 12]) + bytes(12) + buf
+        rows.append({"media_id": mid, "bytes": buf})
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+
+    def kernel(batches):
+        for b in batches:
+            out = []
+            for mid, buf in zip(b["media_id"].to_numpy(), b["bytes"].to_numpy()):
+                p = audio_codec.probe_mp3(bytes(buf))
+                spf = 1152 if p["sample_rate"] >= 32000 else 576
+                out.append(
+                    (
+                        mid,
+                        p["n_frames"],
+                        p["sample_rate"],
+                        p["n_frames"] * spf * 1000 // p["sample_rate"],
+                        bool(p["vbr"]),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_frames", "sample_rate", "duration_ms", "vbr"]
+            )
+
+    return sdf.mapInPandas(
+        kernel,
+        "media_id string, n_frames long, sample_rate long, duration_ms long, vbr boolean",
+    )
+
+
+def o_audio_probe() -> str:
+    rows = []
+    for i in range(14):
+        version = 3 if i % 2 == 0 else 2
+        sr = (44100, 48000, 32000)[i % 3] if version == 3 else (22050, 24000, 16000)[i % 3]
+        n = 40 + i * 7 + (10 if i == 13 else 0)
+        spf = 1152 if version == 3 else 576
+        rows.append(
+            f"('mp3{i:03d}',CAST({n} AS BIGINT),CAST({sr} AS BIGINT),"
+            f"CAST({n * spf * 1000 // sr} AS BIGINT),{'true' if i == 13 else 'false'})"
+        )
+    vals = ",".join(rows)
+    return (
+        f"SELECT * FROM (VALUES {vals}) "
+        "AS t(media_id, n_frames, sample_rate, duration_ms, vbr)"
+    )
+
+
 def q_video_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video fidelity gate on REAL AVI bytes (codec/video.py): 6
     uncompressed clips (12+m frames of known pixel patterns, sampled
@@ -3713,6 +3784,7 @@ QUERIES = {
     "fk_broadcast_join": q_fk_broadcast_join,
     "a40_ranges": q_a40_ranges,
     "simhash_pairs": q_simhash_pairs,
+    "audio_probe": q_audio_probe,
     # exact/brute twins of the LSH/IVF queries above (driver-signed r3)
     "embedding_neardup": q_embedding_neardup,
     "ann_topk": q_ann_topk,
@@ -3786,6 +3858,7 @@ def _build_oracles() -> dict[str, str]:
     "simhash_pairs": o_simhash_pairs(),
     "image_validate": o_image_validate(),
     "audio_validate": o_audio_validate(),
+    "audio_probe": o_audio_probe(),
     "video_validate": o_video_validate(),
     "phash_neardup": o_phash_neardup(),
     "ann_ivf_topk": o_ann_topk(),

@@ -230,3 +230,32 @@ def test_gif_spec_layout_and_dispatch():
     assert (img.decode(buf, "gif") == im).all()
     # LZW earns its keep on palette content
     assert len(buf) < im.size
+
+
+def test_mp3_probe_header_walk():
+    """MPEG Layer III probe: frame chain walked by header arithmetic
+    (ISO 11172-3 bitrate/samplerate tables), padding bit varies frame
+    size, ID3v2 syncsafe prefix skipped, VBR splice detected, garbage
+    raises rather than returning zeros."""
+    import pytest
+
+    from jpspark.codec import audio as au
+
+    buf = au.encode_mp3_frames(100, 128, 44100, pad_every=3)
+    p = au.probe_mp3(buf)
+    assert p["n_frames"] == 100 and p["sample_rate"] == 44100 and not p["vbr"]
+    assert abs(p["duration_sec"] - 100 * 1152 / 44100) < 1e-9
+    # padding bit: every 3rd frame is 1 byte longer
+    h0 = au.parse_mp3_frame_header(buf, 0)
+    assert h0["frame_bytes"] == (1152 // 8) * 128000 // 44100
+    # MPEG-2 (576 samples/frame) + ID3v2 prefix
+    id3 = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 10]) + bytes(10)
+    p2 = au.probe_mp3(id3 + au.encode_mp3_frames(50, 64, 22050, version=2))
+    assert p2["n_frames"] == 50 and abs(p2["duration_sec"] - 50 * 576 / 22050) < 1e-9
+    # VBR splice
+    p3 = au.probe_mp3(
+        au.encode_mp3_frames(20, 64, 44100) + au.encode_mp3_frames(20, 128, 44100)
+    )
+    assert p3["n_frames"] == 40 and p3["vbr"]
+    with pytest.raises(ValueError, match="no valid"):
+        au.probe_mp3(b"\x00" * 4096)
