@@ -280,14 +280,7 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
     from jpspark.ops import dedup as dd
 
     def chunk_dedup_fn():
-        ws = F.split(F.trim(F.col("text")), r"\s+")
-        base = docs_big.select("doc_id", ws.alias("ws"))
-        n_chunks = F.expr("CAST(ceil(size(ws) / 10.0) AS INT)")
-        chunks = F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.array_join(F.slice(F.col("ws"), i * 10 + 1, 10), " "),
-        )
-        cl = base.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+        cl = dd.chunk_documents(docs_big, width=10)  # the shipped operator's chunking
         freq = cl.groupBy("chunk").agg(F.count("*").alias("cnt"))
         return cl.join(freq, "chunk").filter(F.col("cnt") < 2).count()
 

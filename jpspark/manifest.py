@@ -1044,6 +1044,19 @@ def vacuum(
         claim = key[: -len(".json")] + ".claim"
         if store.exists(out_dir, claim):
             store.delete(out_dir, claim)
+    # orphan SHARD sweep (round-4 review): a losing commit attempt writes
+    # its content-addressed shard files BEFORE the exclusive root create,
+    # so shards referenced by no root accumulate under concurrent sharded
+    # writers. Kept-root shards are in kept_shards; expired-root shards
+    # were just deleted with their roots; anything else older than the
+    # grace window (an in-flight commit's shards are younger) is a loser
+    # attempt's leftovers.
+    for key in store.list(out_dir, f"{MANIFESTS_DIR}/manifest-"):
+        if "-shard-" in key and key.endswith(".json") and key not in kept_shards:
+            if grace_seconds > 0 and (now - store.mtime(out_dir, key)) < grace_seconds:
+                continue
+            if store.exists(out_dir, key):  # expired-root loop may have taken it
+                store.delete(out_dir, key)
     return {
         "kept_versions": kept_versions,
         "removed_files": removed_files,

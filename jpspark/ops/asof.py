@@ -56,6 +56,10 @@ def asof_join_backward(
             F.col(right_id).cast("long").alias("_rid"),
             F.struct(*[F.col(c) for c in right_cols]).alias("_rrow"),
         )
+        # a NULL right timestamp can match nothing (SQL: t <= ts is never
+        # true) — and the window's NULLS FIRST ordering would otherwise
+        # make it the "earliest" row and carry it into unmatched keys
+        .filter(F.col("_t").isNotNull())
     )
     u = l.unionByName(r, allowMissingColumns=True)
     w = (

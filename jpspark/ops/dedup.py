@@ -573,9 +573,12 @@ def connected_components(
     clusters are tiny-diameter, so 2-4 rounds in practice).
 
     Driver involvement per round is ONE scalar (the changed-label
-    count); labels persist between rounds and the lineage is cut with a
-    local checkpoint every few rounds, so the plan stays bounded at any
-    scale. Returns (node, component) with component = min reachable
+    count); each round's label frame is fully materialized into the
+    cache before the previous round's cache is released, so execution
+    never re-walks the chain of rounds (the logical plan still grows
+    linearly with rounds — analysis-time only, bounded by max_rounds;
+    a checkpoint would cut it but its cache handle cannot be released
+    deterministically, a worse trade at convergence depths of 2-10). Returns (node, component) with component = min reachable
     node id; nodes are the edge endpoints (callers left-join their full
     id set and coalesce singletons to themselves).
     """
@@ -624,8 +627,6 @@ def connected_components(
             )
             .persist()
         )
-        if rnd % 4 == 3:
-            jumped = jumped.localCheckpoint(eager=False)
         # convergence probe via ONE full aggregate: it must scan every
         # partition so the ENTIRE frame lands in the cache before the
         # parent is unpersisted below — a short-circuit probe (isEmpty)
@@ -649,3 +650,23 @@ def connected_components(
     sym.unpersist()
     # the final round's cache (pinned) backs the returned frame
     return labels.select("node", F.col("label").alias("component"))
+
+
+def chunk_documents(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", width: int = 10
+) -> DataFrame:
+    """Cut each document into consecutive ``width``-word chunks — the
+    deterministic "line" unit of CCNet/C4-style sub-document dedup.
+    Pure Column algebra (split/sequence/transform/slice — whole-stage
+    codegen, no Python). Returns (id, pos, chunk); empty/whitespace text
+    yields one empty chunk (the [''] split convention every text oracle
+    in this engine shares)."""
+    base = docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("ws")
+    )
+    n_chunks = F.expr(f"CAST(ceil(size(ws) / {width}.0) AS INT)")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(F.col("ws"), i * width + 1, width), " "),
+    )
+    return base.select(F.col(id_col), F.posexplode(chunks).alias("pos", "chunk"))

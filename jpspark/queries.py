@@ -2086,15 +2086,7 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     no extra shuffle). Oracle: identical chunking in SQL, string_agg
     ORDER BY pos — reassembled text compared as exact strings."""
     docs = _t(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
-    )
-    n_chunks = F.expr("CAST(ceil(size(ws) / 10.0) AS INT)")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(F.col("ws"), i * 10 + 1, 10), " "),
-    )
-    cl = base.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+    cl = dedup.chunk_documents(docs, width=10)
     freq = cl.groupBy("chunk").agg(F.count("*").alias("cnt"))
     kept = cl.join(freq, "chunk").filter(F.col("cnt") < 2)
     reassembled = kept.groupBy("doc_id").agg(

@@ -27,7 +27,11 @@ def _sql_literal(v) -> str:
         return "TRUE" if v else "FALSE"
     if isinstance(v, (int, float)):
         return repr(v)
-    return "'" + str(v).replace("'", "''") + "'"
+    # Spark's lexer honors BOTH backslash escapes and '' doubling inside
+    # single-quoted strings, so backslashes must be doubled FIRST —
+    # otherwise a value ending in \ eats the closing quote and a crafted
+    # \' prefix re-opens the string (live injection)
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def _sql_predicate(col: str, op: str, value) -> str:

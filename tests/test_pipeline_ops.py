@@ -373,6 +373,9 @@ def test_asof_join_backward_semantics(spark):
             (101, 10, T(2), 6.0),   # same ts, greater id -> wins the tie
             (102, 10, T(4), 7.0),   # latest <= T(5) for event 1
             (103, 20, T(6), 8.0),   # AFTER event 3 -> no match for key 20
+            (104, 30, None, 9.0),   # NULL ts matches NOTHING (t <= ts is
+                                    # never true) — must not become the
+                                    # "earliest" row via NULLS FIRST
         ],
         ["oid", "k", "t", "v"],
     )

@@ -877,3 +877,27 @@ def test_update_where_partial_copy_on_write(spark, tmp_path):
     assert back.filter(F.col("id") >= 900).filter(F.col("v") == -1).count() == 100
     assert back.filter((F.col("id") < 900) & (F.col("v") != F.col("id") * 2)).count() == 0
     assert mf.read_snapshot(spark, out, version=1).filter(F.col("v") == -1).count() == 0
+
+
+def test_vacuum_sweeps_loser_attempt_shards(spark, tmp_path):
+    """Round-4 review: a losing commit attempt writes its shard files
+    before the exclusive root create fails; vacuum must sweep shards no
+    root references (past the grace window) while keeping every kept
+    root's shards."""
+    store = mf.LocalStorage()
+    out_dir = str(tmp_path / "shards")
+    mf.write_checkpointed(
+        spark.range(100).withColumn("v", F.lit(1)), out_dir,
+        num_partitions=4, shard_size=2,  # forces sharded manifests
+    )
+    live = mf.load_manifest(out_dir)
+    assert live["partitions"] and len(live["partitions"]) == 4
+    # a loser attempt's orphan shard (content-addressed key, no root)
+    orphan = f"{mf.MANIFESTS_DIR}/manifest-000002-shard-0000-deadbeef0000.json"
+    store.put_text(out_dir, orphan, '{"partitions": {}}')
+    res = mf.vacuum(out_dir, keep_last=1)  # default grace: too young
+    assert store.exists(out_dir, orphan)
+    mf.vacuum(out_dir, keep_last=1, grace_seconds=0)
+    assert not store.exists(out_dir, orphan)
+    # the kept root's shards survive and the table still reads
+    assert mf.read_snapshot(spark, out_dir).count() == 100

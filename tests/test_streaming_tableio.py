@@ -180,6 +180,14 @@ def test_sql_predicate_rendering():
         == "name = 'x'' OR ''1''=''1'"
     )
     assert _sql_predicate("v", ">=", 2.5) == "v >= 2.5"
+    # Spark's lexer honors backslash escapes: \ doubles first, so a
+    # trailing backslash can't eat the closing quote and \' can't
+    # re-open the string (round-4 review finding)
+    assert _sql_predicate("name", "=", "a\\") == "name = 'a\\\\'"
+    assert (
+        _sql_predicate("name", "=", "\\' OR 1=1 --")
+        == "name = '\\\\'' OR 1=1 --'"
+    )
     assert _sql_predicate("b", "=", True) == "b = TRUE"
     assert _sql_predicate("n", "=", None) == "n = NULL"
     import pytest as _pt
