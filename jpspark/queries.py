@@ -589,6 +589,36 @@ def o_percentiles() -> str:
     """
 
 
+def q_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE over (returnflag, linestatus): all four grouping sets —
+    per pair, per flag, per status, grand total — in ONE pass (Catalyst
+    expands the sets into a single shuffle with an internal grouping-id
+    column; 2^k set expansion is planner work, not extra scans).
+    Completes the grouping-sets family next to ROLLUP. NULL keys aliased
+    to sentinels as in rollup_summary so the value-hash is total."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+    return out.select(
+        F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("flag"),
+        F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("status"),
+        "n_rows",
+        "sum_qty",
+    )
+
+
+def o_cube_summary() -> str:
+    return """
+    SELECT COALESCE(l_returnflag, '<all>') AS flag,
+           COALESCE(l_linestatus, '<all>') AS status,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+
+
 def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe percentiles (round-3 VERDICT task #4): the exact
     ``percentile`` aggregate buffers every group's values in executor
@@ -3685,7 +3715,6 @@ QUERIES = {
     # 70+-query scripts/check_oracle.py gate. ----
     # geo core (the engine's raison d'être)
     "geo_pip_join": q_geo_pip_join,
-    "geo_pip_assign": q_geo_pip_assign,
     "geo_knn": q_geo_knn,
     "geo_tile_assign": q_geo_tile_assign,
     "geo_dissolve": q_geo_dissolve,
@@ -3709,6 +3738,7 @@ QUERIES = {
     # OLAP aggregates
     "percentiles": q_percentiles,
     "rollup_summary": q_rollup_summary,
+    "cube_summary": q_cube_summary,
     # training-data pipeline: dedup + ANN
     "chunk_dedup": q_chunk_dedup,
     "length_quantile_filter": q_length_quantile_filter,
@@ -3744,6 +3774,7 @@ QUERIES = {
     "knn_flag_guard": q_knn_flag_guard,
     # ---- end of driver-gate window (50) ----
     # shuffle/scaled twins of driver-signed broadcast queries
+    "geo_pip_assign": q_geo_pip_assign,
     "geo_pip_shuffle": q_geo_pip_shuffle,
     "geo_knn_shuffle": q_geo_knn_shuffle,
     "geo_knn_scaled": q_geo_knn_scaled,
@@ -3880,4 +3911,5 @@ def _build_oracles() -> dict[str, str]:
     "percentiles_approx": o_percentiles_approx(),
     "knn_flag_guard": o_knn_flag_guard(),
     "rollup_summary": o_rollup_summary(),
+    "cube_summary": o_cube_summary(),
     }
