@@ -2335,6 +2335,73 @@ def o_approx_distinct() -> str:
     """
 
 
+def q_cluster_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster embedding centroid — the representation step after
+    dedup cluster resolution (each near-dup group gets one vector for
+    downstream ANN/retrieval). Composes connected components with the
+    embeddings table (doc_id == vec_id on this corpus): clusters with
+    >= 2 members, element-wise mean over the 64-dim float vectors via
+    posexplode + two keyed aggregations (dim-wise avg, then norm) — the
+    plan shape that scales: the exchange carries (cluster, dim, value)
+    triples, never whole matrices. Output hashes the centroid's rounded
+    L2 norm (float sums are order-free only to ~1 ulp; round(6) absorbs
+    engine summation order)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    sigs = dedup.minhash_signatures(docs, k=64).persist()
+    cand = dedup.minhash_lsh_pairs(sigs, bands=16, rows_per_band=4, min_jaccard_est=0.0)
+    pairs = dedup.ngram_jaccard_pairs(docs, cand.select("id_a", "id_b"), min_jaccard=0.7)
+    cc = dedup.connected_components(pairs, "id_a", "id_b")
+    members = cc.select(F.col("component").alias("cluster_id"), F.col("node").alias("vec_id"))
+    dims = (
+        members.join(emb, "vec_id")
+        .select("cluster_id", F.posexplode(F.col("embedding")).alias("pos", "x"))
+        .withColumn("x", F.col("x").cast("double"))
+    )
+    cent = dims.groupBy("cluster_id", "pos").agg(F.avg("x").alias("cx"))
+    norm = cent.groupBy("cluster_id").agg(
+        F.round(F.sqrt(F.sum(F.col("cx") * F.col("cx"))), 6).alias("centroid_norm")
+    )
+    counts = members.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return norm.join(counts, "cluster_id").select("cluster_id", "n_members", "centroid_norm")
+
+
+def o_cluster_centroid() -> str:
+    # clusters from the recursive-CTE closure (members >= 2 only, since
+    # CC nodes are edge endpoints), dims zipped via parallel unnest
+    return r"""
+    WITH RECURSIVE w AS (SELECT doc_id, CASE WHEN trim(text)='' THEN ['']
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS ws FROM documents),
+    g AS (SELECT doc_id,
+            CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                 ELSE list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws)-1)])
+            END AS grams FROM w),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM g a JOIN g b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.7),
+    e AS (SELECT id_a AS s, id_b AS d FROM p UNION ALL SELECT id_b AS s, id_a AS d FROM p),
+    r AS (
+      SELECT doc_id AS node, doc_id AS lab FROM documents
+      WHERE doc_id IN (SELECT s FROM e)
+      UNION
+      SELECT e.d AS node, r.lab FROM r JOIN e ON e.s = r.node
+    ),
+    members AS (SELECT node AS vec_id, min(lab) AS cluster_id FROM r GROUP BY node),
+    dims AS (
+      SELECT m.cluster_id,
+             unnest(generate_series(1, len(em.embedding))) AS pos,
+             CAST(unnest(em.embedding) AS DOUBLE) AS x
+      FROM members m JOIN embeddings em ON em.vec_id = m.vec_id
+    ),
+    cent AS (SELECT cluster_id, pos, avg(x) AS cx FROM dims GROUP BY 1, 2)
+    SELECT c.cluster_id,
+           (SELECT count(*) FROM members m2 WHERE m2.cluster_id = c.cluster_id) AS n_members,
+           round(sqrt(sum(cx * cx)), 6) AS centroid_norm
+    FROM cent c GROUP BY c.cluster_id
+    """
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum downsampling — the training-data
     "rebalance the corpus" op (cap each language at K docs). The sample
@@ -3808,6 +3875,7 @@ QUERIES = {
     "a40_ranges": q_a40_ranges,
     "simhash_pairs": q_simhash_pairs,
     "audio_probe": q_audio_probe,
+    "cluster_centroid": q_cluster_centroid,
     # exact/brute twins of the LSH/IVF queries above (driver-signed r3)
     "embedding_neardup": q_embedding_neardup,
     "ann_topk": q_ann_topk,
@@ -3871,6 +3939,7 @@ def _build_oracles() -> dict[str, str]:
     "minhash_verified_pairs": o_minhash_verified_pairs(),
     "dedup_cluster_keep": o_dedup_cluster_keep(),
     "geo_image_pipeline": o_geo_image_pipeline(),
+    "cluster_centroid": o_cluster_centroid(),
     "stratified_sample": o_stratified_sample(),
     "chunk_dedup": o_chunk_dedup(),
     "length_quantile_filter": o_length_quantile_filter(),
