@@ -291,10 +291,7 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
     # round 4: connected components on a 2M-node near-dup-shaped graph
     # (200k star clusters of 10 — the shape LSH-verified pair sets
     # actually have: mutually-similar members all pair with the cluster
-    # min, so propagation converges in ~3 rounds). The adversarial
-    # long-chain case (O(log n) rounds via pointer jumping) is covered
-    # by pytest and costed in DESIGN.md §5b; a chain benchmark would
-    # measure round COUNT, not per-round throughput.
+    # min, so propagation converges in ~3 rounds).
     def cc_fn():
         stars = spark.range(2_000_000).select(
             F.col("id").alias("id_a"), (F.col("id") - F.pmod(F.col("id"), F.lit(10))).alias("id_b")
@@ -304,6 +301,28 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
 
     timed("connected_components", cc_fn, timings)
     extras["cc_nodes_per_sec"] = round(2_000_000 / timings["connected_components"], 1)
+    extras["cc_star_rounds"] = dd.CC_LAST_ROUNDS
+
+    # round 5: the adversarial LONG-CHAIN case at real bench depth —
+    # 2M nodes as 15,625 disjoint 128-node paths (diameter 127, ~10
+    # pointer-jump rounds), so round COUNT x per-round cost is measured,
+    # not assumed. Exercises the lineage-cut path (parquet cut every 2
+    # rounds) that keeps Catalyst analysis time flat.
+    def cc_chain_fn():
+        # ids laid out path-major: edge i -> i+1 unless i ends a path
+        ids = spark.range(2_000_000)
+        chain = (
+            ids.filter(F.pmod(F.col("id"), F.lit(128)) != 127)
+            .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        )
+        cc = dd.connected_components(chain, max_rounds=30)
+        out = cc.agg(F.countDistinct("component").alias("n")).collect()
+        assert out[0][0] == 15_625, out
+        return out
+
+    timed("cc_chain_d127", cc_chain_fn, timings)
+    extras["cc_chain_nodes_per_sec"] = round(2_000_000 / timings["cc_chain_d127"], 1)
+    extras["cc_chain_rounds"] = dd.CC_LAST_ROUNDS
 
     # --- relational + training-data headliners from the registry
     # (minhash_verified_pairs = the full dedup pipeline: signatures ->

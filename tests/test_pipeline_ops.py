@@ -342,6 +342,45 @@ def test_connected_components_chain_and_islands(spark):
     assert len(cc) == 17  # only edge endpoints appear
 
 
+def test_connected_components_lineage_cut_bounded_plan(spark):
+    """Scale guard for deep graphs: a 130-node path needs ~9 pointer-jump
+    rounds; without the lineage cut the logical plan grows with every
+    round and Catalyst analysis becomes the bottleneck (a depth-3 run
+    already EXPLAINs to ~47k lines, and the pointer-jump self-join
+    DOUBLES the plan per round). With the default cut interval the
+    returned frame's plan must be bounded — at most interval rounds on
+    top of a flat parquet scan — and exactly ONE spill dir may stay
+    live (superseded cuts deleted eagerly), with no cache-handle leak."""
+    import os
+
+    from jpspark.ops.dedup import _CC_CUT_DIRS
+
+    n = 130
+    chain = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(n - 1)]
+    edges = spark.createDataFrame(chain, ["id_a", "id_b"])
+
+    def n_cached():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    cached0 = n_cached()
+    dirs0 = set(_CC_CUT_DIRS)
+    cc = dedup.connected_components(edges)
+    plan = cc._jdf.queryExecution().analyzed().toString()
+    got = cc.toPandas().set_index("node")["component"]
+    assert len(got) == n and all(got[f"c{i:03d}"] == "c000" for i in range(n))
+    # bounded plan: a NO-cut run at this depth is O(rounds) joins deep
+    # (hundreds of thousands of chars); the cut keeps it to <= interval
+    # rounds over a LogicalRDD/scan leaf
+    assert len(plan) < 60_000, f"plan not cut: {len(plan)} chars"
+    live = set(_CC_CUT_DIRS) - dirs0
+    assert len(live) == 1  # superseded cut dirs were deleted in-loop
+    assert all(os.path.isdir(d) for d in live)
+    # cache hygiene: only the final label frame stays pinned (backs the
+    # returned rows); every per-round and per-cut handle was released
+    assert n_cached() - cached0 <= 1
+    cc.unpersist()
+
+
 def test_connected_components_convergence_guard(spark):
     """max_rounds=0-ish budget must raise loudly, not return partial
     labels (a silent under-propagated clustering would merge nothing)."""
