@@ -317,7 +317,6 @@ class MemoryStorage:
         self._addr = self._mgr.address
         self._authkey = bytes(self._mgr._authkey)
         self._d = self._mgr.get_dict()  # key -> (nonce, mtime, bytes)
-        self._n = 0
 
     # ship only (address, authkey); each process reconnects its own client
     def __getstate__(self):
@@ -327,7 +326,6 @@ class MemoryStorage:
         self.__dict__.update(state)
         self._mgr = None
         self._d = None
-        self._n = 0
 
     def _dict(self):
         if self._d is None:
@@ -347,8 +345,13 @@ class MemoryStorage:
         return f"{root}/{key}".replace("//", "/")
 
     def _nonce(self) -> bytes:
-        self._n += 1
-        return f"{os.getpid()}-{id(self)}-{self._n}".encode()
+        # os.urandom, not (pid, id(self), counter): after unpickling in a
+        # reused executor process id(self) can be recycled and the counter
+        # restarts, so two handles could emit identical nonces and the
+        # put_text_new winner check would misreport a losing racer as the
+        # commit winner — this token is what the whole OCC protocol
+        # arbitrates on (round-4 ADVICE).
+        return os.urandom(16)
 
     def _put(self, root: str, key: str, data: bytes) -> None:
         self._dict()[self._k(root, key)] = (self._nonce(), time.time(), data)
@@ -736,6 +739,12 @@ def _publish_pointer(store, out_dir: str, version: int, body: str) -> None:
         if t is None:
             return
         cur_v, cur_body = h2, t
+    # 64 laps of strictly-advancing contention exhausted: write the newest
+    # root we know rather than falling off silently — a final
+    # last-writer-wins put can at worst be superseded by an even newer
+    # committer (who will republish), never leave the pointer stale with
+    # no writer responsible for it (round-4 ADVICE).
+    store.put_text(out_dir, MANIFEST_NAME, cur_body)
 
 
 def _try_commit(store, out_dir: str, manifest: dict, shard_size: int | None = None) -> bool:
@@ -1157,7 +1166,7 @@ def scan_bbox(
     return df, report
 
 
-def delete_where(spark, out_dir: str, filters, storage=None) -> dict:
+def delete_where(spark, out_dir: str, filters, storage=None, shard_size: int = 8192) -> dict:
     """Row-level DELETE, Iceberg copy-on-write style with FILE-LEVEL
     pruning: part files whose column stats prove no row matches the
     predicate conjunction carry over into the new snapshot BY REFERENCE
@@ -1176,7 +1185,7 @@ def delete_where(spark, out_dir: str, filters, storage=None) -> dict:
     {files_total, files_rewritten, rows_before, rows_deleted}."""
     store = storage or LocalStorage()
     for _attempt in range(8):
-        manifest = _delete_where_once(spark, out_dir, filters, store)
+        manifest = _delete_where_once(spark, out_dir, filters, store, shard_size)
         if manifest is not None:
             return manifest
     raise RuntimeError(
@@ -1184,7 +1193,7 @@ def delete_where(spark, out_dir: str, filters, storage=None) -> dict:
     )
 
 
-def _delete_where_once(spark, out_dir: str, filters, store) -> dict | None:
+def _delete_where_once(spark, out_dir: str, filters, store, shard_size: int) -> dict | None:
     from pyspark.sql import functions as F
 
     prior = _load_committed(store, out_dir)
@@ -1272,10 +1281,13 @@ def _delete_where_once(spark, out_dir: str, filters, store) -> dict | None:
         "delete_report": report,
     }
     # conflict => None: the caller retries the whole CoW pass on the new base
-    return manifest if _try_commit(store, out_dir, manifest) else None
+    # shard_size threaded through (round-4 ADVICE): a DML rewrite of a
+    # sharded-manifest table must not inline 10^5-10^6 partitions back
+    # into a single root JSON
+    return manifest if _try_commit(store, out_dir, manifest, shard_size=shard_size) else None
 
 
-def update_where(spark, out_dir: str, filters, set_exprs: dict, storage=None) -> dict:
+def update_where(spark, out_dir: str, filters, set_exprs: dict, storage=None, shard_size: int = 8192) -> dict:
     """Row-level UPDATE, same copy-on-write machinery as
     :func:`delete_where`: files whose stats exclude the predicate carry
     over by reference; affected files are read once and rewritten with
@@ -1284,7 +1296,7 @@ def update_where(spark, out_dir: str, filters, set_exprs: dict, storage=None) ->
     next to write (insert/overwrite), merge_upsert, and delete_where."""
     store = storage or LocalStorage()
     for _attempt in range(8):
-        manifest = _update_where_once(spark, out_dir, filters, set_exprs, store)
+        manifest = _update_where_once(spark, out_dir, filters, set_exprs, store, shard_size)
         if manifest is not None:
             return manifest
     raise RuntimeError(
@@ -1292,7 +1304,7 @@ def update_where(spark, out_dir: str, filters, set_exprs: dict, storage=None) ->
     )
 
 
-def _update_where_once(spark, out_dir: str, filters, set_exprs: dict, store) -> dict | None:
+def _update_where_once(spark, out_dir: str, filters, set_exprs: dict, store, shard_size: int) -> dict | None:
     from pyspark.sql import Column
     from pyspark.sql import functions as F
 
@@ -1374,7 +1386,10 @@ def _update_where_once(spark, out_dir: str, filters, set_exprs: dict, store) -> 
         "update_report": report,
     }
     # conflict => None: the caller retries the whole CoW pass on the new base
-    return manifest if _try_commit(store, out_dir, manifest) else None
+    # shard_size threaded through (round-4 ADVICE): a DML rewrite of a
+    # sharded-manifest table must not inline 10^5-10^6 partitions back
+    # into a single root JSON
+    return manifest if _try_commit(store, out_dir, manifest, shard_size=shard_size) else None
 
 
 def read_incremental(

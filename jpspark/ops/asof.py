@@ -42,6 +42,16 @@ def asof_join_backward(
     ``right_cols`` (null struct when the key has no prior right row).
     Output columns: every left column, then ``asof``."""
     left_cols = left.columns
+    # withColumn REPLACES an existing column silently: a left frame that
+    # already carries a working/output name would be clobbered (or emit a
+    # duplicate 'asof') and corrupt results with no error — refuse loudly
+    reserved = {"_k", "_t", "_side", "_rid", "_rrow", "asof"}
+    clash = reserved.intersection(left_cols).union(reserved.intersection(right.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join_backward: input columns {sorted(clash)} collide with "
+            f"reserved working/output names {sorted(reserved)}; rename them first"
+        )
     l = (
         left.withColumn("_k", F.col(left_on))
         .withColumn("_t", F.col(left_time))

@@ -3774,12 +3774,13 @@ def o_multimodal_curation() -> str:
 
 QUERIES = {
     # ---- driver gate window: the driver's correctness snapshot covers the
-    # FIRST 50 entries (CORRECTNESS_r03 stopped at entry 50), so this dict
-    # is ordered to put every operator surface in the window: geo core,
-    # streaming, relational, dedup/ANN, codecs, raster/MVT, DML, OLAP.
-    # Entries past 50 are near-duplicate twins / scalar functions that all
-    # carry driver-signed green rows from round 3 and stay in the full
-    # 70+-query scripts/check_oracle.py gate. ----
+    # FIRST 50 entries, so this dict is ordered to put every operator
+    # surface in the window: geo core, streaming, relational, dedup/ANN,
+    # codecs, raster/MVT, DML, OLAP. Window rule (round 5 on): every NEW
+    # query enters the window the round it lands, demoting a twin that
+    # already carries a driver-signed green row (each demotion notes which
+    # round signed it). Out-of-window entries stay covered by the full
+    # all-registry scripts/check_oracle.py gate. ----
     # geo core (the engine's raison d'être)
     "geo_pip_join": q_geo_pip_join,
     "geo_knn": q_geo_knn,
@@ -3803,14 +3804,12 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "bm25_score": q_bm25_score,
     # OLAP aggregates
-    "percentiles": q_percentiles,
     "rollup_summary": q_rollup_summary,
     "cube_summary": q_cube_summary,
     # training-data pipeline: dedup + ANN
     "chunk_dedup": q_chunk_dedup,
     "length_quantile_filter": q_length_quantile_filter,
     "dedup_exact": q_dedup_exact,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_verified_pairs": q_minhash_verified_pairs,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "phash_neardup": q_phash_neardup,
@@ -3832,19 +3831,28 @@ QUERIES = {
     "raster_band_math": q_raster_band_math,
     "tile_pyramid": q_tile_pyramid,
     "mvt_tiles": q_mvt_tiles,
-    "mvt_lines": q_mvt_lines,
     # Iceberg-style DML over the checkpointed manifest table
     "delete_snapshot": q_delete_snapshot,
     "spatial_prune_scan": q_spatial_prune_scan,
     # round-4 additions: scale-safe OLAP + the guard-contract gate
     "percentiles_approx": q_percentiles_approx,
     "knn_flag_guard": q_knn_flag_guard,
+    # round-5 window promotions (never driver-signed before this round);
+    # demoted to make room: minhash_lsh_pairs, mvt_lines, percentiles —
+    # each r4-signed with an in-window sibling covering the same surface
+    "geo_knn_scaled": q_geo_knn_scaled,
+    "audio_probe": q_audio_probe,
+    "cluster_centroid": q_cluster_centroid,
     # ---- end of driver-gate window (50) ----
     # shuffle/scaled twins of driver-signed broadcast queries
+    # (broadcast siblings in-window; these r3/r4-signed)
     "geo_pip_assign": q_geo_pip_assign,
     "geo_pip_shuffle": q_geo_pip_shuffle,
     "geo_knn_shuffle": q_geo_knn_shuffle,
-    "geo_knn_scaled": q_geo_knn_scaled,
+    # r4-signed twins demoted by the round-5 promotions above
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "mvt_lines": q_mvt_lines,
+    "percentiles": q_percentiles,
     # simple filters (driver-signed green in r3)
     "filter_neq": q_filter_neq,
     "filter_isin": q_filter_isin,
@@ -3874,8 +3882,6 @@ QUERIES = {
     "fk_broadcast_join": q_fk_broadcast_join,
     "a40_ranges": q_a40_ranges,
     "simhash_pairs": q_simhash_pairs,
-    "audio_probe": q_audio_probe,
-    "cluster_centroid": q_cluster_centroid,
     # exact/brute twins of the LSH/IVF queries above (driver-signed r3)
     "embedding_neardup": q_embedding_neardup,
     "ann_topk": q_ann_topk,

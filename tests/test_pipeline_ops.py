@@ -392,6 +392,22 @@ def test_connected_components_convergence_guard(spark):
     assert set(cc["component"]) == {"a"}
 
 
+def test_asof_join_reserved_column_guard(spark):
+    """Round-4 ADVICE: inputs that already carry a working/output name
+    (_k/_t/_side/_rid/_rrow/asof) would be silently clobbered by
+    withColumn — the operator must refuse loudly instead."""
+    from jpspark.ops import asof
+
+    left = spark.createDataFrame([(1, 10, "x")], ["k", "ts", "asof"])
+    right = spark.createDataFrame([(1, 5, 100)], ["k", "ts", "rid"])
+    with pytest.raises(ValueError, match="asof"):
+        asof.asof_join_backward(left, right, "k", "k", "ts", "ts", "rid", ["rid"])
+    r2 = right.withColumnRenamed("rid", "_side")
+    l2 = left.withColumnRenamed("asof", "val")
+    with pytest.raises(ValueError, match="_side"):
+        asof.asof_join_backward(l2, r2, "k", "k", "ts", "ts", "_side", ["_side"])
+
+
 def test_asof_join_backward_semantics(spark):
     """As-of join contract: latest right row with t <= left t; equal
     timestamps count (right sorts before left); ties at equal time go to

@@ -901,3 +901,76 @@ def test_vacuum_sweeps_loser_attempt_shards(spark, tmp_path):
     assert not store.exists(out_dir, orphan)
     # the kept root's shards survive and the table still reads
     assert mf.read_snapshot(spark, out_dir).count() == 100
+
+
+def test_dml_preserves_sharded_manifest(spark, tmp_path):
+    """Round-4 ADVICE: delete_where/update_where on a table whose
+    manifest is sharded must re-shard the rewritten partition map, not
+    inline 10^5-10^6 entries back into a single root JSON (which would
+    regress the manifest-of-manifests scaling property)."""
+    import json
+
+    store = mf.LocalStorage()
+    out_dir = str(tmp_path / "dml_sharded")
+    df = spark.range(600).withColumn("v", F.col("id") * 5)
+    mf.write_checkpointed(df, out_dir, num_partitions=12, shard_size=5)
+    m = mf.delete_where(spark, out_dir, [("id", "<", 100)], shard_size=5)
+    assert m["total_rows"] == 500
+    root = json.loads(store.get_text(out_dir, mf.MANIFEST_NAME))
+    assert root["partitions"] == {} and len(root["partition_shards"]) >= 2
+    m2 = mf.update_where(
+        spark, out_dir, [("id", ">=", 500)], {"v": F.lit(0)}, shard_size=5
+    )
+    root2 = json.loads(store.get_text(out_dir, mf.MANIFEST_NAME))
+    assert root2["partitions"] == {} and len(root2["partition_shards"]) >= 2
+    back = mf.read_snapshot(spark, out_dir)
+    assert back.count() == 500
+    assert back.filter(F.col("v") == 0).count() == 100
+
+
+def test_memory_storage_nonce_unique_after_unpickle():
+    """Round-4 ADVICE: the OCC winner token must not collide after a
+    storage handle is unpickled in a reused executor process (pid +
+    id(self) + restarting counter could repeat); urandom nonces cannot."""
+    import pickle
+
+    ms = mf.MemoryStorage()
+    try:
+        clones = [pickle.loads(pickle.dumps(ms)) for _ in range(3)]
+        nonces = [h._nonce() for h in [ms, *clones] for _ in range(16)]
+        assert len(set(nonces)) == len(nonces)
+        assert all(isinstance(n, bytes) and len(n) == 16 for n in nonces)
+    finally:
+        ms.shutdown()
+
+
+def test_publish_pointer_contention_writes_final_body():
+    """Round-4 ADVICE: under pathological contention (a newer committed
+    root appears on every lap) _publish_pointer must still leave the
+    live pointer naming the newest root it saw — never fall off the
+    loop leaving a stale pointer with no writer responsible for it."""
+
+    class ContendedStore:
+        def __init__(self):
+            self.v = 1
+            self.pointer = None
+            self.pointer_writes = 0
+
+        def list(self, root, prefix):
+            self.v += 1  # a rival commits between every two observations
+            return [f"{mf.MANIFESTS_DIR}/manifest-{self.v:06d}.json"]
+
+        def get_text(self, root, key):
+            return '{"version": %d}' % int(key.split("-")[1].split(".")[0])
+
+        def put_text(self, root, key, text):
+            assert key == mf.MANIFEST_NAME
+            self.pointer = text
+            self.pointer_writes += 1
+
+    st = ContendedStore()
+    mf._publish_pointer(st, "/t", 1, '{"version": 1}')
+    assert st.pointer is not None
+    import json
+
+    assert json.loads(st.pointer)["version"] >= st.v - 1
