@@ -58,13 +58,22 @@ def main():
         (
             "shuffle_unsalted",
             lambda: sj.pip_join_shuffle(
-                pts, polys_sdf, "全国地方公共団体コード", point_id_col="point_id", salt_cells=1
+                pts, polys_sdf, "全国地方公共団体コード", point_id_col="point_id",
+                salt_cells=1, settled_cells=None,
             ),
         ),
         (
             "shuffle_salted_x8",
             lambda: sj.pip_join_shuffle(
-                pts, polys_sdf, "全国地方公共団体コード", point_id_col="point_id", salt_cells=8
+                pts, polys_sdf, "全国地方公共団体コード", point_id_col="point_id",
+                salt_cells=8, settled_cells=None,
+            ),
+        ),
+        (
+            "shuffle_salted_x8_settled",
+            lambda: sj.pip_join_shuffle(
+                pts, polys_sdf, "全国地方公共団体コード", point_id_col="point_id",
+                salt_cells=8,  # settled grid on (the round-5 default)
             ),
         ),
         (
@@ -89,20 +98,25 @@ def main():
         "",
         f"{n:,} points, {int(HOT_FRAC*100)}% concentrated in one municipality's",
         "cell (the Tokyo scenario); 500 detailed municipalities; local[32],",
-        "AQE + skewJoin enabled; min-of-2 timings. All three strategies return",
+        "AQE + skewJoin enabled; min-of-2 timings. All four strategies return",
         f"identical row counts ({expected:,}).",
         "",
         "| strategy | time (s) | notes |",
         "|---|---|---|",
         f"| pip_join_shuffle, no salt | {results['shuffle_unsalted'][0]:.2f} | hot cell -> one reducer's candidate pairs dominate |",
-        f"| pip_join_shuffle, salt x8 | {results['shuffle_salted_x8'][0]:.2f} | hot cell's pairs split across 8 reducers |",
+        f"| pip_join_shuffle, salt x8, exact-only | {results['shuffle_salted_x8'][0]:.2f} | hot cell's pairs split across 8 reducers |",
+        f"| pip_join_shuffle, salt x8 + settled grid | {results['shuffle_salted_x8_settled'][0]:.2f} | per-polygon interior-cell grid on hot groups (round-5 default) |",
         f"| pip_join_broadcast | {results['broadcast'][0]:.2f} | skew-immune: no shuffle, map-side only |",
         "",
         "Salting replicates the exploded polygon side per salt value and",
         "routes points by crc32(point_id) % n_salt, so the hot cell's exact-",
         "PIP work parallelizes; AQE skew-join additionally splits oversized",
-        "post-shuffle partitions. The broadcast path remains the preferred",
-        "plan whenever the polygon side fits executor memory.",
+        "post-shuffle partitions. The settled row adds the broadcast path's",
+        "interior-cell shortcut to the shuffle kernel: groups with >= 4096",
+        "candidates build a single-polygon settled grid and resolve interior",
+        "points by gather, so only boundary-cell points ray-cast — the plan a",
+        "non-broadcastable 100-TB polygon side must take. The broadcast path",
+        "remains preferred whenever the polygon side fits executor memory.",
     ]
     with open(os.path.join(REPO, "BENCH", "SKEW.md"), "w") as f:
         f.write("\n".join(md) + "\n")

@@ -481,6 +481,8 @@ def pip_join_shuffle(
     res: int = DEFAULT_RES,
     point_id_col: str = "image_id",
     salt_cells: int = 1,
+    settled_cells: int | None = 65_536,
+    settled_min_points: int = 4_096,
 ) -> DataFrame:
     """Fully distributed PIP join for a non-broadcastable polygon side.
 
@@ -491,6 +493,18 @@ def pip_join_shuffle(
     group, geometry deserialized once per (polygon, salt) group rather
     than shuffled once per candidate pair. Salting splits one hot
     polygon's candidates across ``salt_cells`` groups.
+
+    ``settled_cells``/``settled_min_points``: the interior-cell fast path
+    the broadcast strategy uses, ported to the shuffle path (round-4
+    VERDICT #6). A group holds ONE polygon and its candidates, so the
+    kernel builds a single-polygon :class:`PolygonIndex` (per-polygon-bbox
+    settled grid, <= ``settled_cells`` cells) whenever the group carries
+    at least ``settled_min_points`` candidates — exactly the hot
+    Tokyo/Osaka groups where skew concentrates — and resolves
+    settled-cell points by one gather; only boundary-cell points pay the
+    ray-cast. Bit-identical to the exact kernel by the same construction
+    the broadcast path proves. Small groups skip the grid build
+    (``settled_cells=None`` disables it everywhere).
     """
     pts = attach_cell(points.select(point_id_col, lon, lat), lon, lat, res)
     pol_cells = explode_polygons_to_cells(
@@ -521,8 +535,16 @@ def pip_join_shuffle(
     def refine(cand_pdf: pd.DataFrame, geo_pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(cand_pdf) or not len(geo_pdf):
             return pd.DataFrame({f.name: pd.Series(dtype=object) for f in out_schema.fields})
-        prepared = pip.PreparedPolygon(wkb.parse_multipolygon(bytes(geo_pdf[geom_col].iloc[0])))
-        hit = prepared.contains(cand_pdf[lon].to_numpy(), cand_pdf[lat].to_numpy())
+        px = cand_pdf[lon].to_numpy()
+        py = cand_pdf[lat].to_numpy()
+        geom = bytes(geo_pdf[geom_col].iloc[0])
+        if settled_cells and len(cand_pdf) >= settled_min_points:
+            # hot-group fast path: single-polygon settled grid; the group
+            # IS one polygon, so first-wins == independent containment
+            idx = PolygonIndex([0], [geom], res, settled_cells=settled_cells)
+            hit = idx.assign_ordinals(px, py) >= 0
+        else:
+            hit = pip.PreparedPolygon(wkb.parse_multipolygon(geom)).contains(px, py)
         out = cand_pdf.loc[hit, [point_id_col, lon, lat]].copy()
         out["poly_id"] = geo_pdf["__pid"].iloc[0]
         return out

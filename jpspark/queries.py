@@ -619,6 +619,51 @@ def o_cube_summary() -> str:
     """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARBITRARY grouping sets — ((flag,status),(flag),(status)): a CUBE
+    minus its grand total, expressible as neither ROLLUP nor CUBE —
+    completing the grouping family (round-4 VERDICT #7). Uses the
+    DataFrame ``groupingSets`` API (Spark 4): like CUBE/ROLLUP, Catalyst
+    expands the requested sets inside ONE aggregate over one shuffle —
+    set selection is planner work, not extra scans, so pruning unneeded
+    sets (vs CUBE's full 2^k) is a direct shuffle-volume win at scale.
+    Per-column GROUPING flags disambiguate subtotal NULLs from data
+    NULLs — the flags are part of the output contract and hash-compared
+    against DuckDB's GROUPING()."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"]],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+    return out.select(
+        F.coalesce(F.col("l_returnflag"), F.lit("<all>")).alias("flag"),
+        F.coalesce(F.col("l_linestatus"), F.lit("<all>")).alias("status"),
+        "g_flag",
+        "g_status",
+        "n_rows",
+        "sum_qty",
+    )
+
+
+def o_grouping_sets() -> str:
+    return """
+    SELECT COALESCE(l_returnflag, '<all>') AS flag,
+           COALESCE(l_linestatus, '<all>') AS status,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+    """
+
+
 def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe percentiles (round-3 VERDICT task #4): the exact
     ``percentile`` aggregate buffers every group's values in executor
@@ -3803,9 +3848,10 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "stratified_sample": q_stratified_sample,
     "bm25_score": q_bm25_score,
-    # OLAP aggregates
-    "rollup_summary": q_rollup_summary,
+    # OLAP aggregates (rollup_summary demoted r5 — r4-signed; cube_summary
+    # and the new arbitrary grouping_sets cover the family in-window)
     "cube_summary": q_cube_summary,
+    "grouping_sets": q_grouping_sets,
     # training-data pipeline: dedup + ANN
     "chunk_dedup": q_chunk_dedup,
     "length_quantile_filter": q_length_quantile_filter,
@@ -3853,6 +3899,7 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "mvt_lines": q_mvt_lines,
     "percentiles": q_percentiles,
+    "rollup_summary": q_rollup_summary,
     # simple filters (driver-signed green in r3)
     "filter_neq": q_filter_neq,
     "filter_isin": q_filter_isin,
@@ -3986,5 +4033,6 @@ def _build_oracles() -> dict[str, str]:
     "percentiles_approx": o_percentiles_approx(),
     "knn_flag_guard": o_knn_flag_guard(),
     "rollup_summary": o_rollup_summary(),
+    "grouping_sets": o_grouping_sets(),
     "cube_summary": o_cube_summary(),
     }

@@ -24,6 +24,7 @@ def stream_ingest(
     schema: T.StructType,
     checkpoint_dir: str | None = None,
     transform=None,
+    post_commit_hook=None,
 ):
     """Watch ``source_dir`` for new parquet files; each micro-batch is
     (optionally transformed and) appended via the per-partition manifest
@@ -35,7 +36,16 @@ def stream_ingest(
     our manifest (partition fingerprints) — a replayed micro-batch
     re-writes deterministically into its own epoch directory, so replays
     overwrite rather than duplicate (idempotent sink, the foreachBatch
-    contract)."""
+    contract).
+
+    ``post_commit_hook(epoch_id, manifest)`` fires after each epoch's
+    manifest commit, BEFORE Spark records the batch as complete in the
+    streaming checkpoint — the per-epoch metrics/alerting seam, and the
+    crash window the exactly-once story must survive: a failure here (or
+    anywhere earlier) leaves the batch un-acknowledged, so a restart
+    REPLAYS it into the same epoch dir, where matching partition
+    fingerprints absorb the rewrite (see
+    tests/test_streaming_tableio.py kill-and-restart proof)."""
     from . import manifest as mf
 
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_stream_checkpoint")
@@ -43,7 +53,11 @@ def stream_ingest(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         df = transform(batch_df) if transform is not None else batch_df
         epoch_dir = os.path.join(out_dir, f"epoch={epoch_id:08d}")
-        mf.write_checkpointed(df, epoch_dir, lineage=f"stream epoch {epoch_id} from {source_dir}")
+        m = mf.write_checkpointed(
+            df, epoch_dir, lineage=f"stream epoch {epoch_id} from {source_dir}"
+        )
+        if post_commit_hook is not None:
+            post_commit_hook(epoch_id, m)
 
     stream = (
         spark.readStream.schema(schema)

@@ -704,12 +704,22 @@ def test_scan_nan_rows_not_pruned(spark, tmp_path):
     assert report["files_read"] < report["files_total"]  # all-NaN files pruned
 
 
-def test_memory_storage_commit_protocol(spark):
+@pytest.mark.parametrize("backend", ["memory", "http"])
+def test_non_posix_storage_commit_protocol(spark, backend):
     """The commit protocol on a store with NO filesystem: distributed
-    mapInPandas sinks write over a loopback KV server, commit/OCC/resume/
-    vacuum run unchanged, and the data reads back via Arrow. This is the
-    fsspec/S3-shaped proof the Storage seam promises."""
-    store = mf.MemoryStorage()
+    mapInPandas sinks write over a loopback server, commit/OCC/resume/
+    vacuum run unchanged, and the data reads back via Arrow. Proven on
+    TWO non-POSIX transports: the multiprocessing KV proxy
+    (MemoryStorage) and a real HTTP object store (HttpStorage — socket
+    framing, status-code errors, If-None-Match conditional PUT decided
+    server-side, exactly the S3 commit shape)."""
+    if backend == "memory":
+        server = store = mf.MemoryStorage()
+    else:
+        from jpspark.storage_http import HttpStoreServer
+
+        server = HttpStoreServer()
+        store = server.client()
     try:
         out_dir = "mem://tbl"
         m1 = mf.write_checkpointed(
@@ -752,7 +762,7 @@ def test_memory_storage_commit_protocol(spark):
         )
         assert total == m["total_rows"] == 120
     finally:
-        store.shutdown()
+        server.shutdown()
 
 
 # ------------------------------------------------- row-level delete (CoW)
@@ -974,3 +984,53 @@ def test_publish_pointer_contention_writes_final_body():
     import json
 
     assert json.loads(st.pointer)["version"] >= st.v - 1
+
+
+def test_http_storage_seam_primitives():
+    """HttpStorage contract details the protocol test doesn't isolate:
+    status-code mapping (404->None, delete->FileNotFoundError), prefix
+    list, HEAD metadata, and — the OCC-critical one — N threads racing
+    the same If-None-Match conditional PUT must produce exactly ONE
+    winner, decided on the server side."""
+    import threading
+
+    from jpspark.storage_http import HttpStoreServer
+
+    srv = HttpStoreServer()
+    st = srv.client()
+    try:
+        root = "t://x"
+        assert st.get_bytes(root, "missing") is None
+        assert st.get_text(root, "missing") is None
+        assert not st.exists(root, "missing")
+        with pytest.raises(FileNotFoundError):
+            st.delete(root, "missing")
+        st.put_text(root, "a/one.json", '{"v":1}')
+        st.put_bytes(root, "a/two.bin", b"\x00\xffdata")
+        st.put_text(root, "b/three.json", "{}")
+        assert st.get_text(root, "a/one.json") == '{"v":1}'
+        assert st.get_bytes(root, "a/two.bin") == b"\x00\xffdata"
+        assert st.size(root, "a/two.bin") == 6
+        assert st.mtime(root, "a/one.json") > 0
+        assert st.list(root, "a/") == ["a/one.json", "a/two.bin"]
+        # unconditional PUT overwrites; conditional PUT refuses
+        st.put_text(root, "a/one.json", '{"v":2}')
+        assert st.get_text(root, "a/one.json") == '{"v":2}'
+        assert st.put_text_new(root, "a/one.json", "nope") is False
+        wins = []
+        barrier = threading.Barrier(8)
+
+        def race(i):
+            barrier.wait()
+            if st.put_text_new(root, "claim.json", f"writer-{i}"):
+                wins.append(i)
+
+        ts = [threading.Thread(target=race, args=(i,)) for i in range(8)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert len(wins) == 1
+        assert st.get_text(root, "claim.json") == f"writer-{wins[0]}"
+        st.delete(root, "a/one.json")
+        assert st.get_bytes(root, "a/one.json") is None
+    finally:
+        srv.shutdown()

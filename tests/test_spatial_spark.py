@@ -79,6 +79,39 @@ def test_pip_shuffle_matches_broadcast(spark, polys, images_pdf, points_sdf):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_pip_shuffle_settled_grid_bit_identical(spark, polys, images_pdf, points_sdf):
+    """The interior-cell settled-grid fast path on the SHUFFLE strategy
+    (round-4 VERDICT #6): forcing every group through the per-polygon
+    settled grid (settled_min_points=1) must be bit-identical to the
+    exact-only kernel (settled_cells=None) and to the closed-form
+    oracle — same guarantee the broadcast path proves."""
+    polys_sdf = spark.createDataFrame(polys[["全国地方公共団体コード", "geom"]])
+
+    def run(**kw):
+        return (
+            sj.pip_join_shuffle(
+                points_sdf, polys_sdf, "全国地方公共団体コード", salt_cells=2, **kw
+            )
+            .select("image_id", "poly_id")
+            .toPandas()
+            .sort_values("image_id")
+            .reset_index(drop=True)
+        )
+
+    fast = run(settled_cells=65_536, settled_min_points=1)
+    exact = run(settled_cells=None)
+    pd.testing.assert_frame_equal(fast, exact)
+    oracle = fx.pip_assign_oracle(
+        images_pdf["lon"].to_numpy(), images_pdf["lat"].to_numpy(), polys
+    )
+    exp = (
+        pd.DataFrame({"image_id": images_pdf["image_id"], "poly_id": oracle})
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, exp)
+
+
 def test_knn_broadcast_matches_oracle(spark, polys, images_pdf, points_sdf):
     fac = fx.facilities(150, polys)
     k = 5

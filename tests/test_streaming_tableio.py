@@ -41,6 +41,63 @@ def test_stream_ingest_micro_batches(spark, tmp_path):
             assert all(p["status"] == "committed" for p in m["partitions"].values())
 
 
+def test_stream_kill_and_restart_exactly_once(spark, tmp_path):
+    """Exactly-once durability proof (round-4 VERDICT #8): crash a
+    foreachBatch stream AFTER an epoch's manifest commit but BEFORE
+    Spark acknowledges the batch — the worst-case window, where the data
+    is durable but the source offset is not. The restarted stream must
+    REPLAY that batch from the checkpoint, and the manifest's partition
+    fingerprints must absorb the replay (skip, not duplicate), yielding
+    a bit-identical final table."""
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "ingested")
+    os.makedirs(src)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    committed_epochs = []
+
+    def crash_after_second_commit(epoch_id, manifest):
+        committed_epochs.append(epoch_id)
+        if len(committed_epochs) == 2:
+            raise RuntimeError("injected crash: died before batch ack")
+
+    spark.range(100).withColumn("v", F.col("id") * 1.0).write.parquet(src + "/f1.parquet")
+    q = streaming.stream_ingest(
+        spark, src, out, schema, post_commit_hook=crash_after_second_commit
+    )
+    q.processAllAvailable()
+    assert committed_epochs == [0]
+    # second drop triggers the injected crash post-commit, pre-ack
+    spark.range(100, 250).withColumn("v", F.col("id") * 1.0).write.parquet(src + "/f2.parquet")
+    with pytest.raises(Exception, match="injected crash"):
+        q.processAllAvailable()
+        q.awaitTermination()
+    assert not q.isActive
+    # the epoch-1 data IS committed (durable) but the batch is unacked
+    from jpspark.manifest import load_manifest
+
+    m1 = load_manifest(os.path.join(out, "epoch=00000001"))
+    assert sum(int(p["row_count"]) for p in m1["partitions"].values()) == 150
+
+    # restart from the same checkpoint: batch 1 replays and is absorbed
+    q2 = streaming.stream_ingest(spark, src, out, schema)
+    q2.processAllAvailable()
+    # third drop proves the stream is healthy after recovery
+    spark.range(250, 300).withColumn("v", F.col("id") * 1.0).write.parquet(src + "/f3.parquet")
+    q2.processAllAvailable()
+    q2.stop()
+
+    m1b = load_manifest(os.path.join(out, "epoch=00000001"))
+    assert all(p["skipped_on_last_run"] for p in m1b["partitions"].values())
+    assert {p["fingerprint"] for p in m1b["partitions"].values()} == {
+        p["fingerprint"] for p in m1["partitions"].values()
+    }
+    back = streaming.read_ingested(spark, out)
+    assert back.count() == 300  # no duplicates from the replay
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(300))
+
+
 def test_sessionize_stateful_stream(spark, tmp_path):
     """applyInPandasWithState sessionization: in-batch gap splits AND
     event-time-timeout closure (flushed by a far-future sentinel batch)."""
