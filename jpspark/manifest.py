@@ -469,7 +469,7 @@ def _fingerprint_pdf(pdf: pd.DataFrame) -> int:
 _STR_BOUND = 64  # Iceberg-style truncated string bounds
 
 
-def _col_stats(pdf: pd.DataFrame) -> dict:
+def _col_stats(pdf: pd.DataFrame, bloom_cols=None, bloom_fpp: float = 0.01) -> dict:
     """Per-column (min, max, null_count) for prune-able dtypes — the
     Iceberg data-file stats that let a 10^12-row scan skip files from
     metadata alone. JSON-safe values only.
@@ -498,6 +498,10 @@ def _col_stats(pdf: pd.DataFrame) -> dict:
         nulls = int(s.isna().sum())
         ent: dict = {"nulls": nulls}
         nn = s.dropna()
+        if bloom_cols and c in bloom_cols and len(nn):
+            bloom = _bloom_build(nn.unique(), bloom_fpp)
+            if bloom is not None:
+                ent["bloom"] = bloom
         if pd.api.types.is_bool_dtype(s) or pd.api.types.is_numeric_dtype(s):
             ent["t"] = "n"
             if len(nn):
@@ -532,6 +536,88 @@ def _coerce(value, t):
     return value
 
 
+# ------------------------------------------------------------ bloom filters
+#
+# Iceberg-parity point-lookup pruning (Puffin's blob idea, inlined): min/max
+# stats cannot prune an equality probe on a NON-clustered high-cardinality
+# column — every file's [lo, hi] spans most of the domain, so a point
+# lookup on e.g. image_id still opens every file. A per-file Bloom filter
+# over the column's distinct values makes that probe a metadata decision:
+# "definitely absent" prunes the file, "maybe" reads it — never unsound.
+# Deterministic by construction (blake2b double hashing, no seeds), so
+# retries/speculative rewrites of identical content produce identical bits.
+
+_BLOOM_MAX_DISTINCT = 200_000  # ~350 KB at 1% fpp; larger files skip bloom
+
+
+def _bloom_key(v) -> bytes | None:
+    """Canonical hash bytes per value; None = type not bloom-able.
+    Floats are excluded deliberately (equality probes on floats are
+    pathological); datetimes hash their ns integer."""
+    if isinstance(v, (bool, np.bool_)):
+        return b"i" + (b"1" if v else b"0")
+    if isinstance(v, (int, np.integer)):
+        return b"i" + str(int(v)).encode()
+    if isinstance(v, str):
+        return b"s" + v.encode()
+    if isinstance(v, (bytes, bytearray)):
+        return b"b" + bytes(v)
+    if isinstance(v, (pd.Timestamp, np.datetime64)):
+        return b"i" + str(int(pd.Timestamp(v).value)).encode()
+    return None
+
+
+def _bloom_hashes(key: bytes) -> tuple[int, int]:
+    import hashlib
+
+    d = hashlib.blake2b(key, digest_size=16).digest()
+    return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:], "little") | 1
+
+
+def _bloom_build(values, fpp: float = 0.01) -> dict | None:
+    """Bloom filter dict {"m", "k", "b"(base64 bits)} over an iterable of
+    distinct non-null values; None if empty, oversized, or un-bloom-able."""
+    import base64
+    import math
+
+    keys = []
+    for v in values:
+        kb = _bloom_key(v)
+        if kb is None:
+            return None
+        keys.append(kb)
+    n = len(keys)
+    if not n or n > _BLOOM_MAX_DISTINCT:
+        return None
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    m = (m + 7) & ~7  # whole bytes
+    k = max(1, round(m / n * math.log(2)))
+    bits = bytearray(m // 8)
+    for kb in keys:
+        h1, h2 = _bloom_hashes(kb)
+        for i in range(k):
+            pos = (h1 + i * h2) % m
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {"m": m, "k": k, "b": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    """False ONLY when the filter proves the value absent."""
+    import base64
+
+    kb = _bloom_key(value)
+    if kb is None:
+        return True  # un-hashable probe type: never prune
+    m, k = int(bloom["m"]), int(bloom["k"])
+    bits = base64.b64decode(bloom["b"])
+    h1, h2 = _bloom_hashes(kb)
+    for i in range(k):
+        pos = (h1 + i * h2) % m
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
 def _file_may_match(stats: dict, row_count: int, filters) -> bool:
     """Conservative metadata test: False ONLY when the file's stats prove
     no row can satisfy ALL of ``filters`` (conjunction). Unknown columns,
@@ -547,15 +633,22 @@ def _file_may_match(stats: dict, row_count: int, filters) -> bool:
         if t is None:
             continue
         try:
+            bloom = ent.get("bloom")
             if op == "in":
                 vs = [_coerce(v, t) for v in value]
                 if lo is not None and hi is not None and all(v < lo or v > hi for v in vs):
+                    return False
+                if bloom is not None and all(
+                    not _bloom_may_contain(bloom, v) for v in vs
+                ):
                     return False
                 continue
             v = _coerce(value, t)
             if op == "=" and (
                 (lo is not None and v < lo) or (hi is not None and v > hi)
             ):
+                return False
+            if op == "=" and bloom is not None and not _bloom_may_contain(bloom, v):
                 return False
             if op in ("<", "<=") and lo is not None and (
                 lo > v or (op == "<" and lo >= v)
@@ -796,6 +889,8 @@ def write_checkpointed(
     storage=None,
     shard_size: int = 8192,
     mode: str = "overwrite",
+    bloom_cols: list[str] | None = None,
+    bloom_fpp: float = 0.01,
 ) -> dict:
     """Write ``df`` to ``out_dir`` with per-partition commit semantics.
 
@@ -817,6 +912,14 @@ def write_checkpointed(
     O(files). Commit order: shards first, then the archived root, then
     the live pointer — a crash at any point leaves a readable previous
     state and no root referencing missing shards.
+
+    ``bloom_cols``: columns to carry a per-file Bloom filter in their
+    manifest stats (int/string/bool/datetime). Equality and IN probes on
+    these columns prune files min/max bounds cannot (non-clustered
+    high-cardinality ids) — see the bloom section above ``_bloom_build``.
+    DML rewrites (delete_where/update_where) keep min/max stats but drop
+    blooms on the files they rewrite; re-running write_checkpointed (or
+    compact) restores them.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -866,7 +969,7 @@ def write_checkpointed(
                 "bytes": [store.size(out_dir, key)],
                 "path": [key],
                 "skipped": [skipped],
-                "col_stats": [json.dumps(_col_stats(pdf))],
+                "col_stats": [json.dumps(_col_stats(pdf, bloom_cols, bloom_fpp))],
             }
         )
 

@@ -879,6 +879,41 @@ def o_argmax_latest() -> str:
     """
 
 
+def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window-function sweep (round 5): lag/lead value carry,
+    ntile quartiles, and cume_dist over one deterministic TOTAL order
+    (o_orderdate, o_orderkey — date alone ties, and every tie is a
+    nondeterminism bug at 10^12 rows: retries/speculation would emit
+    different frames). One window spec -> Catalyst plans ONE exchange +
+    sort for all four functions; cume_dist's rank/n division is a single
+    IEEE op, bit-identical across engines."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 300)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+            F.lead("o_totalprice", 1).over(w).alias("next_price"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.cume_dist().over(w).alias("cdist"),
+        )
+    )
+
+
+def o_window_functions() -> str:
+    return """
+    SELECT o_custkey, o_orderkey,
+           lag(o_totalprice, 1) OVER w AS prev_price,
+           lead(o_totalprice, 1) OVER w AS next_price,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           cume_dist() OVER w AS cdist
+    FROM orders WHERE o_custkey <= 300
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """
+
+
 def q_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: distinct-by-key, first wins (ON CONFLICT DO NOTHING analog)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -3596,6 +3631,72 @@ def o_spatial_prune_scan() -> str:
     """
 
 
+def q_bloom_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping (round 5; Iceberg/Puffin-shaped): point
+    lookups on a NON-clustered high-cardinality column, where min/max
+    stats are useless by construction — v is a multiplicative scramble
+    of event_id, so every part file's [lo, hi] spans the whole domain.
+    The query writes the table with ``bloom_cols=["v"]``, probes one
+    known value through manifest.scan, and RAISES unless strictly fewer
+    files were read than the number whose [lo, hi] range admits the
+    probe (proving the pruning is attributable to the blooms, not
+    ranges). At 10^12 rows
+    this is the difference between opening ~1 file and opening 200k for
+    an id lookup. The oracle recomputes the matching rows closed-form."""
+    import shutil
+    import tempfile
+
+    from . import manifest as mf
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", ((F.col("event_id") * 2654435761) % 1000003).alias("v")
+    )
+    # probe the MAX id's scramble: a mid-domain value every file's broad
+    # [lo, hi] admits (min id is 0 -> v=0, the domain edge ranges CAN cut)
+    probe_id = ev.agg(F.max("event_id")).collect()[0][0]
+    probe_v = (int(probe_id) * 2654435761) % 1000003
+    tmp = tempfile.mkdtemp(prefix="jpspark_bloom_")
+    try:
+        m = mf.write_checkpointed(
+            ev, tmp, num_partitions=16, lineage="bloom_prune_scan gate",
+            bloom_cols=["v"],
+        )
+        range_admits = sum(
+            1
+            for meta in m["partitions"].values()
+            if meta["stats"]["v"]["lo"] <= probe_v <= meta["stats"]["v"]["hi"]
+        )
+        got, rep = mf.scan(spark, tmp, [("v", "=", probe_v)])
+        if not rep["files_read"] < range_admits:
+            # every pruned file was admitted by its [lo, hi] — only the
+            # blooms can have excluded it; raise if they excluded none
+            raise RuntimeError(
+                f"bloom pruned nothing beyond range stats: read "
+                f"{rep['files_read']} of {range_admits} range-admitted files"
+            )
+        out = got.agg(
+            F.count("*").alias("n_matches"),
+            F.sum("event_id").alias("sum_id"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        pd.DataFrame({"n_matches": [int(out.n_matches)], "sum_id": [int(out.sum_id)]})
+    )
+
+
+def o_bloom_prune_scan() -> str:
+    return """
+    WITH probe AS (
+      SELECT (MAX(event_id) * 2654435761) % 1000003 AS pv FROM events
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events, probe
+    WHERE (event_id * 2654435761) % 1000003 = probe.pv
+    """
+
+
 def q_delete_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write DELETE through the manifest table format
     (manifest.delete_where): write the event points Z-order-clustered,
@@ -3848,10 +3949,11 @@ QUERIES = {
     "approx_distinct": q_approx_distinct,
     "stratified_sample": q_stratified_sample,
     "bm25_score": q_bm25_score,
-    # OLAP aggregates (rollup_summary demoted r5 — r4-signed; cube_summary
-    # and the new arbitrary grouping_sets cover the family in-window)
-    "cube_summary": q_cube_summary,
+    # OLAP aggregates (rollup_summary + cube_summary demoted r5, both
+    # r4-signed; the new arbitrary grouping_sets generalizes both
+    # in-window) + the analytic window-function sweep
     "grouping_sets": q_grouping_sets,
+    "window_functions": q_window_functions,
     # training-data pipeline: dedup + ANN
     "chunk_dedup": q_chunk_dedup,
     "length_quantile_filter": q_length_quantile_filter,
@@ -3878,8 +3980,10 @@ QUERIES = {
     "tile_pyramid": q_tile_pyramid,
     "mvt_tiles": q_mvt_tiles,
     # Iceberg-style DML over the checkpointed manifest table
+    # (spatial_prune_scan demoted r5 — r4-signed; the pruned-scan family
+    # stays in-window via the new bloom_prune_scan and delete_snapshot)
     "delete_snapshot": q_delete_snapshot,
-    "spatial_prune_scan": q_spatial_prune_scan,
+    "bloom_prune_scan": q_bloom_prune_scan,
     # round-4 additions: scale-safe OLAP + the guard-contract gate
     "percentiles_approx": q_percentiles_approx,
     "knn_flag_guard": q_knn_flag_guard,
@@ -3900,6 +4004,8 @@ QUERIES = {
     "mvt_lines": q_mvt_lines,
     "percentiles": q_percentiles,
     "rollup_summary": q_rollup_summary,
+    "cube_summary": q_cube_summary,
+    "spatial_prune_scan": q_spatial_prune_scan,
     # simple filters (driver-signed green in r3)
     "filter_neq": q_filter_neq,
     "filter_isin": q_filter_isin,
@@ -3968,6 +4074,7 @@ def _build_oracles() -> dict[str, str]:
     "prefer_nationwide": o_prefer_nationwide(),
     "version_range": o_version_range(),
     "argmax_latest": o_argmax_latest(),
+    "window_functions": o_window_functions(),
     "first_wins_dedup": o_first_wins_dedup(),
     "top1_priority": o_top1_priority(),
     "union_by_name": o_union_by_name(),
@@ -4023,6 +4130,7 @@ def _build_oracles() -> dict[str, str]:
     "ann_pq_recall": o_ann_pq_recall(),
     "stream_mvt_ingest": o_mvt_tiles(),
     "spatial_prune_scan": o_spatial_prune_scan(),
+    "bloom_prune_scan": o_bloom_prune_scan(),
     "mvt_lines": o_mvt_lines(),
     "geo_measures": o_geo_measures(),
     "raster_histogram": o_raster_histogram(),

@@ -1034,3 +1034,62 @@ def test_http_storage_seam_primitives():
         assert st.get_bytes(root, "a/one.json") is None
     finally:
         srv.shutdown()
+
+
+def test_bloom_filter_file_skipping(spark, tmp_path):
+    """Per-file Bloom filters (Iceberg/Puffin-shaped): an equality probe
+    on a NON-clustered high-cardinality column — where every file's
+    [lo, hi] spans the domain, so min/max stats prune nothing — must
+    become a metadata decision. No false negatives ever (present values
+    always read their file); absent values prune to zero files."""
+    import json
+
+    out = str(tmp_path / "bloomtbl")
+    # v is a multiplicative scramble of id: every partition's v-range
+    # spans ~the full domain, so range stats are useless by construction
+    df = spark.range(20_000).select(
+        F.col("id"),
+        ((F.col("id") * 2654435761) % 1000003).alias("v"),
+        F.concat(F.lit("tag-"), ((F.col("id") * 40503) % 997).cast("string")).alias("tag"),
+    )
+    m = mf.write_checkpointed(df, out, num_partitions=16, bloom_cols=["v", "tag"])
+    parts = m["partitions"]
+    assert len(parts) == 16
+    probe = (12345 * 2654435761) % 1000003
+    # every file's range admits the probe -> any pruning below is bloom's
+    for meta in parts.values():
+        st = json.loads(json.dumps(meta["stats"]))["v"]
+        assert st["lo"] <= probe <= st["hi"]
+        assert "bloom" in st and "bloom" in meta["stats"]["tag"]
+        assert "bloom" not in meta["stats"]["id"]  # not requested
+    got, rep = mf.scan(spark, out, [("v", "=", probe)])
+    assert rep["files_read"] < rep["files_total"]
+    assert [r["id"] for r in got.collect()] == [12345]
+    # absent value: blooms prove absence -> zero files opened
+    got2, rep2 = mf.scan(spark, out, [("v", "=", 1000002)])
+    assert rep2["files_read"] == 0 and got2.count() == 0
+    # IN probe with every member absent prunes too; one present member reads
+    _, rep3 = mf.scan(spark, out, [("v", "in", [1000002, 1000001])])
+    assert rep3["files_read"] == 0
+    got4, rep4 = mf.scan(spark, out, [("tag", "=", "tag-5"), ("v", "=", probe)])
+    assert rep4["files_read"] <= rep["files_read"]
+    # no false negatives across a sweep of present values
+    for pid in (0, 7777, 19_999):
+        pv = (pid * 2654435761) % 1000003
+        gotp, _ = mf.scan(spark, out, [("v", "=", pv)])
+        assert pid in [r["id"] for r in gotp.collect()]
+
+
+def test_bloom_primitives_deterministic():
+    """_bloom_build/_bloom_may_contain: zero false negatives by
+    construction, deterministic bits (retries/speculative rewrites of
+    identical content must emit identical manifests), float columns
+    refuse to bloom."""
+    vals = list(range(500)) + [f"s{i}" for i in range(100)]
+    b1 = mf._bloom_build(list(range(500)))
+    b2 = mf._bloom_build(list(range(500)))
+    assert b1 == b2
+    assert all(mf._bloom_may_contain(b1, v) for v in range(500))
+    misses = sum(mf._bloom_may_contain(b1, v) for v in range(10_000, 12_000))
+    assert misses < 2000 * 0.05  # fpp 0.01 with slack
+    assert mf._bloom_build([1.5, 2.5]) is None
