@@ -917,9 +917,11 @@ def write_checkpointed(
     manifest stats (int/string/bool/datetime). Equality and IN probes on
     these columns prune files min/max bounds cannot (non-clustered
     high-cardinality ids) — see the bloom section above ``_bloom_build``.
-    DML rewrites (delete_where/update_where) keep min/max stats but drop
-    blooms on the files they rewrite; re-running write_checkpointed (or
-    compact) restores them.
+    The setting persists in the manifest as a table property (Iceberg's
+    ``write.*.bloom-filter-enabled`` shape): later writes, compactions,
+    and DML rewrites that don't name ``bloom_cols`` inherit it and
+    rebuild blooms on every file they rewrite. Pass ``[]`` to turn the
+    property off for a table that had it.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -938,6 +940,11 @@ def write_checkpointed(
     base_pid = (
         max((int(p) for p in prior_parts), default=-1) + 1 if mode == "append" else 0
     )
+    # table-property semantics (Iceberg write.*.bloom-filter-enabled):
+    # bloom_cols persists in the manifest, so re-writes/appends/compactions
+    # that don't name it inherit the table's configuration
+    if bloom_cols is None:
+        bloom_cols = prior.get("bloom_cols")
     spark = df.sparkSession
     bc_committed = spark.sparkContext.broadcast(committed)
     if num_partitions:
@@ -1011,6 +1018,8 @@ def write_checkpointed(
             "total_rows": int(sum(int(p["row_count"]) for p in all_parts.values())),
             "partitions": all_parts,
         }
+        if bloom_cols:
+            manifest["bloom_cols"] = list(bloom_cols)
         if _try_commit(store, out_dir, manifest, shard_size=shard_size):
             return manifest
         base = _load_committed(store, out_dir)
@@ -1300,6 +1309,7 @@ def _delete_where_once(spark, out_dir: str, filters, store, shard_size: int) -> 
     from pyspark.sql import functions as F
 
     prior = _load_committed(store, out_dir)
+    bloom_cols = prior.get("bloom_cols")
     parts = prior.get("partitions", {})
     if not parts:
         raise ValueError(f"delete_where: no committed snapshot under {out_dir}")
@@ -1347,7 +1357,7 @@ def _delete_where_once(spark, out_dir: str, filters, store, shard_size: int) -> 
                 {
                     "partition_id": [pid], "fingerprint": [fp],
                     "row_count": [len(pdf)], "bytes": [store.size(out_dir, key)],
-                    "path": [key], "col_stats": [json.dumps(_col_stats(pdf))],
+                    "path": [key], "col_stats": [json.dumps(_col_stats(pdf, bloom_cols))],
                 }
             )
 
@@ -1378,6 +1388,7 @@ def _delete_where_once(spark, out_dir: str, filters, store, shard_size: int) -> 
         "version": int(prior.get("version", 0) or 0) + 1,
         "lineage": f"delete_where {filters!r} ({report['files_rewritten']}/{report['files_total']} files rewritten)",
         "schema": prior.get("schema"),
+        **({"bloom_cols": list(prior["bloom_cols"])} if prior.get("bloom_cols") else {}),
         "committed_at": time.time(),
         "total_rows": rows_after,
         "partitions": new_entries,
@@ -1412,6 +1423,7 @@ def _update_where_once(spark, out_dir: str, filters, set_exprs: dict, store, sha
     from pyspark.sql import functions as F
 
     prior = _load_committed(store, out_dir)
+    bloom_cols = prior.get("bloom_cols")
     parts = prior.get("partitions", {})
     if not parts:
         raise ValueError(f"update_where: no committed snapshot under {out_dir}")
@@ -1456,7 +1468,7 @@ def _update_where_once(spark, out_dir: str, filters, set_exprs: dict, store, sha
                 {
                     "partition_id": [pid], "fingerprint": [fp],
                     "row_count": [len(pdf)], "bytes": [store.size(out_dir, key)],
-                    "path": [key], "col_stats": [json.dumps(_col_stats(pdf))],
+                    "path": [key], "col_stats": [json.dumps(_col_stats(pdf, bloom_cols))],
                 }
             )
 
@@ -1483,6 +1495,7 @@ def _update_where_once(spark, out_dir: str, filters, set_exprs: dict, store, sha
         "version": int(prior.get("version", 0) or 0) + 1,
         "lineage": f"update_where {filters!r} ({report['files_rewritten']}/{report['files_total']} files rewritten)",
         "schema": prior.get("schema"),
+        **({"bloom_cols": list(prior["bloom_cols"])} if prior.get("bloom_cols") else {}),
         "committed_at": time.time(),
         "total_rows": sum(int(p["row_count"]) for p in new_entries.values()),
         "partitions": new_entries,

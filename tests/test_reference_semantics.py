@@ -1093,3 +1093,30 @@ def test_bloom_primitives_deterministic():
     misses = sum(mf._bloom_may_contain(b1, v) for v in range(10_000, 12_000))
     assert misses < 2000 * 0.05  # fpp 0.01 with slack
     assert mf._bloom_build([1.5, 2.5]) is None
+
+
+def test_bloom_cols_table_property_survives_rewrites(spark, tmp_path):
+    """bloom_cols persists in the manifest as a table property: compact
+    and DML rewrites inherit it and rebuild blooms on every file they
+    rewrite, so point-lookup pruning survives table maintenance."""
+    out = str(tmp_path / "bloomprop")
+    df = spark.range(8_000).select(
+        "id", ((F.col("id") * 2654435761) % 1000003).alias("v")
+    )
+    mf.write_checkpointed(df, out, num_partitions=8, bloom_cols=["v"])
+    # compact (no bloom_cols named) inherits the property
+    m2 = mf.compact(spark, out, target_bytes=16 << 10)
+    assert m2.get("bloom_cols") == ["v"]
+    assert all("bloom" in p["stats"]["v"] for p in m2["partitions"].values())
+    # DML rewrite keeps the property and rebuilds blooms on new files
+    m3 = mf.delete_where(spark, out, [("id", "<", 100)])
+    assert m3.get("bloom_cols") == ["v"]
+    rewritten = [
+        p for p in m3["partitions"].values() if p["row_count"] and "bloom" in p["stats"]["v"]
+    ]
+    assert rewritten  # at least the rewritten files carry fresh blooms
+    # pruning still works after the rewrites
+    probe = (4321 * 2654435761) % 1000003
+    got, rep = mf.scan(spark, out, [("v", "=", probe)])
+    assert rep["files_read"] < rep["files_total"]
+    assert [r["id"] for r in got.collect()] == [4321]
