@@ -601,15 +601,35 @@ def _bloom_build(values, fpp: float = 0.01) -> dict | None:
     return {"m": m, "k": k, "b": base64.b64encode(bytes(bits)).decode()}
 
 
-def _bloom_may_contain(bloom: dict, value) -> bool:
-    """False ONLY when the filter proves the value absent."""
-    import base64
+def _bloom_probe_compatible(t: str | None, v) -> bool:
+    """A bloom may only prune when the probe's canonical key category
+    matches the column's stats type — an int probe against a string
+    column hashes to a different key prefix ('i5' vs 's5'), so the bloom
+    would report "absent" while Spark's residual filter could still
+    match via implicit cast (round-5 review finding). Mirrors the
+    TypeError-continue conservatism of the range path."""
+    kb = _bloom_key(v)
+    if kb is None:
+        return False
+    if t == "s":
+        return kb[:1] == b"s"
+    if t in ("n", "ts"):
+        return kb[:1] == b"i"
+    return False
 
+
+def _bloom_may_contain(bloom: dict, value, bits: bytes | None = None) -> bool:
+    """False ONLY when the filter proves the value absent. ``bits`` is
+    the decoded bitmap (callers hoist the decode/fetch out of per-value
+    loops); falls back to the inline base64 payload for legacy stats."""
     kb = _bloom_key(value)
     if kb is None:
         return True  # un-hashable probe type: never prune
+    if bits is None:
+        bits = _bloom_bits(bloom, None, None)
+        if bits is None:
+            return True
     m, k = int(bloom["m"]), int(bloom["k"])
-    bits = base64.b64decode(bloom["b"])
     h1, h2 = _bloom_hashes(kb)
     for i in range(k):
         pos = (h1 + i * h2) % m
@@ -618,10 +638,69 @@ def _bloom_may_contain(bloom: dict, value) -> bool:
     return True
 
 
-def _file_may_match(stats: dict, row_count: int, filters) -> bool:
+# decoded-bitmap cache keyed by sidecar ref / inline payload — NEVER
+# stored on the stats dicts themselves: DML carries prior-manifest metas
+# into the next commit's json.dumps, and a bytes memo there would break
+# serialization. Bounded: cleared wholesale past _BLOOM_CACHE_MAX.
+_BLOOM_BITS_CACHE: dict[str, bytes] = {}
+_BLOOM_CACHE_MAX = 4096
+
+
+def _bloom_bits(bloom: dict, store, out_dir: str | None) -> bytes | None:
+    """Decoded bitmap for a stats bloom entry, memoized in a module
+    cache. Sidecar form ({"ref": key}) fetches the blob through the
+    Storage seam; legacy inline form ({"b": base64}) decodes. None when
+    the blob is unavailable (missing object => never prune)."""
+    # m/k in the key: identical content-addressed refs built at a
+    # different fpp must not alias each other's bitmaps
+    base = bloom.get("ref") or ("inline:" + bloom["b"] if "b" in bloom else None)
+    if base is None:
+        return None
+    ck = f"{base}:{bloom.get('m')}:{bloom.get('k')}"
+    cached = _BLOOM_BITS_CACHE.get(ck)
+    if cached is not None:
+        return cached
+    import base64
+
+    bits: bytes | None = None
+    if "b" in bloom:
+        bits = base64.b64decode(bloom["b"])
+    elif store is not None:
+        bits = store.get_bytes(out_dir, bloom["ref"])
+    if bits is not None:
+        if len(_BLOOM_BITS_CACHE) >= _BLOOM_CACHE_MAX:
+            _BLOOM_BITS_CACHE.clear()
+        _BLOOM_BITS_CACHE[ck] = bits
+    return bits
+
+
+def _col_stats_sidecar_blooms(
+    stats: dict, store, out_dir: str, part_key: str
+) -> dict:
+    """Move inline bloom bitmaps out of the stats dict into sidecar
+    objects next to the part file (``<part>.bloom.<col>``) — the Puffin
+    idea: the manifest stays O(bounds), multi-KB bitmaps are fetched
+    lazily and only for files that survive the range check. Runs inside
+    the sink task, so the blob rides the same Storage seam as the data.
+    Vacuum sweeps a bloom blob when its part file goes."""
+    import base64
+
+    for c, ent in stats.items():
+        bloom = ent.get("bloom")
+        if bloom and "b" in bloom:
+            ref = f"{part_key}.bloom.{c}"
+            store.put_bytes(out_dir, ref, base64.b64decode(bloom.pop("b")))
+            bloom["ref"] = ref
+    return stats
+
+
+def _file_may_match(stats: dict, row_count: int, filters, bloom_ctx=None) -> bool:
     """Conservative metadata test: False ONLY when the file's stats prove
     no row can satisfy ALL of ``filters`` (conjunction). Unknown columns,
-    missing bounds, or unsupported ops never prune."""
+    missing bounds, or unsupported ops never prune. ``bloom_ctx`` is a
+    (store, out_dir) pair enabling sidecar bloom lookups for =/IN probes;
+    without it only inline (legacy) blooms participate."""
+    _store, _odir = bloom_ctx if bloom_ctx else (None, None)
     for col, op, value in filters:
         ent = stats.get(col)
         if ent is None:
@@ -638,18 +717,22 @@ def _file_may_match(stats: dict, row_count: int, filters) -> bool:
                 vs = [_coerce(v, t) for v in value]
                 if lo is not None and hi is not None and all(v < lo or v > hi for v in vs):
                     return False
-                if bloom is not None and all(
-                    not _bloom_may_contain(bloom, v) for v in vs
-                ):
-                    return False
+                if bloom is not None and all(_bloom_probe_compatible(t, v) for v in vs):
+                    bits = _bloom_bits(bloom, _store, _odir)
+                    if bits is not None and all(
+                        not _bloom_may_contain(bloom, v, bits) for v in vs
+                    ):
+                        return False
                 continue
             v = _coerce(value, t)
             if op == "=" and (
                 (lo is not None and v < lo) or (hi is not None and v > hi)
             ):
                 return False
-            if op == "=" and bloom is not None and not _bloom_may_contain(bloom, v):
-                return False
+            if op == "=" and bloom is not None and _bloom_probe_compatible(t, v):
+                bits = _bloom_bits(bloom, _store, _odir)
+                if bits is not None and not _bloom_may_contain(bloom, v, bits):
+                    return False
             if op in ("<", "<=") and lo is not None and (
                 lo > v or (op == "<" and lo >= v)
             ):
@@ -708,7 +791,10 @@ def scan(
         "rows_skipped": 0, "bytes_skipped": 0,
     }
     for meta in parts.values():
-        if _file_may_match(meta.get("stats") or {}, int(meta["row_count"]), filters):
+        if _file_may_match(
+            meta.get("stats") or {}, int(meta["row_count"]), filters,
+            bloom_ctx=(store, out_dir),
+        ):
             keep.append(store.uri(out_dir, _part_key(meta["path"])))
         else:
             report["rows_skipped"] += int(meta["row_count"])
@@ -832,12 +918,31 @@ def _publish_pointer(store, out_dir: str, version: int, body: str) -> None:
         if t is None:
             return
         cur_v, cur_body = h2, t
-    # 64 laps of strictly-advancing contention exhausted: write the newest
-    # root we know rather than falling off silently — a final
-    # last-writer-wins put can at worst be superseded by an even newer
-    # committer (who will republish), never leave the pointer stale with
-    # no writer responsible for it (round-4 ADVICE).
-    store.put_text(out_dir, MANIFEST_NAME, cur_body)
+    # 64 laps of strictly-advancing contention exhausted (64 rival commits
+    # landed during one publish — pathological). The fallback must keep
+    # the loop's invariant — every put is FOLLOWED by a newest-root
+    # re-check, else our put could roll back a rival who already finished
+    # its own post-check (round-5 review finding). Re-fetch the freshest
+    # root, put it, re-check; a small budget of further laps, then warn
+    # loudly rather than fall off silently.
+    for _ in range(8):
+        h = _latest_committed_version(store, out_dir)
+        if h > cur_v:
+            t = store.get_text(out_dir, _root_key(h))
+            if t is not None:
+                cur_v, cur_body = h, t
+        store.put_text(out_dir, MANIFEST_NAME, cur_body)
+        h2 = _latest_committed_version(store, out_dir)
+        if h2 <= cur_v:
+            return
+    import warnings
+
+    warnings.warn(
+        f"_publish_pointer: live pointer may lag newest root under {out_dir} "
+        f"(published v{cur_v}, newest observed v{h2}); next commit will converge",
+        RuntimeWarning,
+        stacklevel=2,
+    )
 
 
 def _try_commit(store, out_dir: str, manifest: dict, shard_size: int | None = None) -> bool:
@@ -976,7 +1081,7 @@ def write_checkpointed(
                 "bytes": [store.size(out_dir, key)],
                 "path": [key],
                 "skipped": [skipped],
-                "col_stats": [json.dumps(_col_stats(pdf, bloom_cols, bloom_fpp))],
+                "col_stats": [json.dumps(_col_stats_sidecar_blooms(_col_stats(pdf, bloom_cols, bloom_fpp), store, out_dir, key))],
             }
         )
 
@@ -1152,6 +1257,14 @@ def vacuum(
                 continue  # possibly an in-flight writer's data — keep
             store.delete(out_dir, key)
             removed_files += 1
+        elif ".parquet.bloom." in key:
+            # sidecar bloom blob: referenced iff its part file is
+            if key.split(".bloom.")[0] in referenced:
+                continue
+            if grace_seconds > 0 and (now - store.mtime(out_dir, key)) < grace_seconds:
+                continue
+            store.delete(out_dir, key)
+            removed_files += 1
     # expired roots take their partition shards AND their claim markers
     # with them (only committed-then-expired claims: deleting the claim
     # of an in-flight commit could let a racer reuse its version number;
@@ -1315,7 +1428,10 @@ def _delete_where_once(spark, out_dir: str, filters, store, shard_size: int) -> 
         raise ValueError(f"delete_where: no committed snapshot under {out_dir}")
     affected, kept_entries = {}, {}
     for pid, meta in parts.items():
-        if _file_may_match(meta.get("stats") or {}, int(meta["row_count"]), filters):
+        if _file_may_match(
+            meta.get("stats") or {}, int(meta["row_count"]), filters,
+            bloom_ctx=(store, out_dir),
+        ):
             affected[pid] = meta
         else:
             kept_entries[pid] = meta
@@ -1357,7 +1473,7 @@ def _delete_where_once(spark, out_dir: str, filters, store, shard_size: int) -> 
                 {
                     "partition_id": [pid], "fingerprint": [fp],
                     "row_count": [len(pdf)], "bytes": [store.size(out_dir, key)],
-                    "path": [key], "col_stats": [json.dumps(_col_stats(pdf, bloom_cols))],
+                    "path": [key], "col_stats": [json.dumps(_col_stats_sidecar_blooms(_col_stats(pdf, bloom_cols), store, out_dir, key))],
                 }
             )
 
@@ -1429,7 +1545,10 @@ def _update_where_once(spark, out_dir: str, filters, set_exprs: dict, store, sha
         raise ValueError(f"update_where: no committed snapshot under {out_dir}")
     affected, kept_entries = {}, {}
     for pid, meta in parts.items():
-        if _file_may_match(meta.get("stats") or {}, int(meta["row_count"]), filters):
+        if _file_may_match(
+            meta.get("stats") or {}, int(meta["row_count"]), filters,
+            bloom_ctx=(store, out_dir),
+        ):
             affected[pid] = meta
         else:
             kept_entries[pid] = meta
@@ -1468,7 +1587,7 @@ def _update_where_once(spark, out_dir: str, filters, set_exprs: dict, store, sha
                 {
                     "partition_id": [pid], "fingerprint": [fp],
                     "row_count": [len(pdf)], "bytes": [store.size(out_dir, key)],
-                    "path": [key], "col_stats": [json.dumps(_col_stats(pdf, bloom_cols))],
+                    "path": [key], "col_stats": [json.dumps(_col_stats_sidecar_blooms(_col_stats(pdf, bloom_cols), store, out_dir, key))],
                 }
             )
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import atexit
 import shutil as _shutil
+import tempfile as _tempfile
 
 import numpy as np
 import pandas as pd
@@ -38,6 +39,17 @@ CC_LAST_ROUNDS: int = 0
 def _cleanup_cc_cut_dirs() -> None:
     for d in list(_CC_CUT_DIRS):
         _shutil.rmtree(d, ignore_errors=True)
+
+
+def release_cc_spills() -> None:
+    """Delete ALL retained connected-components spill dirs now. For
+    long-lived drivers (streaming/iterative pipelines calling
+    connected_components per batch) where waiting for interpreter exit
+    would accumulate one final-cut dir per call. Only call after every
+    DataFrame returned by earlier calls has been fully materialized and
+    discarded — their lineage re-scans these files on recompute."""
+    _cleanup_cc_cut_dirs()
+    _CC_CUT_DIRS.clear()
 
 
 def _hash_u64(a: np.ndarray) -> np.ndarray:
@@ -606,14 +618,21 @@ def connected_components(
     temp dir and re-read as a fresh scan (the GraphFrames
     connectedComponents checkpointInterval idea, but with DETERMINISTIC
     cleanup — the superseded cut dir is deleted as soon as the next cut
-    lands, so at most one 2-long-columns-per-node spill is ever live).
+    lands, so at most two spills are ever live per call: the ids-only
+    edge materialization and the latest label cut).
     A parquet spill is chosen over ``localCheckpoint`` deliberately:
     the checkpoint RDD's storage cannot be released through any public
     DataFrame handle (unpersisting the wrapper leaks one cached label
     frame per cut — the round-4 regression), while a file cut has a
     flat plan AND a deterministic delete. The final cut dir (if any)
     must outlive the returned frame (recompute re-scans it); it is
-    removed at interpreter exit. Near-dup graphs converge in 2-4
+    removed at interpreter exit, or earlier via
+    :func:`release_cc_spills` (long-lived drivers calling this per
+    batch should release between batches). On a session with a
+    cluster-visible checkpoint dir configured, the cut uses
+    ``df.checkpoint(eager=True)`` instead — the driver-local spill
+    path is only correct where driver and executors share a
+    filesystem (local mode). Near-dup graphs converge in 2-4
     rounds and pay at most one cut; ``checkpoint_interval=0`` disables
     cutting entirely. The interval defaults LOW (2) because the pointer
     jump is a self-join: the logical plan DOUBLES per round between
@@ -625,16 +644,38 @@ def connected_components(
     node id; nodes are the edge endpoints (callers left-join their full
     id set and coalesce singletons to themselves).
     """
-    import shutil
-    import tempfile
-
     spark = edges.sparkSession
+    # reliable-checkpoint mode: on a real cluster the driver-local parquet
+    # spill below would be wrong (executors write their own local disks),
+    # so when the session has a cluster-visible checkpoint dir configured
+    # (sparkContext.setCheckpointDir) the cut uses Spark's own
+    # df.checkpoint — same flat plan, cluster-correct storage, files
+    # managed by Spark (spark.cleaner.referenceTracking.cleanCheckpoints
+    # reclaims them). The local spill remains the local-mode default
+    # because its cleanup is deterministic.
+    _use_reliable = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .persist()
     )
+    cut_dir: str | None = None
+    if checkpoint_interval:
+        # cut the EDGE lineage up front: sym is referenced once per round
+        # and the pointer-jump self-join doubles every reference, so an
+        # upstream pair-finding pipeline (MinHash -> verify) embedded in
+        # sym's plan multiplies into a 10^4-line EXPLAIN by round 2 even
+        # before any label cut fires. One ids-only materialization makes
+        # every reference a flat scan — also the right barrier at scale
+        # (edges are re-read ~2x per round for O(log n) rounds).
+        if _use_reliable:
+            sym = sym.checkpoint(eager=True)
+        else:
+            cut_dir = _tempfile.mkdtemp(prefix="jpspark_cc_cut_")
+            _CC_CUT_DIRS.add(cut_dir)
+            sym.write.parquet(f"{cut_dir}/edges")
+            sym = spark.read.parquet(f"{cut_dir}/edges")
+    sym = sym.persist()
     labels = pinned = (
         sym.select(F.col("src").alias("node"))
         .distinct()
@@ -642,7 +683,7 @@ def connected_components(
         .persist()
     )
     labels.count()
-    cut_dir: str | None = None
+    edge_dir, cut_dir = cut_dir, None
     for rnd in range(max_rounds):
         # (1) closed-neighborhood min: min label among neighbors
         nbr_min = (
@@ -699,17 +740,23 @@ def connected_components(
             # so no recompute; the cache is then released and the
             # PREVIOUS cut's files deleted — bounded plan, bounded cache,
             # bounded disk, all deterministic.
-            new_dir = tempfile.mkdtemp(prefix="jpspark_cc_cut_")
-            labels.write.mode("overwrite").parquet(f"{new_dir}/labels")
-            pinned.unpersist()
-            _CC_CUT_DIRS.add(new_dir)
-            if cut_dir is not None:
-                shutil.rmtree(cut_dir, ignore_errors=True)
-                _CC_CUT_DIRS.discard(cut_dir)
-            cut_dir = new_dir
-            labels = spark.read.parquet(f"{new_dir}/labels")
-            pinned = labels.persist()
-            labels.count()
+            if _use_reliable:
+                cut = labels.checkpoint(eager=True)
+                pinned.unpersist()
+                labels = cut
+                pinned = cut
+            else:
+                new_dir = _tempfile.mkdtemp(prefix="jpspark_cc_cut_")
+                labels.write.mode("overwrite").parquet(f"{new_dir}/labels")
+                pinned.unpersist()
+                _CC_CUT_DIRS.add(new_dir)
+                if cut_dir is not None:
+                    _shutil.rmtree(cut_dir, ignore_errors=True)
+                    _CC_CUT_DIRS.discard(cut_dir)
+                cut_dir = new_dir
+                labels = spark.read.parquet(f"{new_dir}/labels")
+                pinned = labels.persist()
+                labels.count()
     else:
         raise RuntimeError(
             f"connected_components: no convergence in {max_rounds} rounds "

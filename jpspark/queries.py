@@ -3664,7 +3664,9 @@ def q_bloom_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         range_admits = sum(
             1
             for meta in m["partitions"].values()
-            if meta["stats"]["v"]["lo"] <= probe_v <= meta["stats"]["v"]["hi"]
+            # empty partitions carry no bounds — they admit nothing
+            if meta["stats"]["v"].get("lo") is not None
+            and meta["stats"]["v"]["lo"] <= probe_v <= meta["stats"]["v"]["hi"]
         )
         got, rep = mf.scan(spark, tmp, [("v", "=", probe_v)])
         if not rep["files_read"] < range_admits:

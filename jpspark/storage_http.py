@@ -214,7 +214,10 @@ class _Handler(BaseHTTPRequestHandler):
         srv = self.server
         if self.path.startswith("/list"):
             q = urllib.parse.urlparse(self.path).query
-            pfx = urllib.parse.unquote(urllib.parse.parse_qs(q).get("prefix", [""])[0])
+            # parse_qs has already percent-decoded once; decoding again
+            # would corrupt prefixes containing literal %XX sequences and
+            # desynchronize list from put/get (which decode exactly once)
+            pfx = urllib.parse.parse_qs(q).get("prefix", [""])[0]
             with srv.lock:
                 keys = sorted(k for k in srv.blobs if k.startswith(pfx))
             return self._send(200, "\n".join(keys).encode())

@@ -42,6 +42,10 @@ AUDIT = [
     "dedup_cluster_keep",  # iterative CC: labels-only exchanges (plan dump; see COVERAGE.md)
     "percentiles_approx",  # expect: single partial+final agg, sketch map-side
     "knn_flag_guard",      # expect: disk-explode exchange carries (id, cell, lon, lat) only
+    # round 5
+    "grouping_sets",       # expect: Expand -> ONE exchange -> single agg (set selection is planner work)
+    "window_functions",    # expect: ONE exchange + sort serves all four analytic functions
+    "geo_pip_shuffle",     # cogroup plan: geometry rides ONCE per (polygon, salt) group, never per pair
 ]
 
 
@@ -104,7 +108,7 @@ def audit_single_shuffle(plan: str, max_shuffles: int = 1) -> str:
     return f"AUDIT: {n} shuffle exchange(s) (<= {max_shuffles}) — single keyed pass. PASS"
 
 
-SINGLE_SHUFFLE_AUDITS = {"asof_join": 1}
+SINGLE_SHUFFLE_AUDITS = {"asof_join": 1, "grouping_sets": 1, "window_functions": 1}
 
 NO_HEAVY_AUDITS = {
     "raster_zonal_stats": ("bytes",),

@@ -1120,3 +1120,52 @@ def test_bloom_cols_table_property_survives_rewrites(spark, tmp_path):
     got, rep = mf.scan(spark, out, [("v", "=", probe)])
     assert rep["files_read"] < rep["files_total"]
     assert [r["id"] for r in got.collect()] == [4321]
+
+
+def test_bloom_sidecar_blobs_and_vacuum_sweep(spark, tmp_path):
+    """Round-5 review findings: bloom bitmaps must NOT inline into the
+    manifest JSON (multi-GB roots at 200k files — the metadata path
+    blooms exist to protect) — they live as sidecar blobs next to the
+    part file, fetched lazily; vacuum sweeps a blob with its part file;
+    and a type-mismatched probe (int vs string column) must NOT prune
+    (Spark's residual filter could match via implicit cast)."""
+    import json
+
+    store = mf.LocalStorage()
+    out = str(tmp_path / "sidecar")
+    df = spark.range(4_000).select(
+        "id",
+        ((F.col("id") * 2654435761) % 1000003).alias("v"),
+        ((F.col("id") * 40503) % 997).cast("string").alias("tag"),
+    )
+    m = mf.write_checkpointed(df, out, num_partitions=8, bloom_cols=["v", "tag"])
+    # stats carry a ref, never the bitmap; manifest JSON stays O(bounds)
+    root_text = store.get_text(out, mf.MANIFEST_NAME)
+    assert ".bloom." in root_text and '"b":' not in root_text
+    for meta in m["partitions"].values():
+        bl = meta["stats"]["v"]["bloom"]
+        assert "ref" in bl and "b" not in bl
+        assert store.exists(out, bl["ref"])
+    # pruning still works through the sidecar fetch
+    probe = (1234 * 2654435761) % 1000003
+    got, rep = mf.scan(spark, out, [("v", "=", probe)])
+    assert rep["files_read"] < rep["files_total"]
+    assert [r["id"] for r in got.collect()] == [1234]
+    # type-mismatched probe: int against the string column never prunes
+    present_tag = str((1234 * 40503) % 997)
+    _, rep_mm = mf.scan(spark, out, [("tag", "=", int(present_tag))])
+    assert rep_mm["files_read"] == rep_mm["files_total"]
+    got_tag, _ = mf.scan(spark, out, [("tag", "=", present_tag)])
+    assert 1234 in [r["id"] for r in got_tag.collect()]
+    # overwrite -> vacuum: expired part files take their bloom blobs along
+    mf.write_checkpointed(
+        spark.range(10).select("id", F.col("id").alias("v"), F.lit("x").alias("tag")),
+        out, num_partitions=2,
+    )
+    mf.vacuum(out, keep_last=1, grace_seconds=0)
+    leftover = [k for k in store.list(out, "part-") if ".bloom." in k]
+    live_parts = {
+        mf._part_key(p["path"])
+        for p in mf.load_manifest(out)["partitions"].values()
+    }
+    assert all(k.split(".bloom.")[0] in live_parts for k in leftover)
