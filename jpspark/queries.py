@@ -914,6 +914,146 @@ def o_window_functions() -> str:
     """
 
 
+def q_pivot_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (round 5): long->wide reshaping — revenue per order-year
+    pivoted on order status. The value list is EXPLICIT
+    (pivot("o_orderstatus", ["O","F","P"])): with it Catalyst plans ONE
+    pass (a single aggregate whose projection routes each row to its
+    status column); without it a distinct-values collect runs first —
+    never acceptable on a 10^12-row axis. Sums via DECIMAL(18,2) then
+    double, the engine's cross-engine float contract."""
+    dec_sum = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(dec_sum)
+    )
+
+
+def o_pivot_summary() -> str:
+    # conditional aggregation is the engine-neutral spelling of PIVOT
+    return """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O') AS DOUBLE) AS O,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS F,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DOUBLE) AS P
+    FROM orders GROUP BY order_year
+    """
+
+
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill (round 5) — the gap-filling
+    operator Spark lacks natively, composed from built-ins: per-user
+    daily grid (sequence + explode — each user's span only, never a
+    global calendar cross join), left join of daily aggregates, counts
+    gap-filled with 0 and the last seen event_type carried forward with
+    last(ignorenulls) over an UNBOUNDED PRECEDING window. One exchange
+    keyed on user; grid explode is codegen. At 10^12 rows the grid adds
+    O(users x days) rows — bounded by span, not event count."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    span = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.max_by("event_type", F.struct(F.col("ts"), F.col("event_id"))).alias("last_type"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("int").alias("n_events"),
+            F.last("last_type", ignorenulls=True).over(w).alias("carried_type"),
+        )
+    )
+
+
+def o_resample_ffill() -> str:
+    # max_by tie order: (ts, event_id) lexicographic — arg_max on a
+    # struct replays it in DuckDB
+    return """
+    WITH ev AS (SELECT * FROM events WHERE user_id <= 20),
+    span AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+             FROM ev GROUP BY user_id),
+    grid AS (SELECT user_id, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+             FROM span),
+    ranked AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                      row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                         ORDER BY ts DESC, event_id DESC) AS rn
+               FROM ev),
+    counts AS (SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+               FROM ev GROUP BY user_id, day),
+    daily AS (SELECT c.user_id, c.day, c.cnt, r.event_type AS last_type
+              FROM counts c JOIN ranked r
+                ON r.user_id = c.user_id AND r.day = c.day AND r.rn = 1)
+    SELECT g.user_id,
+           strftime(g.day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(d.cnt, 0) AS INTEGER) AS n_events,
+           last_value(d.last_type IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_type
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    """
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction (round 5): sidecar/metadata payloads are
+    JSON strings at rest; the engine must slice them without a Python
+    UDF. The document is CONSTRUCTED in-query with concat (identical
+    bytes on both engines — cross-engine serializers differ in key
+    order/whitespace, so never to_json for an oracle), then fields,
+    nested paths, and array indices extracted with get_json_object —
+    JVM-side, codegen, no shuffle."""
+    j = F.concat(
+        F.lit('{"id": '), F.col("p_partkey").cast("string"),
+        F.lit(', "meta": {"name": "'), F.col("p_name"),
+        F.lit('", "sizes": ['), F.col("p_size").cast("string"),
+        F.lit(', '), (F.col("p_size") * 2).cast("string"),
+        F.lit(']}}'),
+    )
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 200)
+        .select(F.col("p_partkey").alias("pk"), j.alias("doc"))
+        .select(
+            "pk",
+            F.get_json_object("doc", "$.meta.name").alias("name"),
+            F.get_json_object("doc", "$.meta.sizes[1]").cast("long").alias("size2"),
+            F.get_json_object("doc", "$.id").cast("long").alias("id_back"),
+        )
+    )
+
+
+def o_json_extract() -> str:
+    return """
+    WITH j AS (
+      SELECT p_partkey AS pk,
+             '{"id": ' || CAST(p_partkey AS VARCHAR) ||
+             ', "meta": {"name": "' || p_name || '", "sizes": [' ||
+             CAST(p_size AS VARCHAR) || ', ' || CAST(p_size * 2 AS VARCHAR) ||
+             ']}}' AS doc
+      FROM part WHERE p_partkey <= 200
+    )
+    SELECT pk,
+           json_extract_string(doc, '$.meta.name') AS name,
+           CAST(json_extract_string(doc, '$.meta.sizes[1]') AS BIGINT) AS size2,
+           CAST(json_extract_string(doc, '$.id') AS BIGINT) AS id_back
+    FROM j
+    """
+
+
 def q_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: distinct-by-key, first wins (ON CONFLICT DO NOTHING analog)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -3963,7 +4103,9 @@ QUERIES = {
     "minhash_verified_pairs": q_minhash_verified_pairs,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "phash_neardup": q_phash_neardup,
-    "ann_ivf_recall": q_ann_ivf_recall,
+    # ann_ivf_recall demoted r5 (r4-signed; ann_pq_recall exercises the
+    # same IVF machinery + PQ codes in-window)
+    "resample_ffill": q_resample_ffill,
     "ann_pq_recall": q_ann_pq_recall,
     # multimodal + codec-in-pipeline gates
     "image_validate": q_image_validate,
@@ -3977,9 +4119,12 @@ QUERIES = {
     "raster_zonal_stats": q_raster_zonal_stats,
     "rasterize": q_rasterize,
     "polygonize": q_polygonize,
-    "raster_histogram": q_raster_histogram,
+    # raster_histogram demoted r5 (r4-signed; band_math covers the
+    # raster-reduce family in-window)
+    "pivot_summary": q_pivot_summary,
     "raster_band_math": q_raster_band_math,
-    "tile_pyramid": q_tile_pyramid,
+    # tile_pyramid demoted r5 (r4-signed; zonal/rasterize/polygonize stay)
+    "json_extract": q_json_extract,
     "mvt_tiles": q_mvt_tiles,
     # Iceberg-style DML over the checkpointed manifest table
     # (spatial_prune_scan demoted r5 — r4-signed; the pruned-scan family
@@ -4006,6 +4151,9 @@ QUERIES = {
     "mvt_lines": q_mvt_lines,
     "percentiles": q_percentiles,
     "rollup_summary": q_rollup_summary,
+    "ann_ivf_recall": q_ann_ivf_recall,
+    "raster_histogram": q_raster_histogram,
+    "tile_pyramid": q_tile_pyramid,
     "cube_summary": q_cube_summary,
     "spatial_prune_scan": q_spatial_prune_scan,
     # simple filters (driver-signed green in r3)
@@ -4077,6 +4225,9 @@ def _build_oracles() -> dict[str, str]:
     "version_range": o_version_range(),
     "argmax_latest": o_argmax_latest(),
     "window_functions": o_window_functions(),
+    "pivot_summary": o_pivot_summary(),
+    "resample_ffill": o_resample_ffill(),
+    "json_extract": o_json_extract(),
     "first_wins_dedup": o_first_wins_dedup(),
     "top1_priority": o_top1_priority(),
     "union_by_name": o_union_by_name(),
