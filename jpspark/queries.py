@@ -1008,6 +1008,36 @@ def o_resample_ffill() -> str:
     """
 
 
+def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (round 5) — wide->long, the inverse of
+    :func:`q_pivot_summary`, via the dedicated ``DataFrame.unpivot``
+    API (Spark 3.4+). Catalyst plans an Expand (each row emits one row
+    per value column) — pure codegen, no shuffle, no UDF; value columns
+    unify to double. The melt shape is how wide feature tables enter
+    long-format training pipelines."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").cast("double").alias("retail"),
+        )
+        .unpivot(["p_partkey"], ["size", "retail"], "metric", "value")
+    )
+
+
+def o_unpivot_melt() -> str:
+    # UNION ALL is the engine-neutral spelling of UNPIVOT
+    return """
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part WHERE p_partkey <= 200
+    UNION ALL
+    SELECT p_partkey, 'retail' AS metric, CAST(p_retailprice AS DOUBLE) AS value
+    FROM part WHERE p_partkey <= 200
+    """
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON path extraction (round 5): sidecar/metadata payloads are
     JSON strings at rest; the engine must slice them without a Python
@@ -4098,7 +4128,7 @@ QUERIES = {
     "window_functions": q_window_functions,
     # training-data pipeline: dedup + ANN
     "chunk_dedup": q_chunk_dedup,
-    "length_quantile_filter": q_length_quantile_filter,
+
     "dedup_exact": q_dedup_exact,
     "minhash_verified_pairs": q_minhash_verified_pairs,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -4119,9 +4149,11 @@ QUERIES = {
     "raster_zonal_stats": q_raster_zonal_stats,
     "rasterize": q_rasterize,
     "polygonize": q_polygonize,
-    # raster_histogram demoted r5 (r4-signed; band_math covers the
-    # raster-reduce family in-window)
+    # raster_histogram + length_quantile_filter demoted r5 (both
+    # r4-signed; band_math and percentiles_approx hold their families
+    # in-window)
     "pivot_summary": q_pivot_summary,
+    "unpivot_melt": q_unpivot_melt,
     "raster_band_math": q_raster_band_math,
     # tile_pyramid demoted r5 (r4-signed; zonal/rasterize/polygonize stay)
     "json_extract": q_json_extract,
@@ -4154,6 +4186,7 @@ QUERIES = {
     "ann_ivf_recall": q_ann_ivf_recall,
     "raster_histogram": q_raster_histogram,
     "tile_pyramid": q_tile_pyramid,
+    "length_quantile_filter": q_length_quantile_filter,
     "cube_summary": q_cube_summary,
     "spatial_prune_scan": q_spatial_prune_scan,
     # simple filters (driver-signed green in r3)
@@ -4226,6 +4259,7 @@ def _build_oracles() -> dict[str, str]:
     "argmax_latest": o_argmax_latest(),
     "window_functions": o_window_functions(),
     "pivot_summary": o_pivot_summary(),
+    "unpivot_melt": o_unpivot_melt(),
     "resample_ffill": o_resample_ffill(),
     "json_extract": o_json_extract(),
     "first_wins_dedup": o_first_wins_dedup(),
