@@ -444,3 +444,28 @@ def test_asof_join_backward_semantics(spark):
     assert out.loc[3, "asof"] is None or out.loc[3, "asof"]["oid"] is None
     assert out.loc[4, "asof"] is None or out.loc[4, "asof"]["oid"] is None
     assert len(out) == 4  # right rows don't surface
+
+
+def test_release_cc_spills_reclaims_dirs(spark):
+    """Long-lived-driver lifecycle: after a CC run's results are fully
+    materialized and discarded, release_cc_spills() must delete every
+    retained spill dir (edge materialization + final label cut) and
+    empty the registry — the bounded alternative to waiting for
+    interpreter exit in per-batch pipelines."""
+    import os
+
+    from jpspark.ops.dedup import _CC_CUT_DIRS
+
+    chain = [(f"r{i:03d}", f"r{i+1:03d}") for i in range(64)]
+    edges = spark.createDataFrame(chain, ["id_a", "id_b"])
+    before = set(_CC_CUT_DIRS)
+    cc = dedup.connected_components(edges)
+    got = cc.toPandas()
+    assert len(got) == 65
+    cc.unpersist()
+    del cc, got
+    new_dirs = set(_CC_CUT_DIRS) - before
+    assert new_dirs and all(os.path.isdir(d) for d in new_dirs)
+    dedup.release_cc_spills()
+    assert not _CC_CUT_DIRS
+    assert all(not os.path.isdir(d) for d in new_dirs)
