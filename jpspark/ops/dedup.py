@@ -29,6 +29,10 @@ from pyspark.sql import types as T
 # only reclaimed here at interpreter exit.
 _CC_CUT_DIRS: set[str] = set()
 
+# analyzed-plan size (chars) above which connected_components cuts label
+# lineage; ~2x this is the largest plan Catalyst ever re-analyzes
+_CC_CUT_PLAN_CHARS = 30_000
+
 # rounds used by the most recent connected_components() call on this
 # driver — observability for benchmarks (round COUNT x per-round cost is
 # the real cost model for deep graphs); not part of the result contract.
@@ -633,12 +637,14 @@ def connected_components(
     ``df.checkpoint(eager=True)`` instead — the driver-local spill
     path is only correct where driver and executors share a
     filesystem (local mode). Near-dup graphs converge in 2-4
-    rounds and pay at most one cut; ``checkpoint_interval=0`` disables
-    cutting entirely. The interval defaults LOW (2) because the pointer
-    jump is a self-join: the logical plan DOUBLES per round between
-    cuts (exponential in the interval — measured 20.4s vs 6.5s
-    end-to-end on a 260-node chain at interval 4 vs 2), while a cut
-    costs only a 2-long-columns parquet round trip.
+    rounds and (since the size trigger) never pay a label spill at all;
+    ``checkpoint_interval=0`` disables cutting entirely. Cuts are
+    SIZE-triggered rather than round-counted: the pointer jump is a
+    self-join, so the logical plan DOUBLES per round; the loop checks
+    the analyzed-plan size each round and cuts when it crosses
+    ``_CC_CUT_PLAN_CHARS`` — deep graphs stay bounded at ~2x the
+    threshold, while tiny-diameter graphs (and flat edge frames) skip
+    the parquet round trips entirely.
 
     Returns (node, component) with component = min reachable
     node id; nodes are the edge endpoints (callers left-join their full
@@ -660,14 +666,18 @@ def connected_components(
         .distinct()
     )
     cut_dir: str | None = None
-    if checkpoint_interval:
-        # cut the EDGE lineage up front: sym is referenced once per round
-        # and the pointer-jump self-join doubles every reference, so an
-        # upstream pair-finding pipeline (MinHash -> verify) embedded in
-        # sym's plan multiplies into a 10^4-line EXPLAIN by round 2 even
-        # before any label cut fires. One ids-only materialization makes
-        # every reference a flat scan — also the right barrier at scale
-        # (edges are re-read ~2x per round for O(log n) rounds).
+    # cut the EDGE lineage up front when it is worth cutting: sym is
+    # referenced once per round and the pointer-jump self-join doubles
+    # every reference, so an upstream pair-finding pipeline (MinHash ->
+    # verify) embedded in sym's plan multiplies into a 10^4-line EXPLAIN
+    # by round 2 even before any label cut fires. One ids-only
+    # materialization makes every reference a flat scan — also the right
+    # barrier at scale (edges are re-read ~2x per round). Edges that are
+    # ALREADY flat (a scan, a local relation, a simple generator — the
+    # common case for pre-materialized pair tables) skip the spill: it
+    # would cost a parquet round trip to bound a plan that is bounded.
+    sym_plan_chars = len(sym._jdf.queryExecution().analyzed().toString())
+    if checkpoint_interval and sym_plan_chars > 20_000:
         if _use_reliable:
             sym = sym.checkpoint(eager=True)
         else:
@@ -733,13 +743,21 @@ def connected_components(
             global CC_LAST_ROUNDS
             CC_LAST_ROUNDS = rnd + 1
             break
-        if checkpoint_interval and (rnd + 1) % checkpoint_interval == 0:
-            # lineage cut: spill (node, label) to parquet and restart the
-            # plan from a flat scan. The write reads the round's cache (it
-            # was just fully materialized by the convergence aggregate),
-            # so no recompute; the cache is then released and the
-            # PREVIOUS cut's files deleted — bounded plan, bounded cache,
-            # bounded disk, all deterministic.
+        if checkpoint_interval and (
+            len(labels._jdf.queryExecution().analyzed().toString())
+            > _CC_CUT_PLAN_CHARS
+        ):
+            # lineage cut, SIZE-triggered: spill (node, label) to parquet
+            # and restart the plan from a flat scan. The plan doubles per
+            # round (pointer-jump self-join), so checking its analyzed
+            # size every round is cheap by induction — it never exceeds
+            # ~2x the threshold before a cut fires — while tiny-diameter
+            # graphs over flat edge frames (the near-dup common case)
+            # never pay a spill at all. The write reads the round's cache
+            # (just materialized by the convergence aggregate), so no
+            # recompute; the cache is then released and the PREVIOUS
+            # cut's files deleted — bounded plan, cache, and disk, all
+            # deterministic.
             if _use_reliable:
                 cut = labels.checkpoint(eager=True)
                 pinned.unpersist()

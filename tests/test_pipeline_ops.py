@@ -373,9 +373,10 @@ def test_connected_components_lineage_cut_bounded_plan(spark):
     # rounds over a LogicalRDD/scan leaf
     assert len(plan) < 60_000, f"plan not cut: {len(plan)} chars"
     live = set(_CC_CUT_DIRS) - dirs0
-    # edge materialization + the FINAL label cut; superseded label cuts
-    # were deleted in-loop
-    assert len(live) == 2
+    # the FINAL label cut (superseded label cuts deleted in-loop); the
+    # edge spill is skipped here — a createDataFrame local relation is
+    # already flat, so cutting it would only add a parquet round trip
+    assert len(live) == 1
     assert all(os.path.isdir(d) for d in live)
     # cache hygiene: only the final label frame stays pinned (backs the
     # returned rows); every per-round and per-cut handle was released
