@@ -652,11 +652,14 @@ def _bloom_bits(bloom: dict, store, out_dir: str | None) -> bytes | None:
     Storage seam; legacy inline form ({"b": base64}) decodes. None when
     the blob is unavailable (missing object => never prune)."""
     # m/k in the key: identical content-addressed refs built at a
-    # different fpp must not alias each other's bitmaps
+    # different fpp must not alias each other's bitmaps. out_dir too:
+    # sidecar refs are table-root-relative (part-….bloom.col), so two
+    # tables whose part keys collide (basename-reduced legacy manifests,
+    # or a pid + fingerprint collision) must not alias process-wide.
     base = bloom.get("ref") or ("inline:" + bloom["b"] if "b" in bloom else None)
     if base is None:
         return None
-    ck = f"{base}:{bloom.get('m')}:{bloom.get('k')}"
+    ck = f"{out_dir}:{base}:{bloom.get('m')}:{bloom.get('k')}"
     cached = _BLOOM_BITS_CACHE.get(ck)
     if cached is not None:
         return cached
@@ -995,7 +998,7 @@ def write_checkpointed(
     shard_size: int = 8192,
     mode: str = "overwrite",
     bloom_cols: list[str] | None = None,
-    bloom_fpp: float = 0.01,
+    bloom_fpp: float | None = None,
 ) -> dict:
     """Write ``df`` to ``out_dir`` with per-partition commit semantics.
 
@@ -1050,6 +1053,11 @@ def write_checkpointed(
     # that don't name it inherit the table's configuration
     if bloom_cols is None:
         bloom_cols = prior.get("bloom_cols")
+    # bloom_fpp is a table property too (round-5 ADVICE): rewrites that
+    # don't name it must not silently change the filters' false-positive
+    # rate — inherit the persisted value, else the 0.01 default
+    if bloom_fpp is None:
+        bloom_fpp = float(prior.get("bloom_fpp", 0.01))
     spark = df.sparkSession
     bc_committed = spark.sparkContext.broadcast(committed)
     if num_partitions:
@@ -1125,6 +1133,7 @@ def write_checkpointed(
         }
         if bloom_cols:
             manifest["bloom_cols"] = list(bloom_cols)
+            manifest["bloom_fpp"] = float(bloom_fpp)
         if _try_commit(store, out_dir, manifest, shard_size=shard_size):
             return manifest
         base = _load_committed(store, out_dir)
@@ -1423,6 +1432,7 @@ def _delete_where_once(spark, out_dir: str, filters, store, shard_size: int) -> 
 
     prior = _load_committed(store, out_dir)
     bloom_cols = prior.get("bloom_cols")
+    bloom_fpp = float(prior.get("bloom_fpp", 0.01))
     parts = prior.get("partitions", {})
     if not parts:
         raise ValueError(f"delete_where: no committed snapshot under {out_dir}")
@@ -1473,7 +1483,7 @@ def _delete_where_once(spark, out_dir: str, filters, store, shard_size: int) -> 
                 {
                     "partition_id": [pid], "fingerprint": [fp],
                     "row_count": [len(pdf)], "bytes": [store.size(out_dir, key)],
-                    "path": [key], "col_stats": [json.dumps(_col_stats_sidecar_blooms(_col_stats(pdf, bloom_cols), store, out_dir, key))],
+                    "path": [key], "col_stats": [json.dumps(_col_stats_sidecar_blooms(_col_stats(pdf, bloom_cols, bloom_fpp), store, out_dir, key))],
                 }
             )
 
@@ -1504,7 +1514,7 @@ def _delete_where_once(spark, out_dir: str, filters, store, shard_size: int) -> 
         "version": int(prior.get("version", 0) or 0) + 1,
         "lineage": f"delete_where {filters!r} ({report['files_rewritten']}/{report['files_total']} files rewritten)",
         "schema": prior.get("schema"),
-        **({"bloom_cols": list(prior["bloom_cols"])} if prior.get("bloom_cols") else {}),
+        **({"bloom_cols": list(prior["bloom_cols"]), "bloom_fpp": bloom_fpp} if prior.get("bloom_cols") else {}),
         "committed_at": time.time(),
         "total_rows": rows_after,
         "partitions": new_entries,
@@ -1540,6 +1550,7 @@ def _update_where_once(spark, out_dir: str, filters, set_exprs: dict, store, sha
 
     prior = _load_committed(store, out_dir)
     bloom_cols = prior.get("bloom_cols")
+    bloom_fpp = float(prior.get("bloom_fpp", 0.01))
     parts = prior.get("partitions", {})
     if not parts:
         raise ValueError(f"update_where: no committed snapshot under {out_dir}")
@@ -1587,7 +1598,7 @@ def _update_where_once(spark, out_dir: str, filters, set_exprs: dict, store, sha
                 {
                     "partition_id": [pid], "fingerprint": [fp],
                     "row_count": [len(pdf)], "bytes": [store.size(out_dir, key)],
-                    "path": [key], "col_stats": [json.dumps(_col_stats_sidecar_blooms(_col_stats(pdf, bloom_cols), store, out_dir, key))],
+                    "path": [key], "col_stats": [json.dumps(_col_stats_sidecar_blooms(_col_stats(pdf, bloom_cols, bloom_fpp), store, out_dir, key))],
                 }
             )
 
@@ -1614,7 +1625,7 @@ def _update_where_once(spark, out_dir: str, filters, set_exprs: dict, store, sha
         "version": int(prior.get("version", 0) or 0) + 1,
         "lineage": f"update_where {filters!r} ({report['files_rewritten']}/{report['files_total']} files rewritten)",
         "schema": prior.get("schema"),
-        **({"bloom_cols": list(prior["bloom_cols"])} if prior.get("bloom_cols") else {}),
+        **({"bloom_cols": list(prior["bloom_cols"]), "bloom_fpp": bloom_fpp} if prior.get("bloom_cols") else {}),
         "committed_at": time.time(),
         "total_rows": sum(int(p["row_count"]) for p in new_entries.values()),
         "partitions": new_entries,

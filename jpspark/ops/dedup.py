@@ -660,6 +660,23 @@ def connected_components(
     # reclaims them). The local spill remains the local-mode default
     # because its cleanup is deterministic.
     _use_reliable = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+    # runtime guard, not just a docstring: on a non-local master without a
+    # checkpoint dir, the tempfile spill would scatter label/edge parquet
+    # across executor-local disks and the driver-side re-read would lose
+    # data silently. Fail loud with the fix spelled out.
+    if (
+        checkpoint_interval
+        and not _use_reliable
+        and not spark.sparkContext._jsc.sc().isLocal()
+    ):
+        raise RuntimeError(
+            "connected_components: lineage cuts on a non-local master need a "
+            "cluster-visible checkpoint dir — call "
+            "spark.sparkContext.setCheckpointDir('<shared path>') first "
+            "(the driver-local parquet spill is only correct in local mode), "
+            "or pass checkpoint_interval=0 to disable cutting for "
+            "small-diameter graphs"
+        )
     sym = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

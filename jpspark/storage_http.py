@@ -122,7 +122,10 @@ class HttpStorage:
         return None if b is None else b.decode()
 
     def get_table(self, root: str, key: str) -> "pa.Table":
-        return pq.read_table(io.BytesIO(self.get_bytes(root, key)))
+        b = self.get_bytes(root, key)
+        if b is None:  # 404 → the seam's not-found contract, not TypeError
+            raise FileNotFoundError(self._k(root, key))
+        return pq.read_table(io.BytesIO(b))
 
     def _head(self, root: str, key: str):
         try:

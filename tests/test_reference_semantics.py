@@ -1003,6 +1003,8 @@ def test_http_storage_seam_primitives():
         assert st.get_bytes(root, "missing") is None
         assert st.get_text(root, "missing") is None
         assert not st.exists(root, "missing")
+        with pytest.raises(FileNotFoundError):  # not TypeError on BytesIO(None)
+            st.get_table(root, "missing.parquet")
         with pytest.raises(FileNotFoundError):
             st.delete(root, "missing")
         st.put_text(root, "a/one.json", '{"v":1}')
@@ -1052,9 +1054,15 @@ def test_bloom_filter_file_skipping(spark, tmp_path):
         ((F.col("id") * 2654435761) % 1000003).alias("v"),
         F.concat(F.lit("tag-"), ((F.col("id") * 40503) % 997).cast("string")).alias("tag"),
     )
-    m = mf.write_checkpointed(df, out, num_partitions=16, bloom_cols=["v", "tag"])
+    # fpp=1e-4 so the zero-files assertions below have real margin
+    # (16 files at the 0.01 default leave ~15% aggregate false-positive
+    # odds — they'd flip non-obviously on any partitioning change)
+    m = mf.write_checkpointed(
+        df, out, num_partitions=16, bloom_cols=["v", "tag"], bloom_fpp=1e-4
+    )
     parts = m["partitions"]
     assert len(parts) == 16
+    assert m["bloom_fpp"] == 1e-4  # persisted as a table property
     probe = (12345 * 2654435761) % 1000003
     # every file's range admits the probe -> any pruning below is bloom's
     for meta in parts.values():
@@ -1078,6 +1086,13 @@ def test_bloom_filter_file_skipping(spark, tmp_path):
         pv = (pid * 2654435761) % 1000003
         gotp, _ = mf.scan(spark, out, [("v", "=", pv)])
         assert pid in [r["id"] for r in gotp.collect()]
+    # a DML rewrite inherits the table's bloom_fpp (round-5 ADVICE):
+    # rebuilt filters keep the same false-positive rate, so the absent
+    # probe still prunes to zero files after the rewrite
+    m5 = mf.delete_where(spark, out, [("id", "=", 7777)])
+    assert m5["bloom_fpp"] == 1e-4
+    _, rep5 = mf.scan(spark, out, [("v", "=", 1000002)])
+    assert rep5["files_read"] == 0
 
 
 def test_bloom_primitives_deterministic():
