@@ -798,7 +798,7 @@ def scan(
             meta.get("stats") or {}, int(meta["row_count"]), filters,
             bloom_ctx=(store, out_dir),
         ):
-            keep.append(store.uri(out_dir, _part_key(meta["path"])))
+            keep.append(_part_key(meta["path"]))
         else:
             report["rows_skipped"] += int(meta["row_count"])
             report["bytes_skipped"] += int(meta["bytes"])
@@ -806,7 +806,7 @@ def scan(
     if not keep:
         df = read_snapshot(spark, out_dir, version=version, storage=store).limit(0)
     else:
-        df = spark.read.parquet(*keep)
+        df = _read_parts(spark, out_dir, keep, store, m, filters=filters)
     from pyspark.sql import functions as F
 
     for col, op, value in filters:
@@ -823,6 +823,100 @@ def _part_key(stored_path: str) -> str:
     pre-seam manifests stored absolute paths whose part files always sat
     directly under the table root, so the basename IS the key."""
     return os.path.basename(stored_path) if os.path.isabs(stored_path) else stored_path
+
+
+def _snapshot_spark_schema(spark, store, out_dir: str, m: dict, keys):
+    """The Spark schema a snapshot's rows carry: the manifest's declared
+    schema (``df.schema.simpleString()`` at commit time — DML commits
+    carry it forward), falling back to the first part file's parquet
+    footer for pre-schema manifests (one driver-side GET)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    s = m.get("schema")
+    if s:
+        return _parse_datatype_string(s)
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    return from_arrow_schema(store.get_table(out_dir, keys[0]).schema)
+
+
+_PA_FILTER_OPS = {"=": "==", "<": "<", "<=": "<=", ">": ">", ">=": ">=", "in": "in"}
+
+
+def _read_parts(spark, out_dir: str, keys, store, m: dict, filters=None):
+    """DataFrame over a manifest's part-file keys.
+
+    Filesystem-addressable stores hand Spark native parquet URIs — the
+    fast path, with parquet row-group pushdown, vectorized decode, and
+    data-locality scheduling all owned by Spark. Object stores with no
+    filesystem address (``uri()`` raises NotImplementedError: the HTTP/S3
+    shape, the in-memory KV) read the DATA PLANE through the Storage seam
+    instead: the driver ships only the key list; each executor task
+    fetches its part objects with ``get_bytes`` and decodes them
+    from the buffer with pyarrow inside ``mapInArrow`` — no local
+    filesystem, no driver round-trip, one task per file (the reference
+    analog is its streamed HTTP download path,
+    /root/reference/src/downloader.rs:33-107, which also never lands
+    source bytes on the driver). Manifest-level stats/Bloom pruning has
+    already happened in the caller; ``filters`` (the scan's conjunction)
+    is additionally pushed into the pyarrow reader for row-group-level
+    pruning inside each fetched object — best-effort, the caller's
+    residual Spark predicate still runs."""
+    try:
+        uris = [store.uri(out_dir, k) for k in keys]
+    except NotImplementedError:
+        uris = None
+    if uris is not None:
+        return spark.read.parquet(*uris)
+
+    schema = _snapshot_spark_schema(spark, store, out_dir, m, keys)
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = pa.schema([f.with_nullable(True) for f in to_arrow_schema(schema)])
+    pa_filters = None
+    if filters:
+        try:
+            pa_filters = [
+                (c, _PA_FILTER_OPS[op], list(v) if op == "in" else v)
+                for c, op, v in filters
+            ]
+        except (KeyError, TypeError):
+            pa_filters = None  # unknown op: skip reader-level pushdown
+
+    def fetch(batches):
+        import io as _io
+
+        for kb in batches:
+            for key in kb.column(0).to_pylist():
+                buf = store.get_bytes(out_dir, key)
+                if buf is None:
+                    raise FileNotFoundError(f"{out_dir}: missing part object {key}")
+                try:
+                    tbl = pq.read_table(_io.BytesIO(buf), filters=pa_filters)
+                except (pa.ArrowInvalid, OSError, ValueError):
+                    if pa_filters is None:
+                        raise
+                    # filter pushdown is opportunistic (e.g. a probe type the
+                    # reader can't compare): fall back to a plain decode; the
+                    # caller's Spark-side residual keeps semantics exact
+                    tbl = pq.read_table(_io.BytesIO(buf))
+                # align to the snapshot schema: evolution-carried files may
+                # lack newer columns (null-fill) or need a widening cast
+                cols = []
+                for f in target:
+                    if f.name in tbl.schema.names:
+                        c = tbl.column(f.name)
+                        cols.append(c.cast(f.type) if c.type != f.type else c)
+                    else:
+                        cols.append(pa.nulls(tbl.num_rows, f.type))
+                for rb in pa.table(cols, schema=target).to_batches(8192):
+                    yield rb
+
+    n_tasks = min(len(keys), max(spark.sparkContext.defaultParallelism * 4, 1))
+    keys_df = spark.createDataFrame(
+        [(k,) for k in keys], "__part_key string"
+    ).repartition(n_tasks)
+    return keys_df.mapInArrow(fetch, schema)
 
 
 _ROOT_MANIFEST_RE = None  # compiled lazily (re import kept local)
@@ -1166,13 +1260,10 @@ def read_snapshot(spark, out_dir: str, version: int | None = None, storage=None)
         if text is None:
             raise FileNotFoundError(f"no snapshot version {version} under {out_dir}")
         m = _resolve_partitions(json.loads(text), out_dir, store)
-    uris = [
-        store.uri(out_dir, _part_key(meta["path"]))
-        for meta in m.get("partitions", {}).values()
-    ]
-    if not uris:
+    keys = [_part_key(meta["path"]) for meta in m.get("partitions", {}).values()]
+    if not keys:
         raise ValueError(f"snapshot has no committed partitions: {out_dir} v{version}")
-    return spark.read.parquet(*uris)
+    return _read_parts(spark, out_dir, keys, store, m)
 
 
 def snapshots(out_dir: str, storage=None) -> list[dict]:
@@ -1454,8 +1545,10 @@ def _delete_where_once(spark, out_dir: str, filters, store, shard_size: int) -> 
     }
     new_entries = dict(kept_entries)
     if affected:
-        uris = [store.uri(out_dir, _part_key(m["path"])) for m in affected.values()]
-        df = spark.read.parquet(*uris)
+        df = _read_parts(
+            spark, out_dir,
+            [_part_key(m["path"]) for m in affected.values()], store, prior,
+        )
         keep_pred = None
         for col, op, value in filters:
             c = _FILTER_OPS[op](F.col(col), value)
@@ -1566,8 +1659,10 @@ def _update_where_once(spark, out_dir: str, filters, set_exprs: dict, store, sha
     report = {"files_total": len(parts), "files_rewritten": len(affected)}
     new_entries = dict(kept_entries)
     if affected:
-        uris = [store.uri(out_dir, _part_key(m["path"])) for m in affected.values()]
-        df = spark.read.parquet(*uris)
+        df = _read_parts(
+            spark, out_dir,
+            [_part_key(m["path"]) for m in affected.values()], store, prior,
+        )
         pred = None
         for col, op, value in filters:
             c = _FILTER_OPS[op](F.col(col), value)
@@ -1671,4 +1766,4 @@ def read_incremental(
     added = sorted(keys_to - keys_from)
     if not added:
         return read_snapshot(spark, out_dir, version=to_version, storage=store).limit(0)
-    return spark.read.parquet(*[store.uri(out_dir, k) for k in added])
+    return _read_parts(spark, out_dir, added, store, m_to)

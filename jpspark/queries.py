@@ -3869,6 +3869,105 @@ def o_bloom_prune_scan() -> str:
     """
 
 
+def q_http_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP object-store DATA PLANE end-to-end (round 6; the round-5
+    verdict's #1 ask): the events table round-trips through a real
+    loopback HTTP object store — distributed mapInPandas sink PUTs over
+    sockets, OCC commit, an append, then every READ path runs against
+    the store with NO filesystem address: ``read_snapshot`` (executors
+    GET part objects and decode them from buffers inside ``mapInArrow``
+    — manifest._read_parts), a stats+Bloom-pruned ``scan`` (the query
+    RAISES unless files were actually skipped, and unless the store
+    really is non-addressable), and the ``read_incremental`` append
+    stream. This is the S3-shaped deployment: commit protocol AND data
+    plane both over HTTP, driver never holds table bytes. Reference
+    analog: the streamed HTTP download path that likewise never lands
+    source bytes on the driver (/root/reference/src/downloader.rs:33-107).
+    The oracle recomputes all aggregates closed-form."""
+    from . import manifest as mf
+    from .storage_http import HttpStoreServer
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value",
+        ((F.col("event_id") * 2654435761) % 1000003).alias("v"),
+    )
+    # deterministic split: first batch = even ids, append = odd ids
+    first = ev.filter(F.col("event_id") % 2 == 0).repartitionByRange(8, "event_id")
+    second = ev.filter(F.col("event_id") % 2 == 1).repartitionByRange(4, "event_id")
+    probe_id = ev.agg(F.max("event_id")).collect()[0][0]
+    probe_v = (int(probe_id) * 2654435761) % 1000003
+    srv = HttpStoreServer()
+    try:
+        store = srv.client()
+        out_dir = "bucket/events_rt"
+        try:
+            store.uri(out_dir, "x")
+            raise RuntimeError("store unexpectedly filesystem-addressable")
+        except NotImplementedError:
+            pass  # the point: no filesystem address, data plane is HTTP GET
+        mf.write_checkpointed(
+            first, out_dir, lineage="http roundtrip v1", storage=store,
+            bloom_cols=["v"],
+        )
+        mf.write_checkpointed(
+            second, out_dir, lineage="http roundtrip v2", storage=store,
+            mode="append",
+        )
+        snap = mf.read_snapshot(spark, out_dir, storage=store)
+        full = snap.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("event_id").alias("sum_id"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        ).collect()[0]
+        # pruned point-lookup over HTTP: only admitted files are fetched
+        got, rep = mf.scan(spark, out_dir, [("v", "=", probe_v)], storage=store)
+        if not rep["files_read"] < rep["files_total"]:
+            raise RuntimeError(f"scan pruned nothing over the HTTP store: {rep}")
+        probe_rows = got.agg(
+            F.count("*").alias("n"), F.sum("event_id").alias("s")
+        ).collect()[0]
+        inc = mf.read_incremental(spark, out_dir, 1, storage=store).agg(
+            F.count("*").alias("n"), F.sum("event_id").alias("s")
+        ).collect()[0]
+    finally:
+        srv.shutdown()
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "n_rows": [int(full.n_rows)],
+                "sum_id": [int(full.sum_id)],
+                "sum_value": [float(full.sum_value)],
+                "probe_matches": [int(probe_rows.n)],
+                "probe_sum_id": [int(probe_rows.s)],
+                "appended_rows": [int(inc.n)],
+                "appended_sum_id": [int(inc.s)],
+            }
+        )
+    )
+
+
+def o_http_store_roundtrip() -> str:
+    return """
+    WITH probe AS (
+      SELECT (MAX(event_id) * 2654435761) % 1000003 AS pv FROM events
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(event_id) AS BIGINT) AS sum_id,
+      ROUND(SUM(value), 3) AS sum_value,
+      CAST(SUM(CASE WHEN (event_id * 2654435761) % 1000003 = probe.pv
+               THEN 1 ELSE 0 END) AS BIGINT) AS probe_matches,
+      CAST(SUM(CASE WHEN (event_id * 2654435761) % 1000003 = probe.pv
+               THEN event_id END) AS BIGINT) AS probe_sum_id,
+      CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS appended_rows,
+      CAST(SUM(CASE WHEN event_id % 2 = 1 THEN event_id END) AS BIGINT)
+        AS appended_sum_id
+    FROM events, probe
+    GROUP BY probe.pv
+    """
+
+
 def q_delete_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write DELETE through the manifest table format
     (manifest.delete_where): write the event points Z-order-clustered,
@@ -4163,6 +4262,9 @@ QUERIES = {
     # stays in-window via the new bloom_prune_scan and delete_snapshot)
     "delete_snapshot": q_delete_snapshot,
     "bloom_prune_scan": q_bloom_prune_scan,
+    # round-6: HTTP object-store data plane end-to-end (enters the window
+    # its landing round; cluster_centroid demoted — r5-signed)
+    "http_store_roundtrip": q_http_store_roundtrip,
     # round-4 additions: scale-safe OLAP + the guard-contract gate
     "percentiles_approx": q_percentiles_approx,
     "knn_flag_guard": q_knn_flag_guard,
@@ -4171,8 +4273,9 @@ QUERIES = {
     # each r4-signed with an in-window sibling covering the same surface
     "geo_knn_scaled": q_geo_knn_scaled,
     "audio_probe": q_audio_probe,
-    "cluster_centroid": q_cluster_centroid,
     # ---- end of driver-gate window (50) ----
+    # cluster_centroid demoted r6 (r5-signed) for http_store_roundtrip
+    "cluster_centroid": q_cluster_centroid,
     # shuffle/scaled twins of driver-signed broadcast queries
     # (broadcast siblings in-window; these r3/r4-signed)
     "geo_pip_assign": q_geo_pip_assign,
@@ -4318,6 +4421,7 @@ def _build_oracles() -> dict[str, str]:
     "stream_mvt_ingest": o_mvt_tiles(),
     "spatial_prune_scan": o_spatial_prune_scan(),
     "bloom_prune_scan": o_bloom_prune_scan(),
+    "http_store_roundtrip": o_http_store_roundtrip(),
     "mvt_lines": o_mvt_lines(),
     "geo_measures": o_geo_measures(),
     "raster_histogram": o_raster_histogram(),
