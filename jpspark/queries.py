@@ -3968,6 +3968,135 @@ def o_http_store_roundtrip() -> str:
     """
 
 
+def _overlay_layer(
+    spark: SparkSession, sf_dir: str, id_name: str,
+    x_org: float, y_org: float, dx: float, dy: float, w: float, h: float,
+) -> DataFrame:
+    """25 axis-aligned rectangles keyed by n_nationkey on a 5x5 lattice —
+    binary-fraction coords throughout, so the closed-form SQL oracle's
+    LEAST/GREATEST intersection arithmetic is bit-exact. Built
+    distributed (mapInPandas over the nation table), WKB like any real
+    layer."""
+    from .geom import wkb as _wkb
+
+    def gen(batches):
+        for pdf in batches:
+            keys = pdf["k"].to_numpy()
+            geoms = []
+            for k in keys:
+                i, j = int(k) % 5, int(k) // 5
+                x0, y0 = x_org + i * dx, y_org + j * dy
+                ring = np.array(
+                    [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                     [x0, y0 + h], [x0, y0]]
+                )
+                geoms.append(_wkb.encode_multipolygon([[ring]]))
+            yield pd.DataFrame({id_name: keys.astype(np.int64), "geom": geoms})
+
+    keys = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k")
+    )
+    return keys.mapInPandas(gen, f"{id_name} long, geom binary")
+
+
+_OVL_A = (122.0, 20.0, 6.5, 5.25, 6.0, 4.75)   # origin, stride, size
+_OVL_B = (121.25, 20.5, 6.25, 5.0, 4.5, 3.5)
+
+
+def _overlay_oracle_grids() -> str:
+    ax, ay, adx, ady, aw, ah = _OVL_A
+    bx, by, bdx, bdy, bw, bh = _OVL_B
+    return f"""
+    a AS (SELECT n_nationkey AS a_id,
+        CAST({ax} AS DOUBLE) + (n_nationkey % 5) * CAST({adx} AS DOUBLE) AS ax0,
+        CAST({ay} AS DOUBLE) + (n_nationkey // 5) * CAST({ady} AS DOUBLE) AS ay0
+      FROM nation),
+    b AS (SELECT n_nationkey AS b_id,
+        CAST({bx} AS DOUBLE) + (n_nationkey % 5) * CAST({bdx} AS DOUBLE) AS bx0,
+        CAST({by} AS DOUBLE) + (n_nationkey // 5) * CAST({bdy} AS DOUBLE) AS by0
+      FROM nation),
+    pairs AS (
+      SELECT a_id, b_id,
+        GREATEST(CAST(0 AS DOUBLE),
+          LEAST(ax0 + CAST({aw} AS DOUBLE), bx0 + CAST({bw} AS DOUBLE))
+          - GREATEST(ax0, bx0)) *
+        GREATEST(CAST(0 AS DOUBLE),
+          LEAST(ay0 + CAST({ah} AS DOUBLE), by0 + CAST({bh} AS DOUBLE))
+          - GREATEST(ay0, by0)) AS inter_area
+      FROM a CROSS JOIN b)
+    """
+
+
+def q_overlay_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General polygon-overlay (round 6; the reference's PostGIS
+    ST_Intersection/ST_Area consumption pattern,
+    /root/reference/NOTES.md:96-133): pairwise intersection areas of two
+    polygon layers via ops/overlay.py — cell-cover candidate pairs
+    (ids-only exchange), bbox prefilter, exact signed-fan + convex-clip
+    kernel per surviving pair. The layers are axis-aligned rectangles on
+    binary-fraction lattices, so the oracle recomputes every area
+    closed-form; the Spark side still runs the fully general kernel
+    (fan triangulation, S-H clipping — same code path as non-convex
+    inputs, proven on L-shapes/holes/reflex polygons in pytest)."""
+    from .ops import overlay
+
+    la = _overlay_layer(spark, sf_dir, "a_id", *_OVL_A)
+    lb = _overlay_layer(spark, sf_dir, "b_id", *_OVL_B)
+    out = overlay.overlay_intersection(la, lb, "a_id", "b_id", res=5)
+    return out.select(
+        "a_id", "b_id", F.round("inter_area", 6).alias("inter_area")
+    )
+
+
+def o_overlay_intersection() -> str:
+    return f"""
+    WITH {_overlay_oracle_grids()}
+    SELECT a_id, b_id, ROUND(inter_area, 6) AS inter_area
+    FROM pairs WHERE inter_area > 0
+    """
+
+
+def q_area_weighted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area-weighted areal interpolation (round 6): apportion each B
+    zone's numeric attributes onto the A zones by intersection-area
+    share, out[a] = SUM_b value_b * area(a∩b)/area(b) — the classic
+    transfer between incompatible zonings (census zones → grid mesh;
+    the A38-zones-onto-N03-municipalities follow-on of the reference's
+    documented join, /root/reference/NOTES.md:96-133). Values are
+    closed-form functions of the B key so the oracle replays the whole
+    interpolation in SQL."""
+    from .ops import overlay
+
+    la = _overlay_layer(spark, sf_dir, "a_id", *_OVL_A)
+    lb = _overlay_layer(spark, sf_dir, "b_id", *_OVL_B).withColumn(
+        "pop", F.col("b_id").cast("double") * 3.0 + 10.0
+    ).withColumn(
+        "households", F.col("b_id").cast("double") * 0.5 + 2.0
+    )
+    out = overlay.area_weighted_join(
+        la, lb, "a_id", "b_id", ["pop", "households"], res=5
+    )
+    return out.select(
+        "a_id",
+        F.round("pop", 6).alias("pop"),
+        F.round("households", 6).alias("households"),
+    )
+
+
+def o_area_weighted_join() -> str:
+    _, _, _, _, bw, bh = _OVL_B
+    return f"""
+    WITH {_overlay_oracle_grids()}
+    SELECT a_id,
+      ROUND(SUM((CAST(b_id AS DOUBLE) * CAST(3 AS DOUBLE) + CAST(10 AS DOUBLE))
+            * inter_area / CAST({bw * bh} AS DOUBLE)), 6) AS pop,
+      ROUND(SUM((CAST(b_id AS DOUBLE) * CAST(0.5 AS DOUBLE) + CAST(2 AS DOUBLE))
+            * inter_area / CAST({bw * bh} AS DOUBLE)), 6) AS households
+    FROM pairs WHERE inter_area > 0
+    GROUP BY a_id
+    """
+
+
 def q_delete_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write DELETE through the manifest table format
     (manifest.delete_where): write the event points Z-order-clustered,
@@ -4209,7 +4338,6 @@ QUERIES = {
     # streaming
     "stream_window_counts": q_stream_window_counts,
     "stream_sessionize": q_stream_sessionize,
-    "stream_dedup": q_stream_dedup,
     "stream_geo_enrich": q_stream_geo_enrich,
     "stream_mvt_ingest": q_stream_mvt_ingest,
     "stream_asof_enrich": q_stream_asof_enrich,
@@ -4265,17 +4393,24 @@ QUERIES = {
     # round-6: HTTP object-store data plane end-to-end (enters the window
     # its landing round; cluster_centroid demoted — r5-signed)
     "http_store_roundtrip": q_http_store_roundtrip,
+    # round-6: general polygon-overlay (demoted: geo_knn_scaled r5-signed,
+    # stream_dedup r5-signed)
+    "overlay_intersection": q_overlay_intersection,
+    "area_weighted_join": q_area_weighted_join,
     # round-4 additions: scale-safe OLAP + the guard-contract gate
     "percentiles_approx": q_percentiles_approx,
     "knn_flag_guard": q_knn_flag_guard,
     # round-5 window promotions (never driver-signed before this round);
     # demoted to make room: minhash_lsh_pairs, mvt_lines, percentiles —
     # each r4-signed with an in-window sibling covering the same surface
-    "geo_knn_scaled": q_geo_knn_scaled,
     "audio_probe": q_audio_probe,
     # ---- end of driver-gate window (50) ----
-    # cluster_centroid demoted r6 (r5-signed) for http_store_roundtrip
+    # cluster_centroid demoted r6 (r5-signed) for http_store_roundtrip;
+    # geo_knn_scaled + stream_dedup demoted r6 (both r5-signed) for the
+    # overlay pair
     "cluster_centroid": q_cluster_centroid,
+    "geo_knn_scaled": q_geo_knn_scaled,
+    "stream_dedup": q_stream_dedup,
     # shuffle/scaled twins of driver-signed broadcast queries
     # (broadcast siblings in-window; these r3/r4-signed)
     "geo_pip_assign": q_geo_pip_assign,
@@ -4422,6 +4557,8 @@ def _build_oracles() -> dict[str, str]:
     "spatial_prune_scan": o_spatial_prune_scan(),
     "bloom_prune_scan": o_bloom_prune_scan(),
     "http_store_roundtrip": o_http_store_roundtrip(),
+    "overlay_intersection": o_overlay_intersection(),
+    "area_weighted_join": o_area_weighted_join(),
     "mvt_lines": o_mvt_lines(),
     "geo_measures": o_geo_measures(),
     "raster_histogram": o_raster_histogram(),
