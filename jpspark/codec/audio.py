@@ -405,3 +405,249 @@ def encode_mp3_frames(
         frame[0:4] = bytes((b0, b1, b2, b3))
         out += frame
     return bytes(out)
+
+
+# ---------------------------------------------------------------- AAC/ADTS
+# Same catalog-pass contract as probe_mp3: duration / rate / channels from
+# pure header arithmetic (ISO/IEC 13818-7 ADTS syntax), full AAC decode
+# stays environment-blocked. The reference never parses audio at all
+# (shells everything to GDAL, /root/reference/src/loader/gdal.rs:113-141).
+
+_ADTS_SR = (
+    96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350,
+)
+
+
+def parse_adts_header(buf: bytes, off: int = 0) -> dict | None:
+    """One ADTS frame header at ``off`` -> {sample_rate, channels,
+    profile, frame_bytes, samples, crc}; None if not a valid header.
+    ``samples`` honors number_of_raw_data_blocks (each block = 1024)."""
+    if off + 7 > len(buf):
+        return None
+    b = buf[off : off + 7]
+    if b[0] != 0xFF or (b[1] & 0xF6) != 0xF0:  # 12-bit sync + layer 00
+        return None
+    protection_absent = b[1] & 0x1
+    profile = (b[2] >> 6) & 0x3
+    sr_idx = (b[2] >> 2) & 0xF
+    if sr_idx >= len(_ADTS_SR):
+        return None
+    channels = ((b[2] & 0x1) << 2) | ((b[3] >> 6) & 0x3)
+    frame_bytes = ((b[3] & 0x3) << 11) | (b[4] << 3) | ((b[5] >> 5) & 0x7)
+    rdb = b[6] & 0x3
+    header_len = 7 if protection_absent else 9
+    if frame_bytes < header_len:
+        return None
+    return {
+        "sample_rate": _ADTS_SR[sr_idx],
+        "channels": channels,
+        "profile": profile,
+        "frame_bytes": frame_bytes,
+        "samples": (rdb + 1) * 1024,
+        "crc": not protection_absent,
+    }
+
+
+def probe_adts(buf: bytes) -> dict:
+    """Walk an ADTS (AAC transport) frame chain -> {n_frames,
+    sample_rate, channels, profile, duration_sec, n_samples}. Raises on
+    streams with no valid frame (a zero probe would let corrupt objects
+    slide through the catalog); stops at a sample-rate change (stream
+    boundary)."""
+    buf = bytes(buf)
+    off, n, sr, ch, prof, total = 0, 0, None, None, None, 0
+    while off + 7 <= len(buf):
+        h = parse_adts_header(buf, off)
+        if h is None:
+            if n:
+                break  # trailing junk after the chain
+            off += 1  # resync scan before the first frame
+            continue
+        if sr is None:
+            sr, ch, prof = h["sample_rate"], h["channels"], h["profile"]
+        elif h["sample_rate"] != sr:
+            break
+        n += 1
+        total += h["samples"]
+        off += h["frame_bytes"]
+    if n == 0:
+        raise ValueError("probe_adts: no valid ADTS frame found")
+    return {
+        "n_frames": n,
+        "sample_rate": sr,
+        "channels": ch,
+        "profile": prof,
+        "duration_sec": total / sr,
+        "n_samples": total,
+    }
+
+
+def encode_adts_frames(
+    n_frames: int,
+    sample_rate: int = 48000,
+    channels: int = 2,
+    profile: int = 1,
+    payload_bytes: int = 200,
+    rdb: int = 0,
+) -> bytes:
+    """Fixture writer: a syntactically valid ADTS chain (correct headers,
+    zeroed AAC payloads — same honesty contract as encode_mp3_frames).
+    Payload size varies deterministically per frame (+i%7) so the walker
+    proves it follows frame_length, not a constant stride."""
+    sr_idx = _ADTS_SR.index(sample_rate)
+    out = bytearray()
+    for i in range(n_frames):
+        plen = payload_bytes + (i % 7)
+        frame_bytes = 7 + plen
+        h = bytearray(7)
+        h[0] = 0xFF
+        h[1] = 0xF1  # MPEG-4, layer 00, protection_absent=1
+        h[2] = (profile << 6) | (sr_idx << 2) | ((channels >> 2) & 0x1)
+        h[3] = ((channels & 0x3) << 6) | ((frame_bytes >> 11) & 0x3)
+        h[4] = (frame_bytes >> 3) & 0xFF
+        h[5] = ((frame_bytes & 0x7) << 5) | 0x1F  # buffer fullness hi
+        h[6] = (0x3F << 2) | (rdb & 0x3)          # fullness lo + rdb
+        out += h + bytes(plen)
+    return bytes(out)
+
+
+# --------------------------------------------------------------- Ogg/Opus
+# RFC 3533 (Ogg framing) + RFC 7845 (Opus-in-Ogg): duration comes from
+# the final page's granule position (48 kHz ticks) minus the OpusHead
+# pre-skip — exactly how ffprobe reports Opus duration, no packet decode.
+
+_OGG_CRC_TABLE = None
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC: CRC-32, poly 0x04C11DB7, init 0, no reflection, no
+    final xor (RFC 3533 A.2)."""
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        tbl = []
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if r & 0x80000000 else (r << 1) & 0xFFFFFFFF
+            tbl.append(r)
+        _OGG_CRC_TABLE = tbl
+    crc = 0
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[((crc >> 24) & 0xFF) ^ byte]
+    return crc
+
+
+def _ogg_page(
+    payload: bytes, lacing: list[int], granule: int, serial: int,
+    seq: int, header_type: int,
+) -> bytes:
+    head = bytearray(b"OggS")
+    head += bytes((0, header_type))
+    head += int(granule).to_bytes(8, "little", signed=True)
+    head += int(serial).to_bytes(4, "little")
+    head += int(seq).to_bytes(4, "little")
+    head += bytes(4)  # CRC placeholder
+    head += bytes((len(lacing),))
+    head += bytes(lacing)
+    page = bytes(head) + payload
+    crc = _ogg_crc(page)
+    return page[:22] + crc.to_bytes(4, "little") + page[26:]
+
+
+def probe_ogg_opus(buf: bytes) -> dict:
+    """Walk Ogg pages of an Opus stream -> {channels, pre_skip,
+    input_sample_rate, n_pages, n_packets, duration_sec}. Every page CRC
+    is VERIFIED (an unchecked walk can report durations from corrupt
+    granule words); duration = (last granule - pre_skip) / 48000 per
+    RFC 7845 §4/§5.1. Raises without a BOS OpusHead page."""
+    buf = bytes(buf)
+    off, n_pages, n_packets = 0, 0, 0
+    channels = pre_skip = input_rate = None
+    last_granule = 0
+    while off + 27 <= len(buf):
+        if buf[off : off + 4] != b"OggS":
+            raise ValueError(f"probe_ogg_opus: bad capture pattern at {off}")
+        n_seg = buf[off + 26]
+        lacing = buf[off + 27 : off + 27 + n_seg]
+        body_len = sum(lacing)
+        page_end = off + 27 + n_seg + body_len
+        if page_end > len(buf):
+            raise ValueError("probe_ogg_opus: truncated page")
+        page = buf[off:page_end]
+        stated = int.from_bytes(page[22:26], "little")
+        if _ogg_crc(page[:22] + bytes(4) + page[26:]) != stated:
+            raise ValueError(f"probe_ogg_opus: page {n_pages} CRC mismatch")
+        granule = int.from_bytes(page[6:14], "little", signed=True)
+        body = page[27 + n_seg :]
+        if n_pages == 0:
+            if body[:8] != b"OpusHead":
+                raise ValueError("probe_ogg_opus: first page is not OpusHead")
+            channels = body[9]
+            pre_skip = int.from_bytes(body[10:12], "little")
+            input_rate = int.from_bytes(body[12:16], "little")
+        # completed packets on this page = lacing values < 255 (RFC 3533)
+        n_packets += sum(1 for v in lacing if v < 255)
+        if granule >= 0:
+            last_granule = granule
+        n_pages += 1
+        off = page_end
+    if channels is None:
+        raise ValueError("probe_ogg_opus: no pages found")
+    return {
+        "channels": channels,
+        "pre_skip": pre_skip,
+        "input_sample_rate": input_rate,
+        "n_pages": n_pages,
+        "n_packets": n_packets,
+        "duration_sec": max(0, last_granule - pre_skip) / 48000.0,
+    }
+
+
+def encode_ogg_opus(
+    n_packets: int,
+    packet_samples: int = 960,
+    channels: int = 1,
+    pre_skip: int = 312,
+    input_rate: int = 48000,
+    packets_per_page: int = 10,
+    packet_bytes: int = 60,
+) -> bytes:
+    """Fixture writer: a structurally valid Ogg/Opus file — BOS OpusHead
+    page, OpusTags page, audio pages with correct granule positions and
+    CRCs, EOS flag on the last page. Packet payloads are zeroed (decode
+    is environment-blocked; the probe never reads them). One packet per
+    file is sized >255 bytes so the lacing continuation path (255-valued
+    segments) is exercised."""
+    serial, seq = 0x6A707370, 0
+    pages = []
+    head = (
+        b"OpusHead" + bytes((1, channels))
+        + int(pre_skip).to_bytes(2, "little")
+        + int(input_rate).to_bytes(4, "little")
+        + bytes(2) + bytes((0,))
+    )
+    pages.append(_ogg_page(head, [len(head)], 0, serial, seq, 0x02)); seq += 1
+    tags = b"OpusTags" + (7).to_bytes(4, "little") + b"jpspark" + bytes(4)
+    pages.append(_ogg_page(tags, [len(tags)], 0, serial, seq, 0x00)); seq += 1
+    done = 0
+    granule = pre_skip
+    while done < n_packets:
+        k = min(packets_per_page, n_packets - done)
+        payload = bytearray()
+        lacing: list[int] = []
+        for j in range(k):
+            size = packet_bytes + ((done + j) % 5)
+            if done + j == n_packets // 2:
+                size = 300  # force a 255-continuation lacing sequence
+            payload += bytes(size)
+            while size >= 255:
+                lacing.append(255)
+                size -= 255
+            lacing.append(size)
+        done += k
+        granule += k * packet_samples
+        flags = 0x04 if done >= n_packets else 0x00  # EOS on final page
+        pages.append(_ogg_page(bytes(payload), lacing, granule, serial, seq, flags))
+        seq += 1
+    return b"".join(pages)

@@ -259,3 +259,57 @@ def test_mp3_probe_header_walk():
     assert p3["n_frames"] == 40 and p3["vbr"]
     with pytest.raises(ValueError, match="no valid"):
         au.probe_mp3(b"\x00" * 4096)
+
+
+def test_adts_probe_header_walk():
+    """AAC/ADTS probe: frame_length chain with varying payloads, rdb
+    sample multipliers, resync past junk, stop at sample-rate change."""
+    from jpspark.codec import audio as au
+
+    buf = au.encode_adts_frames(23, 32000, channels=1, profile=2, rdb=0)
+    p = au.probe_adts(buf)
+    assert (p["n_frames"], p["sample_rate"], p["channels"], p["profile"]) == (23, 32000, 1, 2)
+    assert p["n_samples"] == 23 * 1024
+    # rdb=3 -> 4 raw data blocks = 4096 samples/frame
+    p2 = au.probe_adts(au.encode_adts_frames(5, 48000, rdb=3))
+    assert p2["n_samples"] == 5 * 4096
+    # resync over leading junk; trailing junk ignored after the chain
+    p3 = au.probe_adts(b"\x12\x34" + au.encode_adts_frames(7, 44100) + b"\xff\x00junk")
+    assert p3["n_frames"] == 7
+    # sample-rate change = stream boundary
+    p4 = au.probe_adts(
+        au.encode_adts_frames(9, 48000) + au.encode_adts_frames(9, 24000)
+    )
+    assert p4["n_frames"] == 9 and p4["sample_rate"] == 48000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        au.probe_adts(b"\x00" * 512)
+
+
+def test_ogg_opus_probe():
+    """Ogg/Opus probe: granule-position duration minus pre-skip, packet
+    counting across lacing continuations, CRC verification, EOS layout."""
+    from jpspark.codec import audio as au
+
+    buf = au.encode_ogg_opus(41, packet_samples=960, channels=2, pre_skip=312)
+    p = au.probe_ogg_opus(buf)
+    assert p["channels"] == 2 and p["pre_skip"] == 312
+    assert p["n_packets"] == 41 + 2  # OpusHead + OpusTags + audio
+    assert p["duration_sec"] == 41 * 960 / 48000
+    # 20 ms frames at 1920 samples double the duration
+    p2 = au.probe_ogg_opus(au.encode_ogg_opus(41, packet_samples=1920))
+    assert p2["duration_sec"] == 2 * p["duration_sec"]
+    import pytest as _pytest
+
+    # flip one payload byte -> that page's CRC must catch it
+    bad = bytearray(buf)
+    bad[-1] ^= 0x01
+    with _pytest.raises(ValueError, match="CRC"):
+        au.probe_ogg_opus(bytes(bad))
+    # truncated final page
+    with _pytest.raises(ValueError, match="truncated"):
+        au.probe_ogg_opus(buf[:-10])
+    # non-Opus first page
+    with _pytest.raises(ValueError, match="OpusHead"):
+        au.probe_ogg_opus(au._ogg_page(b"xxxx", [4], 0, 1, 0, 2))
