@@ -77,20 +77,53 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(10_000_000).select(F.sum("id")).collect()  # JVM/codegen warmup
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     # scaling-pair mode: only the three stages the efficiency tables use
     # (pip_join / tile_assign / knn_join) — keeps low-core runs short so a
     # 2-vs-8 (or 1-vs-4) pair measures under ONE host-noise window
     spatial_only = os.environ.get("SPARK_GRAFT_BENCH_SPATIAL_ONLY", "0") == "1"
 
+    # --- canary gating (round 6, from BENCH/run_gated_scaling.py's
+    # protocol): every timed sample is bracketed by a pure-JVM canary
+    # (2e9-row codegen sum — zero engine code); the sample counts as CLEAN
+    # only if both canaries beat the gate. Hypervisor steal on this host
+    # varies ~2x between windows (round-5 bench was taken in a 2x-steal
+    # window and forced a full re-litigation of drift); the gate makes a
+    # dirty window visible IN the artifact instead of in a post-mortem.
+    gated = os.environ.get("SPARK_GRAFT_BENCH_GATED", "1") == "1"
+    gate_s = float(os.environ.get("SPARK_GRAFT_CANARY_GATE", "0.55"))
+    gate_log: dict[str, dict] = {}
+
+    def _canary_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(2_000_000_000).select(F.sum(F.col("id") % 7)).collect()
+        return time.perf_counter() - t0
+
     def timed(name: str, fn, tdict):
-        best, out = None, None
-        for _ in range(repeats):  # min-of-N: the host is virtualized/noisy
+        samples: list[tuple[float, float, float, bool]] = []
+        out = None
+        max_tries = repeats + 3  # a dirty window earns a retry, not a loop
+        for _ in range(max_tries):
+            cb = _canary_once() if gated else 0.0
             t0 = time.perf_counter()
             out = fn()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            ca = _canary_once() if gated else 0.0
+            clean = (not gated) or max(cb, ca) < gate_s
+            samples.append((dt, cb, ca, clean))
+            n_clean = sum(1 for s in samples if s[3])
+            # long stages amortize noise; don't pay 3x a 30s stage
+            target = 1 if dt > 15 else (2 if dt > 5 else repeats)
+            if n_clean >= target:
+                break
+        clean_times = [s[0] for s in samples if s[3]]
+        best = min(clean_times) if clean_times else min(s[0] for s in samples)
         tdict[name] = round(best, 3)
+        if gated:
+            gate_log[name] = {
+                "samples": [[round(v, 3) for v in s[:3]] for s in samples],
+                "clean": bool(clean_times),
+            }
         return out
 
     # shared fixtures: 500 multipolygon municipalities with detailed
@@ -185,6 +218,16 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
     pts.mapInPandas(lambda it: it, pts.schema).count()
     n_assigned = spatial_stages(pts, n_points, AMPLIFY, timings, extras)
 
+    def _gate_summary():
+        if not gated:
+            return None
+        return {
+            "threshold_sec": gate_s,
+            "all_clean": all(v["clean"] for v in gate_log.values()),
+            "dirty_stages": sorted(k for k, v in gate_log.items() if not v["clean"]),
+            "per_stage": gate_log,
+        }
+
     if spatial_only:
         pts.unpersist()
         total = round(sum(timings.values()), 3)
@@ -199,6 +242,9 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
             "master": master or f"local[{cpus}]",
             **extras,
         }
+        gs = _gate_summary()
+        if gs is not None:
+            result["canary_gate"] = gs
         spark.stop()
         return result
 
@@ -324,6 +370,67 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
     extras["cc_chain_nodes_per_sec"] = round(2_000_000 / timings["cc_chain_d127"], 1)
     extras["cc_chain_rounds"] = dd.CC_LAST_ROUNDS
 
+    # round 6: END-TO-END dedup at amplified corpus scale (documents are a
+    # fixed 500 rows at every sf, so the per-stage numbers above never
+    # exercised the full pipeline's joins at volume). 500 docs x 128
+    # deterministic variants = 64k docs: replica rp carries variant
+    # v = rp//4, and each variant prepends 160 variant-specific tokens, so
+    # every (doc, v) group holds 4 EXACT replicas (Jaccard 1.0) while
+    # cross-variant pairs of the same doc sit at ~0.12-0.23 shingle
+    # Jaccard (shared text grams G vs G+320 union; max doc is 100 words)
+    # — below the bands=16/rows=4 LSH floor (~0.5), so they produce only
+    # the band-collision tail (~j^4 per band), not a 128-clique explosion.
+    # Verify still sees every candidate (est floor 0) and must cut the
+    # tail at 0.8; CC + canonical keep must recover exactly 16,000
+    # four-doc clusters over 64k docs.
+    def dedup_big_fn():
+        var_words = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(160)),
+                lambda i: F.concat(
+                    F.lit("v"),
+                    F.floor(F.col("doc_id") / F.lit(4)).cast("string"),
+                    F.lit("w"),
+                    i.cast("string"),
+                ),
+            ),
+        )
+        dv = (
+            docs.crossJoin(rep_d)
+            .select((F.col("doc_id") * 128 + F.col("rp")).alias("doc_id"), "text")
+            .withColumn("text", F.concat_ws(" ", var_words, F.col("text")))
+            .repartition(cpus * 4)
+        )
+        sigs = dedup_ops.minhash_signatures(dv, k=64).persist()
+        sigs.count()
+        cand = dedup_ops.minhash_lsh_pairs(sigs, bands=16, rows_per_band=4, min_jaccard_est=0.0)
+        # persist the verified edge set: CC's edge-lineage cut re-reads it
+        # (write + ids-only scan) and would otherwise re-execute the whole
+        # LSH + verify pipeline a second time inside the spill
+        edges = (
+            dedup_ops.ngram_jaccard_pairs(dv, cand.select("id_a", "id_b"), min_jaccard=0.8)
+            .select("id_a", "id_b")
+            .persist()
+        )
+        edges.count()
+        comp = dedup_ops.connected_components(edges, max_rounds=30)
+        # canonical keep: min id wins inside each component; docs with no
+        # near-dup edge keep themselves
+        r = comp.agg(
+            F.countDistinct("component").alias("nc"), F.count("*").alias("nn")
+        ).collect()[0]
+        edges.unpersist()
+        sigs.unpersist()
+        return int(r.nc), int(r.nn)
+
+    n_clusters, n_clustered_docs = timed("dedup_big_block", dedup_big_fn, timings)
+    assert n_clusters == 16_000, n_clusters
+    assert n_clustered_docs == 64_000, n_clustered_docs
+    extras["dedup_e2e_docs_per_sec"] = round(64_000 / timings["dedup_big_block"], 1)
+    extras["dedup_e2e_clusters"] = n_clusters
+    extras["dedup_e2e_rounds"] = dd.CC_LAST_ROUNDS
+
     # --- relational + training-data headliners from the registry
     # (minhash_verified_pairs = the full dedup pipeline: signatures ->
     # banded LSH candidates -> exact shingle-Jaccard verify; replaces the
@@ -362,6 +469,9 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
     }
     if big is not None:
         result["big_block"] = big
+    gs = _gate_summary()
+    if gs is not None:
+        result["canary_gate"] = gs
     spark.stop()
     return result
 

@@ -266,11 +266,23 @@ def knn_join_shuffle(
     res: int = 4,
     max_ring: int = 2,
     guard: str = "error",
+    n_salt: int = 1,
 ) -> DataFrame:
     """Distributed kNN for non-broadcastable targets: targets replicated to
     their disk(max_ring) neighbor cells, equi-join on cell, per-query top-k
     via window. Exact iff every query's kth neighbor lies within max_ring
     cells (choose res so the expected per-cell target count >> k).
+
+    ``n_salt`` > 1 splits hot cells (round 6, the PIP skew ladder's fix
+    ported to kNN): a city-centre cell holding 40% of all queries lands
+    every one of its candidate pairs on ONE reducer of the cell equi-join.
+    Salting routes queries by crc32(query_id) % n_salt and replicates the
+    (already disk-exploded) target rows once per salt value, so the hot
+    cell's pair generation parallelizes n_salt-ways. Output is identical
+    for any n_salt: the per-query top-k window runs AFTER the join on the
+    high-cardinality query_id and never sees the salt. Cost: the target
+    side's exploded rows shuffle n_salt x — cheap when targets are the
+    small side (the only regime where the shuffle path is chosen at all).
 
     ``guard`` enforces that exactness condition at runtime instead of
     trusting the caller's res/max_ring choice: a query is provably exact
@@ -291,6 +303,8 @@ def knn_join_shuffle(
     """
     if guard not in ("error", "flag", "none"):
         raise ValueError(f"guard must be error|flag|none, got {guard!r}")
+    if n_salt < 1:
+        raise ValueError(f"n_salt must be >= 1, got {n_salt}")
     tgt = targets.select(
         F.col(target_id_col).alias("target_id"),
         F.col(lon).alias("t_lon"),
@@ -318,7 +332,14 @@ def knn_join_shuffle(
     # candidates still surface (as a null-target row) — an inner join
     # would silently drop them before the guard could see them
     how = "inner" if guard == "none" else "left"
-    joined = qry.join(tgt, "cell_id", how).withColumn(
+    join_keys = ["cell_id"]
+    if n_salt > 1:
+        tgt = tgt.withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+        qry = qry.withColumn(
+            "salt", F.pmod(F.crc32(F.col("query_id").cast("string")), F.lit(n_salt)).cast("int")
+        )
+        join_keys = ["cell_id", "salt"]
+    joined = qry.join(tgt, join_keys, how).withColumn(
         "dist",
         # plain multiply (not pow): bit-identical to the SQL oracle formula
         F.sqrt(

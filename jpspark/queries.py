@@ -1413,6 +1413,65 @@ def o_token_count_by_lang() -> str:
     """
 
 
+_BPE_MERGES = 60  # the 31-word synthetic vocab saturates at 89 merges;
+# 60 leaves real subword structure (total tokens land strictly between
+# character count and whitespace-word count)
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-BPE token counts (round 6, r5 verdict #7): train a
+    60-merge BPE vocab on the corpus (driver-side bounded sample — the
+    merge statistics saturate long before corpus scale; here the sample IS
+    the 500-doc corpus), broadcast the ~4 KB merge table, and count
+    tokens per document in an Arrow-batched kernel with a distinct-word
+    cache. Supersedes the regex heuristic (bpe_ish_token_count), which
+    stays as the zero-Python fallback.
+
+    Oracle: per-doc counts replayed by an INDEPENDENT encoder (regex
+    scan-replace over space-joined symbols, Sennrich's original formulation,
+    vs the kernel's list-walk) and baked as VALUES literals; the trainer is
+    shared, and is itself pinned by hand-computed golden merges in pytest
+    (tests/test_pipeline_ops.py)."""
+    from .ops import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    texts = [r.text for r in d.select("text").collect()]  # bounded: 500 docs/sf
+    merges = bpe.train_bpe(sorted(texts), n_merges=_BPE_MERGES)
+    return bpe.bpe_token_counts(d, merges).orderBy("doc_id")
+
+
+def o_bpe_token_count() -> str:
+    import re
+
+    from .ops import bpe
+
+    pdf = _documents_pdf()
+    merges = bpe.train_bpe(sorted(pdf["text"].tolist()), n_merges=_BPE_MERGES)
+
+    def count_regex_replay(text: str) -> int:
+        n = 0
+        for w in text.split():
+            s = " ".join(w)
+            for a, b in merges:
+                ab = a + b
+                s = re.sub(r"(?<!\S)" + re.escape(a + " " + b) + r"(?!\S)", lambda _m: ab, s)
+            n += len(s.split())
+        return n
+
+    rows = []
+    for _, r in pdf.iterrows():
+        ws = len(r["text"].split())
+        rows.append(f"({int(r['doc_id'])}, {ws}, {count_regex_replay(r['text'])})")
+    vals = ", ".join(rows)
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_ws AS BIGINT) AS n_ws_tokens,
+           CAST(n_bpe AS BIGINT) AS n_bpe_tokens
+    FROM (VALUES {vals}) AS t(doc_id, n_ws, n_bpe)
+    ORDER BY doc_id
+    """
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", textstats.lang_id_heuristic(F.col("text")).alias("pred_lang"))
@@ -4492,8 +4551,11 @@ QUERIES = {
     # stream_dedup r5-signed)
     "overlay_intersection": q_overlay_intersection,
     "area_weighted_join": q_area_weighted_join,
-    # round-4 additions: scale-safe OLAP + the guard-contract gate
-    "percentiles_approx": q_percentiles_approx,
+    # round-6: learned-BPE tokenizer supersedes the regex heuristic
+    # (percentiles_approx demoted — r5-signed; approx-sketch family
+    # stays covered out-of-window by percentiles + the full gate)
+    "bpe_token_count": q_bpe_token_count,
+    # round-4 addition: the guard-contract gate
     "knn_flag_guard": q_knn_flag_guard,
     # round-5 window promotions (never driver-signed before this round);
     # demoted to make room: minhash_lsh_pairs, mvt_lines, percentiles —
@@ -4505,7 +4567,9 @@ QUERIES = {
     # cluster_centroid demoted r6 (r5-signed) for http_store_roundtrip;
     # geo_knn_scaled + stream_dedup demoted r6 (both r5-signed) for the
     # overlay pair; audio_probe demoted r6 (r5-signed) for
-    # audio_probe_formats
+    # audio_probe_formats; percentiles_approx demoted r6 (r5-signed) for
+    # bpe_token_count
+    "percentiles_approx": q_percentiles_approx,
     "audio_probe": q_audio_probe,
     "cluster_centroid": q_cluster_centroid,
     "geo_knn_scaled": q_geo_knn_scaled,
@@ -4667,6 +4731,7 @@ def _build_oracles() -> dict[str, str]:
     "delete_snapshot": o_delete_snapshot(),
     "percentiles": o_percentiles(),
     "percentiles_approx": o_percentiles_approx(),
+    "bpe_token_count": o_bpe_token_count(),
     "knn_flag_guard": o_knn_flag_guard(),
     "rollup_summary": o_rollup_summary(),
     "grouping_sets": o_grouping_sets(),

@@ -470,3 +470,77 @@ def test_release_cc_spills_reclaims_dirs(spark):
     dedup.release_cc_spills()
     assert not _CC_CUT_DIRS
     assert all(not os.path.isdir(d) for d in new_dirs)
+
+
+# ---------------------------------------------------------------------------
+# learned BPE (round 6): trainer pinned on hand-computed goldens; the two
+# independent encoders (list-walk kernel vs regex scan-replace, the oracle's
+# formulation) must agree on every corpus word.
+
+
+def test_bpe_trainer_hand_golden():
+    from jpspark.ops import bpe
+
+    # ab x3, abc x2 -> (a,b) count 5 merges first; then (ab,c) count 2
+    merges = bpe.train_bpe(["ab ab ab", "abc abc"], n_merges=10)
+    assert merges == [("a", "b"), ("ab", "c")]
+    # encode replays in training order: abcab -> [abc, ab]
+    assert bpe.encode_word("abcab", merges) == ["abc", "ab"]
+    assert bpe.token_count_py("abcab ab q", merges) == 4
+
+
+def test_bpe_trainer_tie_break_deterministic():
+    from jpspark.ops import bpe
+
+    # (x,y) and (z,w) both count 2: tie breaks to the LARGEST pair
+    # lexicographically -> (z,w) first, regardless of corpus order
+    for corpus in (["xy xy zw zw"], ["zw xy zw xy"], ["zw zw", "xy xy"]):
+        assert bpe.train_bpe(corpus, n_merges=2) == [("z", "w"), ("x", "y")]
+
+
+def test_bpe_min_count_stops_singleton_merges():
+    from jpspark.ops import bpe
+
+    assert bpe.train_bpe(["abc def"], n_merges=10) == []  # every pair count 1
+
+
+def test_bpe_kernel_matches_regex_replay_oracle():
+    import re
+
+    from jpspark.ops import bpe
+
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = bpe.train_bpe(sorted(pdf["text"].tolist()), n_merges=60)
+    assert len(merges) == 60
+
+    def regex_count(text: str) -> int:
+        n = 0
+        for w in text.split():
+            s = " ".join(w)
+            for a, b in merges:
+                ab = a + b
+                s = re.sub(r"(?<!\S)" + re.escape(a + " " + b) + r"(?!\S)", lambda _m: ab, s)
+            n += len(s.split())
+        return n
+
+    cache: dict = {}
+    for t in pdf["text"]:
+        assert bpe.token_count_py(t, merges, cache) == regex_count(t)
+    # compression sanity: strictly between word count and char count
+    tot = sum(bpe.token_count_py(t, merges, cache) for t in pdf["text"])
+    ws = sum(len(t.split()) for t in pdf["text"])
+    ch = sum(len(t.replace(" ", "")) for t in pdf["text"])
+    assert ws < tot < ch
+
+
+def test_bpe_token_counts_spark_matches_python(spark):
+    from jpspark.ops import bpe
+
+    pdf = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = bpe.train_bpe(sorted(pdf["text"].tolist()), n_merges=60)
+    sdf = spark.createDataFrame(pdf[["doc_id", "text"]])
+    got = bpe.bpe_token_counts(sdf, merges).toPandas().set_index("doc_id")
+    cache: dict = {}
+    for _, r in pdf.iterrows():
+        assert got.loc[r["doc_id"], "n_bpe_tokens"] == bpe.token_count_py(r["text"], merges, cache)
+        assert got.loc[r["doc_id"], "n_ws_tokens"] == len(r["text"].split())

@@ -274,6 +274,30 @@ def test_knn_shuffle_flag_mode_surfaces_zero_candidate_queries(spark):
     assert len(near) == 1 and near["exact"].iloc[0] and near["target_id"].iloc[0] == 1
 
 
+def test_knn_shuffle_salted_identical(spark, polys, points_sdf):
+    """Round-6 skew ladder contract: n_salt changes the physical join
+    layout only — every output row (incl. guard flags and null-target
+    rows) is bit-identical to the unsalted plan."""
+    fac = fx.facilities(150, polys)
+    fac_sdf = spark.createDataFrame(fac[["ogc_fid", "lon", "lat"]])
+    cols = ["query_id", "rank", "target_id", "dist", "exact"]
+
+    def run(n_salt):
+        return (
+            knn_ops.knn_join_shuffle(
+                points_sdf.limit(200), fac_sdf, k=3, res=3, max_ring=2,
+                guard="flag", n_salt=n_salt,
+            )
+            .toPandas()[cols]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+
+    base = run(1)
+    for s in (2, 8):
+        pd.testing.assert_frame_equal(run(s), base, check_exact=True)
+
+
 def test_tile_assign_matches_floor_oracle(spark, images_pdf, points_sdf):
     z = 6
     got = (
