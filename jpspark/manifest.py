@@ -1733,6 +1733,178 @@ def _update_where_once(spark, out_dir: str, filters, set_exprs: dict, store, sha
     return manifest if _try_commit(store, out_dir, manifest, shard_size=shard_size) else None
 
 
+def merge_into(
+    spark,
+    out_dir: str,
+    source: "DataFrame",
+    key: str,
+    storage=None,
+    shard_size: int = 8192,
+    max_probe_keys: int = 100_000,
+) -> dict:
+    """Keyed MERGE (upsert) as file-pruned copy-on-write — the Iceberg
+    ``MERGE INTO t USING s ON t.key = s.key WHEN MATCHED THEN UPDATE SET *
+    WHEN NOT MATCHED THEN INSERT *`` shape (reference analog: the
+    conflict-skip/replace ingest decision, SURVEY §2 S10/S11), done the way
+    a 100-TB table must: files whose key stats (min/max + sidecar Bloom)
+    exclude every source key carry over BY REFERENCE; only possibly-matching
+    files are read, anti-joined against the source keys, and rewritten
+    together with the full source.
+
+    Pruning probe: when the source's distinct key count fits
+    ``max_probe_keys`` the keys are collected (bounded driver budget) and
+    probed per-file as an IN filter — range + Bloom pruning, the sharp
+    path for the common trickle-merge. Bigger sources fall back to a
+    min/max range probe (no collect). Source keys must be non-null and
+    unique (multiple source rows per key would make the merge result
+    order-dependent — same rule Iceberg enforces by raising).
+
+    Commit follows the DML retry protocol: optimistic commit via
+    exclusive-create; on conflict the whole CoW pass re-runs on the new
+    base (8 attempts)."""
+    store = storage or LocalStorage()
+    for _attempt in range(8):
+        manifest = _merge_into_once(spark, out_dir, source, key, store, shard_size, max_probe_keys)
+        if manifest is not None:
+            return manifest
+    raise RuntimeError(f"merge_into: commit conflict persisted after 8 retries under {out_dir}")
+
+
+def _merge_into_once(
+    spark, out_dir: str, source, key: str, store, shard_size: int, max_probe_keys: int
+) -> dict | None:
+    from pyspark.sql import functions as F
+
+    prior = _load_committed(store, out_dir)
+    bloom_cols = prior.get("bloom_cols")
+    bloom_fpp = float(prior.get("bloom_fpp", 0.01))
+    parts = prior.get("partitions", {})
+    if not parts:
+        raise ValueError(f"merge_into: no committed snapshot under {out_dir}")
+    table_schema = _snapshot_spark_schema(
+        spark, store, out_dir, prior, [_part_key(m["path"]) for m in parts.values()]
+    )
+    if sorted(source.columns) != sorted(table_schema.fieldNames()):
+        raise ValueError(
+            f"merge_into: source columns {sorted(source.columns)} != table "
+            f"columns {sorted(table_schema.fieldNames())} (MERGE is whole-row; "
+            "project/null-fill the source first)"
+        )
+    if key not in source.columns:
+        raise ValueError(f"merge_into: key column {key!r} not in source")
+    # one source pass for the key profile: distinct/duplicate/null counts
+    # + bounds — everything the prune decision needs, as ONE aggregate
+    prof = source.agg(
+        F.count("*").alias("n"),
+        F.count(key).alias("n_nonnull"),
+        F.countDistinct(key).alias("n_keys"),
+        F.min(key).alias("mn"),
+        F.max(key).alias("mx"),
+    ).collect()[0]
+    if int(prof.n) == 0:
+        # empty merge: no-op, but still a committed snapshot for lineage
+        new_entries = dict(parts)
+        report = {"files_total": len(parts), "files_rewritten": 0, "source_rows": 0}
+    else:
+        if int(prof.n_nonnull) != int(prof.n):
+            raise ValueError("merge_into: source has NULL merge keys")
+        if int(prof.n_keys) != int(prof.n):
+            raise ValueError(
+                f"merge_into: source keys not unique ({int(prof.n)} rows, "
+                f"{int(prof.n_keys)} distinct {key!r}) — pre-aggregate the source"
+            )
+        if int(prof.n_keys) <= max_probe_keys:
+            key_vals = [r[0] for r in source.select(key).collect()]
+            probe = [(key, "in", key_vals)]
+        else:
+            probe = [(key, ">=", prof.mn), (key, "<=", prof.mx)]
+        affected, kept_entries = {}, {}
+        for pid, meta in parts.items():
+            if _file_may_match(
+                meta.get("stats") or {}, int(meta["row_count"]), probe,
+                bloom_ctx=(store, out_dir),
+            ):
+                affected[pid] = meta
+            else:
+                kept_entries[pid] = meta
+        report = {
+            "files_total": len(parts),
+            "files_rewritten": len(affected),
+            "source_rows": int(prof.n),
+        }
+        src = source.select(*table_schema.fieldNames())
+        if affected:
+            old = _read_parts(
+                spark, out_dir,
+                [_part_key(m["path"]) for m in affected.values()], store, prior,
+            )
+            survivors = old.join(src.select(key), on=key, how="left_anti").select(
+                *table_schema.fieldNames()
+            )
+            rewrite_df = survivors.unionByName(src)
+        else:
+            rewrite_df = src
+        base_pid = max((int(p) for p in parts), default=-1) + 1
+        arrow_schema = _arrow_schema_of(rewrite_df)
+
+        def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ctx = TaskContext.get()
+            pid = (ctx.partitionId() if ctx is not None else 0) + base_pid
+            pdfs = [b for b in batches if len(b)]
+            pdf = pd.concat(pdfs, ignore_index=True) if pdfs else pd.DataFrame()
+            fp = _fingerprint_pdf(pdf)
+            part_key = f"part-{pid:05d}-{fp:016x}.parquet"
+            table = _spark_readable(
+                pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False)
+                if len(pdf)
+                else arrow_schema.empty_table()
+            )
+            store.put_table(out_dir, part_key, table)
+            yield pd.DataFrame(
+                {
+                    "partition_id": [pid], "fingerprint": [fp],
+                    "row_count": [len(pdf)], "bytes": [store.size(out_dir, part_key)],
+                    "path": [part_key],
+                    "col_stats": [json.dumps(_col_stats_sidecar_blooms(_col_stats(pdf, bloom_cols, bloom_fpp), store, out_dir, part_key))],
+                }
+            )
+
+        n_rewrite_parts = max(1, len(affected)) if affected else max(
+            1, spark.sparkContext.defaultParallelism // 4
+        )
+        stats = (
+            rewrite_df.repartition(n_rewrite_parts)
+            .mapInPandas(
+                sink,
+                "partition_id int, fingerprint long, row_count long, bytes long, "
+                "path string, col_stats string",
+            )
+            .collect()
+        )
+        new_entries = dict(kept_entries)
+        for r in stats:
+            new_entries[str(r.partition_id)] = {
+                "fingerprint": int(r.fingerprint),
+                "row_count": int(r.row_count),
+                "bytes": int(r.bytes),
+                "path": r.path,
+                "status": "committed",
+                "skipped_on_last_run": False,
+                "stats": json.loads(r.col_stats),
+            }
+    manifest = {
+        "version": int(prior.get("version", 0) or 0) + 1,
+        "lineage": f"merge_into on {key!r} ({report['files_rewritten']}/{report['files_total']} files rewritten, {report['source_rows']} source rows)",
+        "schema": prior.get("schema"),
+        **({"bloom_cols": list(prior["bloom_cols"]), "bloom_fpp": bloom_fpp} if prior.get("bloom_cols") else {}),
+        "committed_at": time.time(),
+        "total_rows": sum(int(p["row_count"]) for p in new_entries.values()),
+        "partitions": new_entries,
+        "merge_report": report,
+    }
+    return manifest if _try_commit(store, out_dir, manifest, shard_size=shard_size) else None
+
+
 def read_incremental(
     spark, out_dir: str, from_version: int, to_version: int | None = None, storage=None
 ) -> "DataFrame":

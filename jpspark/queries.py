@@ -4181,6 +4181,83 @@ def _overlay_oracle_grids() -> str:
     """
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (keyed upsert) through the manifest table format
+    (round 6; manifest.merge_into): write events range-clustered on
+    event_id, merge a source that REPLACES the top 5% of keys (value ->
+    -1) and INSERTS 100 new keys past the max. File-level key pruning
+    must rewrite only a strict subset of files (RAISES otherwise), the
+    pre-merge snapshot must still time-travel, and the post-merge
+    aggregate is recomputed closed-form by the oracle."""
+    import shutil
+    import tempfile
+
+    from . import manifest as mf
+
+    tbl = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    tmp = tempfile.mkdtemp(prefix="jpspark_mrg_")
+    try:
+        mf.write_checkpointed(
+            tbl.repartitionByRange(16, "event_id"), tmp, lineage="merge gate"
+        )
+        n0 = mf.read_snapshot(spark, tmp).count()
+        hi = int(tbl.agg(F.max("event_id")).collect()[0][0])
+        cut = hi - (hi + 1) // 20
+        upd = tbl.filter(F.col("event_id") > cut).select(
+            "event_id", "user_id", F.lit(-1.0).alias("value")
+        )
+        ins = spark.range(100).select(
+            (F.col("id") + hi + 1_000_000).alias("event_id"),
+            F.lit(7).cast("long").alias("user_id"),
+            F.lit(0.5).alias("value"),
+        )
+        m = mf.merge_into(spark, tmp, upd.unionByName(ins), key="event_id")
+        rep = m["merge_report"]
+        if not rep["files_rewritten"] < rep["files_total"]:
+            raise RuntimeError(f"merge pruned nothing: {rep}")
+        if mf.read_snapshot(spark, tmp, version=1).count() != n0:
+            raise RuntimeError("time travel lost the pre-merge snapshot")
+        out = mf.read_snapshot(spark, tmp).agg(
+            F.count("*").alias("n_rows"),
+            F.sum("event_id").alias("sum_event_id"),
+            F.sum("user_id").alias("sum_user_id"),
+            F.sum(
+                ((F.col("event_id") > cut) & (F.col("event_id") <= hi) & (F.col("value") == -1.0)).cast("long")
+            ).alias("n_updated"),
+            F.sum((F.col("event_id") > hi).cast("long")).alias("n_inserted"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "n_rows": [int(out.n_rows)],
+                "sum_event_id": [int(out.sum_event_id)],
+                "sum_user_id": [int(out.sum_user_id)],
+                "n_updated": [int(out.n_updated)],
+                "n_inserted": [int(out.n_inserted)],
+            }
+        )
+    )
+
+
+def o_merge_upsert() -> str:
+    # inserted keys are hi+1e6 .. hi+1e6+99 (sum of offsets = 4950);
+    # updated rows keep their key/user_id, so only counts change
+    return """
+    WITH h AS (SELECT max(event_id) AS hi, count(*) AS n,
+                      CAST(sum(event_id) AS BIGINT) AS se,
+                      CAST(sum(user_id) AS BIGINT) AS su FROM events),
+    u AS (SELECT count(*) AS nu FROM events, h WHERE event_id > hi - (hi + 1) // 20)
+    SELECT CAST(n + 100 AS BIGINT) AS n_rows,
+           CAST(se + 100 * (hi + 1000000) + 4950 AS BIGINT) AS sum_event_id,
+           CAST(su + 700 AS BIGINT) AS sum_user_id,
+           CAST(nu AS BIGINT) AS n_updated,
+           CAST(100 AS BIGINT) AS n_inserted
+    FROM h, u
+    """
+
+
 def q_overlay_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General polygon-overlay (round 6; the reference's PostGIS
     ST_Intersection/ST_Area consumption pattern,
@@ -4544,6 +4621,10 @@ QUERIES = {
     # stays in-window via the new bloom_prune_scan and delete_snapshot)
     "delete_snapshot": q_delete_snapshot,
     "bloom_prune_scan": q_bloom_prune_scan,
+    # round-6: MERGE INTO completes the DML triad in-window
+    # (knn_flag_guard demoted — r5-signed; the guard contract stays
+    # pytest-covered + full-gate green)
+    "merge_upsert": q_merge_upsert,
     # round-6: HTTP object-store data plane end-to-end (enters the window
     # its landing round; cluster_centroid demoted — r5-signed)
     "http_store_roundtrip": q_http_store_roundtrip,
@@ -4555,8 +4636,6 @@ QUERIES = {
     # (percentiles_approx demoted — r5-signed; approx-sketch family
     # stays covered out-of-window by percentiles + the full gate)
     "bpe_token_count": q_bpe_token_count,
-    # round-4 addition: the guard-contract gate
-    "knn_flag_guard": q_knn_flag_guard,
     # round-5 window promotions (never driver-signed before this round);
     # demoted to make room: minhash_lsh_pairs, mvt_lines, percentiles —
     # each r4-signed with an in-window sibling covering the same surface
@@ -4568,8 +4647,10 @@ QUERIES = {
     # geo_knn_scaled + stream_dedup demoted r6 (both r5-signed) for the
     # overlay pair; audio_probe demoted r6 (r5-signed) for
     # audio_probe_formats; percentiles_approx demoted r6 (r5-signed) for
-    # bpe_token_count
+    # bpe_token_count; knn_flag_guard demoted r6 (r5-signed) for
+    # merge_upsert
     "percentiles_approx": q_percentiles_approx,
+    "knn_flag_guard": q_knn_flag_guard,
     "audio_probe": q_audio_probe,
     "cluster_centroid": q_cluster_centroid,
     "geo_knn_scaled": q_geo_knn_scaled,
@@ -4732,6 +4813,7 @@ def _build_oracles() -> dict[str, str]:
     "percentiles": o_percentiles(),
     "percentiles_approx": o_percentiles_approx(),
     "bpe_token_count": o_bpe_token_count(),
+    "merge_upsert": o_merge_upsert(),
     "knn_flag_guard": o_knn_flag_guard(),
     "rollup_summary": o_rollup_summary(),
     "grouping_sets": o_grouping_sets(),

@@ -198,8 +198,11 @@ class TableIO:
         return store.exists(self._path(name), MANIFEST_NAME)
 
     def merge_upsert(self, df: DataFrame, name: str, key: str):
-        """S10/S11 upsert: Iceberg MERGE INTO; fallback: read-modify-write
-        with last-write-wins on ``key`` (anti-join + union)."""
+        """S10/S11 upsert: Iceberg MERGE INTO; manifest fallback: the
+        file-pruned copy-on-write :func:`manifest.merge_into` when the
+        source matches the table schema (untouched files carry over by
+        reference), else — schema-evolving sources only — a full
+        read-modify-write with last-write-wins on ``key``."""
         if self.catalog:
             df.createOrReplaceTempView("_upsert_src")
             cols = ", ".join(f"{c} = s.{c}" for c in df.columns if c != key)
@@ -210,6 +213,11 @@ class TableIO:
             return
         if self.exists(name):
             old = self.read(name)
+            if sorted(df.columns) == sorted(old.columns):
+                from . import manifest as mf
+
+                mf.merge_into(self.spark, self._path(name), df, key, storage=self.storage)
+                return
             kept = old.join(df.select(key), on=key, how="left_anti")
             merged = kept.unionByName(df, allowMissingColumns=True)
         else:

@@ -889,6 +889,90 @@ def test_update_where_partial_copy_on_write(spark, tmp_path):
     assert mf.read_snapshot(spark, out, version=1).filter(F.col("v") == -1).count() == 0
 
 
+def test_merge_into_partial_copy_on_write(spark, tmp_path):
+    """Round-6 MERGE INTO (upsert): matched keys take the source row,
+    unmatched source keys are inserted, and only files whose key stats
+    admit a source key get rewritten — the rest carry over by
+    reference. Time travel keeps the pre-merge rows."""
+    out = str(tmp_path / "mrg")
+    df = spark.range(1000).withColumn("v", F.col("id") * 2).repartitionByRange(8, "id")
+    m1 = mf.write_checkpointed(df, out)
+    old_keys = {p["path"] for p in m1["partitions"].values()}
+
+    # update keys 950..999, insert keys 2000..2049
+    src = (
+        spark.range(950, 1050)
+        .withColumn("id", F.when(F.col("id") >= 1000, F.col("id") + 1000).otherwise(F.col("id")))
+        .withColumn("v", F.lit(-7))
+    )
+    m2 = mf.merge_into(spark, out, src, key="id")
+    rep = m2["merge_report"]
+    assert rep["files_rewritten"] < rep["files_total"]
+    assert rep["source_rows"] == 100
+    new_keys = {p["path"] for p in m2["partitions"].values()}
+    assert len(old_keys & new_keys) == rep["files_total"] - rep["files_rewritten"]
+
+    back = mf.read_snapshot(spark, out)
+    assert back.count() == 1050 and m2["total_rows"] == 1050
+    assert back.filter(F.col("v") == -7).count() == 100
+    assert back.filter((F.col("id") < 950) & (F.col("v") != F.col("id") * 2)).count() == 0
+    assert back.filter(F.col("id") >= 2000).count() == 50
+    assert mf.read_snapshot(spark, out, version=1).count() == 1000
+
+    # insert-only merge (keys beyond every file's range): zero rewrites
+    m3 = mf.merge_into(
+        spark, out, spark.range(5000, 5010).withColumn("v", F.lit(1)), key="id"
+    )
+    assert m3["merge_report"]["files_rewritten"] == 0
+    assert mf.read_snapshot(spark, out).count() == 1060
+
+    # empty source: committed no-op snapshot
+    m4 = mf.merge_into(spark, out, spark.range(0).withColumn("v", F.lit(0)), key="id")
+    assert m4["merge_report"] == {"files_total": len(m3["partitions"]), "files_rewritten": 0, "source_rows": 0}
+    assert mf.read_snapshot(spark, out).count() == 1060
+
+
+def test_merge_into_rejects_bad_sources(spark, tmp_path):
+    out = str(tmp_path / "mrg_bad")
+    mf.write_checkpointed(spark.range(10).withColumn("v", F.lit(1)), out)
+    with pytest.raises(ValueError, match="not unique"):
+        dup = spark.createDataFrame([(1, 5), (1, 6)], "id long, v int")
+        mf.merge_into(spark, out, dup, key="id")
+    with pytest.raises(ValueError, match="NULL merge keys"):
+        nul = spark.createDataFrame([(None, 5)], "id long, v int")
+        mf.merge_into(spark, out, nul, key="id")
+    with pytest.raises(ValueError, match="source columns"):
+        mf.merge_into(spark, out, spark.range(3), key="id")
+
+
+def test_merge_into_range_probe_big_source(spark, tmp_path):
+    """Sources past max_probe_keys prune by min/max range instead of the
+    collected IN probe — same result, no driver-side key collect."""
+    out = str(tmp_path / "mrg_big")
+    df = spark.range(1000).withColumn("v", F.col("id") * 2).repartitionByRange(8, "id")
+    mf.write_checkpointed(df, out)
+    src = spark.range(900, 1000).withColumn("v", F.lit(-1))
+    m = mf.merge_into(spark, out, src, key="id", max_probe_keys=10)
+    assert m["merge_report"]["files_rewritten"] < m["merge_report"]["files_total"]
+    back = mf.read_snapshot(spark, out)
+    assert back.count() == 1000 and back.filter(F.col("v") == -1).count() == 100
+
+
+def test_tableio_merge_upsert_uses_pruned_path(spark, tmp_path):
+    """TableIO.merge_upsert with a schema-matching source routes through
+    manifest.merge_into (lineage says so) instead of the full rewrite."""
+    from jpspark.table_io import TableIO
+
+    tio = TableIO(spark, root=str(tmp_path))
+    tio.write(spark.range(100).withColumn("v", F.lit(1)), "t")
+    tio.merge_upsert(spark.range(90, 110).withColumn("v", F.lit(2)), "t", key="id")
+    back = tio.read("t")
+    assert back.count() == 110
+    assert back.filter(F.col("v") == 2).count() == 20
+    m = mf.load_manifest(str(tmp_path / "t"))
+    assert "merge_into" in m["lineage"]
+
+
 def test_vacuum_sweeps_loser_attempt_shards(spark, tmp_path):
     """Round-4 review: a losing commit attempt writes its shard files
     before the exclusive root create fails; vacuum must sweep shards no
