@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import time
 
 import pandas as pd
 import pytest
@@ -73,6 +74,12 @@ def test_stream_kill_and_restart_exactly_once(spark, tmp_path):
     with pytest.raises(Exception, match="injected crash"):
         q.processAllAvailable()
         q.awaitTermination()
+    # the failing micro-batch thread tears the query down asynchronously;
+    # under host load the isActive flip can lag the raised exception
+    for _ in range(200):
+        if not q.isActive:
+            break
+        time.sleep(0.05)
     assert not q.isActive
     # the epoch-1 data IS committed (durable) but the batch is unacked
     from jpspark.manifest import load_manifest
