@@ -41,6 +41,40 @@ def skewed_points(spark, cores: int):
     return base.select(F.col("id").alias("point_id"), lon.alias("lon"), lat.alias("lat"))
 
 
+CANARY_GATE = float(os.environ.get("SPARK_GRAFT_CANARY_GATE", "0.55"))
+
+
+def gated_best(spark, fn, repeats: int = 2, max_tries: int = 5):
+    """Canary-gated min-of-N timing (bench.py's round-6 protocol): every
+    sample is bracketed by a pure-JVM codegen canary and counts as CLEAN
+    only if both canaries beat CANARY_GATE — a steal-dirty window earns a
+    retry instead of polluting the ladder. Long rungs (>15s) amortize
+    noise and need one clean sample; short rungs need ``repeats``.
+    Returns (best_clean_time, out, worst_accepted_canary, all_clean)."""
+
+    def canary() -> float:
+        t0 = time.perf_counter()
+        spark.range(2_000_000_000).select(F.sum(F.col("id") % 7)).collect()
+        return time.perf_counter() - t0
+
+    samples = []
+    out = None
+    for _ in range(max_tries):
+        cb = canary()
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        ca = canary()
+        samples.append((dt, max(cb, ca), max(cb, ca) < CANARY_GATE))
+        n_clean = sum(1 for s in samples if s[2])
+        if n_clean >= (1 if dt > 15 else repeats):
+            break
+    clean = [s for s in samples if s[2]]
+    pool = clean if clean else samples
+    best = min(pool, key=lambda s: s[0])
+    return best[0], out, best[1], bool(clean)
+
+
 def _with_aqe(spark, enabled: bool, fn):
     """Run fn with spark.sql.adaptive.enabled toggled, then restore."""
     prev = spark.conf.get("spark.sql.adaptive.enabled")
@@ -91,24 +125,23 @@ def main():
             lambda: sj.pip_join_broadcast(pts, polys_pdf, "全国地方公共団体コード", out_col="poly_id"),
         ),
     ]:
-        best, count = None, None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            count = fn().count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        results[name] = (best, count)
+        best, count, cnry, ok = gated_best(spark, lambda fn=fn: fn().count())
+        results[name] = (best, count, cnry, ok)
         if expected is None:
             expected = count
         assert count == expected, f"{name}: {count} != {expected}"
-        print(name, round(best, 2), "s", count, "rows")
+        print(name, round(best, 2), "s", count, "rows",
+              f"canary={cnry:.2f}{'' if ok else ' DIRTY'}")
 
     md = [
         "# BENCH/SKEW.md — hot-key handling (40% of points in one cell)",
         "",
         f"{n:,} points, {int(HOT_FRAC*100)}% concentrated in one municipality's",
         "cell (the Tokyo scenario); 500 detailed municipalities; local[32],",
-        "AQE + skewJoin enabled; min-of-2 timings. All four strategies return",
+        "AQE + skewJoin enabled. Canary-gated min-of-2 timings (each sample",
+        f"bracketed by a pure-JVM codegen canary; accepted only < {CANARY_GATE}s —",
+        "bench.py's round-6 protocol; worst accepted canary "
+        f"{max(r[2] for r in results.values()):.2f}s). All four strategies return",
         f"identical row counts ({expected:,}).",
         "",
         "| strategy | time (s) | notes |",
@@ -139,13 +172,13 @@ def main():
     pts.unpersist()
     from jpspark.ops import knn as knn_ops  # noqa: E402
 
-    N_KNN = 800_000
+    N_KNN = 1_600_000
     qry = skewed_points(spark, cores).filter(F.col("point_id") < N_KNN).cache()
     nq = qry.count()
     qry.mapInPandas(lambda it: it, qry.schema).count()  # warm workers
 
     rng = np.random.default_rng(7)
-    n_t, hot_t = 500, 50
+    n_t, hot_t = 1000, 200
     t_lon = np.where(
         np.arange(n_t) < hot_t,
         139.2 + rng.random(n_t) * 1.0,
@@ -166,7 +199,8 @@ def main():
         )
         r = out.agg(
             F.count("*").alias("n"),
-            F.sum(F.xxhash64("query_id", "rank", "target_id")).alias("chk"),
+            # mod before summing: 4M raw 64-bit hashes overflow ANSI long
+            F.sum(F.pmod(F.xxhash64("query_id", "rank", "target_id"), F.lit(1_000_000_007))).alias("chk"),
             F.sum(F.col("exact").cast("long")).alias("n_exact"),
         ).collect()[0]
         return int(r.n), int(r.chk), int(r.n_exact)
@@ -178,38 +212,65 @@ def main():
         ("knn_shuffle_unsalted", lambda: knn_shuffle(1)),
         ("knn_shuffle_salted_x8", lambda: knn_shuffle(8)),
     ]:
-        best, out = None, None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            out = fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        knn_results[name] = (best, out)
+        best, out, cnry, ok = gated_best(spark, fn)
+        knn_results[name] = (best, out, cnry, ok)
         if knn_expected is None:
             knn_expected = out
         assert out == knn_expected, f"{name}: {out} != {knn_expected}"
-        print(name, round(best, 2), "s", out)
+        print(name, round(best, 2), "s", out,
+              f"canary={cnry:.2f}{'' if ok else ' DIRTY'}")
 
     # broadcast rung: skew-immune reference (exact everywhere by
     # construction, so rows = n_queries * k regardless of ring bounds)
-    best_b = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        nb = knn_ops.knn_join_broadcast(
+    best_b, nb, cnry_b, ok_b = gated_best(
+        spark,
+        lambda: knn_ops.knn_join_broadcast(
             qry, tgt_pdf, k=5, query_id_col="point_id", res=6
-        ).count()
-        dt = time.perf_counter() - t0
-        best_b = dt if best_b is None else min(best_b, dt)
-    knn_results["knn_broadcast"] = (best_b, (nb, 0, nb))
-    print("knn_broadcast", round(best_b, 2), "s", nb, "rows")
+        ).count(),
+    )
+    knn_results["knn_broadcast"] = (best_b, (nb, 0, nb), cnry_b, ok_b)
+    print("knn_broadcast", round(best_b, 2), "s", nb, "rows",
+          f"canary={cnry_b:.2f}{'' if ok_b else ' DIRTY'}")
+
+    # Stage-isolation probe: time ONLY the cell equi-join + distance
+    # projection (the one stage that sees cell-key skew), forcing
+    # evaluation with a pairs-count + dist-sum aggregate that adds no
+    # query_id exchange. This attributes the flat full-pipeline ladder:
+    # if salt splits THIS stage but the pipeline doesn't move, the
+    # dominant cost is the downstream query_id exchange + top-k window,
+    # which is skew-free by construction.
+    probe_results = {}
+    probe_pairs = None
+    for name, ns in [("pairgen_unsalted", 1), ("pairgen_salted_x8", 8)]:
+        def probe(ns=ns):
+            pairs = knn_ops.shuffle_candidate_pairs(
+                qry, tgt_sdf, query_id_col="point_id", target_id_col="ogc_fid",
+                res=6, max_ring=1, how="left", n_salt=ns,
+            )
+            r = pairs.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("dist")).alias("dsum"),
+            ).collect()[0]
+            return (int(r.n), round(float(r.dsum), 3))
+
+        best_p, out_p, cnry_p, ok_p = gated_best(spark, probe)
+        probe_results[name] = (best_p, out_p, cnry_p, ok_p)
+        if probe_pairs is None:
+            probe_pairs = out_p
+        assert out_p == probe_pairs, f"{name}: {out_p} != {probe_pairs}"
+        print(name, round(best_p, 2), "s", out_p)
 
     n_rows, _, n_exact = knn_expected
     knn_md = [
         "",
         "## kNN shuffle path (round 6)",
         "",
-        f"{nq:,} queries, 40% in one hot res-6 cell; 500 targets, 10% in the",
-        "same box; k=5, max_ring=1, guard=flag. All three shuffle rungs",
+        f"{nq:,} queries, 40% in one hot res-6 cell; {n_t:,} targets, "
+        f"{int(100*hot_t/n_t)}% in the",
+        "same box; k=5, max_ring=1, guard=flag. Canary-gated as above",
+        "(worst accepted canary "
+        f"{max(r[2] for r in list(knn_results.values()) + list(probe_results.values())):.2f}s). "
+        "All three shuffle rungs",
         f"return bit-identical results ({n_rows:,} rows, {n_exact:,} guard-exact",
         "queries; asserted on count + xxhash64 checksum).",
         "",
@@ -220,11 +281,32 @@ def main():
         f"| knn_join_shuffle, salt x8 | {knn_results['knn_shuffle_salted_x8'][0]:.2f} | crc32(query_id)%8 routing, targets replicated x8 |",
         f"| knn_join_broadcast | {knn_results['knn_broadcast'][0]:.2f} | skew-immune reference ({nb:,} rows; exact by construction) |",
         "",
-        "The top-k window after the join partitions by query_id (high",
-        "cardinality) and is skew-free in every rung; only the cell join",
-        "needs the salt. Salting replicates the (small) target side, so it",
-        "is free exactly in the regime where the shuffle path is chosen —",
-        "a target set too big to broadcast still explodes only x8.",
+        "### Stage isolation: where the time actually goes",
+        "",
+        f"Timing ONLY the skew-exposed stage (cell equi-join + distance",
+        f"projection, forced by a pairs-count+dist-sum aggregate;",
+        f"{probe_pairs[0]:,} candidate pairs, identical under both rungs):",
+        "",
+        "| stage probe | time (s) |",
+        "|---|---|",
+        f"| pair generation, no salt | {probe_results['pairgen_unsalted'][0]:.2f} |",
+        f"| pair generation, salt x8 | {probe_results['pairgen_salted_x8'][0]:.2f} |",
+        "",
+        "Unlike PIP — where the per-pair work (ray-casting) runs INSIDE the",
+        "cell-keyed stage and the unsalted hot reducer costs 3.6x the",
+        "salted+settled plan — kNN's per-pair work is two subtractions, two",
+        "multiplies and a sqrt in whole-stage codegen, and every candidate",
+        "pair immediately re-exchanges on the high-cardinality query_id for",
+        "the top-k window. The probe shows the skew-exposed stage is a",
+        f"minor share of the pipeline "
+        f"(~{probe_results['pairgen_unsalted'][0] / knn_results['knn_shuffle_unsalted'][0]:.0%} unsalted), "
+        "so hot-cell skew self-heals at",
+        "the next exchange and neither AQE skew-join nor salting moves the",
+        "total. The n_salt knob is kept for the regime where it WOULD bite:",
+        "per-pair work heavy enough to dominate (bigger rings, exact",
+        "re-rank kernels) on a hot cell — it is output-identical by",
+        "construction (asserted above) and replicates only the small",
+        "target side.",
     ]
     with open(os.path.join(REPO, "BENCH", "SKEW.md"), "w") as f:
         f.write("\n".join(md) + "\n" + "\n".join(knn_md) + "\n")

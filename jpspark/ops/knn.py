@@ -255,6 +255,72 @@ def knn_join_broadcast(
     return queries.select(query_id_col, lon, lat).mapInArrow(kernel, out_schema)
 
 
+def shuffle_candidate_pairs(
+    queries: DataFrame,
+    targets: DataFrame,
+    query_id_col: str = "image_id",
+    target_id_col: str = "ogc_fid",
+    lon: str = "lon",
+    lat: str = "lat",
+    res: int = 4,
+    max_ring: int = 2,
+    how: str = "left",
+    n_salt: int = 1,
+) -> DataFrame:
+    """Stage 1 of the shuffle kNN: the cell equi-join that generates
+    candidate (query, target, dist) pairs. This is the ONLY stage that
+    sees cell-key skew — everything downstream of it exchanges on the
+    high-cardinality query_id. Exposed separately so the skew bench
+    (BENCH/run_skew.py) can time it in isolation.
+
+    ``how="left"`` keeps zero-candidate queries as null-target rows for
+    the guard; ``n_salt`` > 1 routes queries by crc32(query_id) % n_salt
+    against n_salt target replicas, splitting a hot cell's pair
+    generation n_salt ways.
+    """
+    if n_salt < 1:
+        raise ValueError(f"n_salt must be >= 1, got {n_salt}")
+    tgt = targets.select(
+        F.col(target_id_col).alias("target_id"),
+        F.col(lon).alias("t_lon"),
+        F.col(lat).alias("t_lat"),
+    )
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def disk_udf(lons: pd.Series, lats: pd.Series) -> pd.Series:
+        cells = cell.encode(lons.to_numpy(), lats.to_numpy(), res)
+        return pd.Series([cell.disk(int(c), max_ring).tolist() for c in cells])
+
+    tgt = tgt.withColumn("cell_id", F.explode(disk_udf("t_lon", "t_lat")))
+
+    @F.pandas_udf(T.LongType())
+    def cell_udf(lons: pd.Series, lats: pd.Series) -> pd.Series:
+        return pd.Series(cell.encode(lons.to_numpy(), lats.to_numpy(), res))
+
+    qry = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(lon).alias("q_lon"), F.col(lat).alias("q_lat")
+    ).withColumn("cell_id", cell_udf("q_lon", "q_lat"))
+
+    # guarded modes use a LEFT join so queries whose disk holds ZERO
+    # candidates still surface (as a null-target row) — an inner join
+    # would silently drop them before the guard could see them
+    join_keys = ["cell_id"]
+    if n_salt > 1:
+        tgt = tgt.withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+        qry = qry.withColumn(
+            "salt", F.pmod(F.crc32(F.col("query_id").cast("string")), F.lit(n_salt)).cast("int")
+        )
+        join_keys = ["cell_id", "salt"]
+    return qry.join(tgt, join_keys, how).withColumn(
+        "dist",
+        # plain multiply (not pow): bit-identical to the SQL oracle formula
+        F.sqrt(
+            (F.col("t_lon") - F.col("q_lon")) * (F.col("t_lon") - F.col("q_lon"))
+            + (F.col("t_lat") - F.col("q_lat")) * (F.col("t_lat") - F.col("q_lat"))
+        ),
+    )
+
+
 def knn_join_shuffle(
     queries: DataFrame,
     targets: DataFrame,
@@ -303,50 +369,21 @@ def knn_join_shuffle(
     """
     if guard not in ("error", "flag", "none"):
         raise ValueError(f"guard must be error|flag|none, got {guard!r}")
-    if n_salt < 1:
-        raise ValueError(f"n_salt must be >= 1, got {n_salt}")
-    tgt = targets.select(
-        F.col(target_id_col).alias("target_id"),
-        F.col(lon).alias("t_lon"),
-        F.col(lat).alias("t_lat"),
+    how = "inner" if guard == "none" else "left"
+    joined = shuffle_candidate_pairs(
+        queries,
+        targets,
+        query_id_col=query_id_col,
+        target_id_col=target_id_col,
+        lon=lon,
+        lat=lat,
+        res=res,
+        max_ring=max_ring,
+        how=how,
+        n_salt=n_salt,
     )
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def disk_udf(lons: pd.Series, lats: pd.Series) -> pd.Series:
-        cells = cell.encode(lons.to_numpy(), lats.to_numpy(), res)
-        return pd.Series([cell.disk(int(c), max_ring).tolist() for c in cells])
-
-    tgt = tgt.withColumn("cell_id", F.explode(disk_udf("t_lon", "t_lat")))
-
-    @F.pandas_udf(T.LongType())
-    def cell_udf(lons: pd.Series, lats: pd.Series) -> pd.Series:
-        return pd.Series(cell.encode(lons.to_numpy(), lats.to_numpy(), res))
-
-    qry = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(lon).alias("q_lon"), F.col(lat).alias("q_lat")
-    ).withColumn("cell_id", cell_udf("q_lon", "q_lat"))
-
     from pyspark.sql import Window
 
-    # guarded modes use a LEFT join so queries whose disk holds ZERO
-    # candidates still surface (as a null-target row) — an inner join
-    # would silently drop them before the guard could see them
-    how = "inner" if guard == "none" else "left"
-    join_keys = ["cell_id"]
-    if n_salt > 1:
-        tgt = tgt.withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
-        qry = qry.withColumn(
-            "salt", F.pmod(F.crc32(F.col("query_id").cast("string")), F.lit(n_salt)).cast("int")
-        )
-        join_keys = ["cell_id", "salt"]
-    joined = qry.join(tgt, join_keys, how).withColumn(
-        "dist",
-        # plain multiply (not pow): bit-identical to the SQL oracle formula
-        F.sqrt(
-            (F.col("t_lon") - F.col("q_lon")) * (F.col("t_lon") - F.col("q_lon"))
-            + (F.col("t_lat") - F.col("q_lat")) * (F.col("t_lat") - F.col("q_lat"))
-        ),
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist").asc_nulls_last(), F.col("target_id").asc_nulls_last()
     )

@@ -46,6 +46,9 @@ AUDIT = [
     "grouping_sets",       # expect: Expand -> ONE exchange -> single agg (set selection is planner work)
     "window_functions",    # expect: ONE exchange + sort serves all four analytic functions
     "geo_pip_shuffle",     # cogroup plan: geometry rides ONCE per (polygon, salt) group, never per pair
+    # round 6
+    "overlay_intersection",  # expect: cell-cover pair exchange carries ids/cells; geometry re-joins per surviving pair
+    "bpe_token_count",     # expect: scan -> Arrow-batched kernel projection; only the final orderBy exchanges
 ]
 
 
