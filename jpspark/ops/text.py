@@ -81,6 +81,16 @@ def url_last_segment(col: Column) -> Column:
     return F.regexp_extract(col, "([^/]+)$", 1)
 
 
+def url_host(col: Column) -> Column:
+    """Canonical host of a URL for host-level corpus grouping/dedup:
+    authority extracted by regex (portable to the RE2 oracle — no
+    java.net parsing), lowercased, leading 'www.' and any :port stripped.
+    Pure Column algebra; runs inside codegen at scan speed."""
+    host = F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1)
+    host = F.regexp_replace(F.lower(host), r":[0-9]+$", "")
+    return F.regexp_replace(host, r"^www\.", "")
+
+
 def parse_code_list(entries: list[str]) -> dict[str, str]:
     """F8 — 'code:label' entries -> {code: label}; split-once on the first
     ':', trimmed, empty entries dropped, last-write-wins on duplicate codes

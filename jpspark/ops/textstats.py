@@ -96,3 +96,85 @@ def rolling_hashes(col: Column, window: int = 8) -> Column:
     return F.transform(
         idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, window)))
     )
+
+
+# --------------------------------------------------------- PII redaction
+
+# Conservative, engine-portable patterns: plain character classes and
+# counted repetition only — no lookaround, no backreferences — so Java
+# regex (Spark) and RE2 (DuckDB oracle) agree byte-for-byte. Email per
+# the practical HTML5 subset; phone matches the TPC-H/JPKSJ catalog shape
+# NN-NNN-NNN-NNNN (reference stores contact columns verbatim; a curation
+# pass must scrub them before corpus export).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_email_count(col: Column) -> Column:
+    """Number of email-shaped spans (counted BEFORE redaction)."""
+    return F.size(F.regexp_extract_all(col, F.lit(EMAIL_RE), F.lit(0))).cast("long")
+
+
+def pii_phone_count(col: Column) -> Column:
+    """Number of phone-shaped spans (counted BEFORE redaction)."""
+    return F.size(F.regexp_extract_all(col, F.lit(PHONE_RE), F.lit(0))).cast("long")
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace email then phone spans with typed placeholders. Order
+    matters: emails first, so a digit-bearing local part can't be half
+    eaten by the phone pattern. Pure Column algebra — the scrub runs at
+    scan speed inside whole-stage codegen, no Python in the hot path."""
+    scrubbed = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(scrubbed, PHONE_RE, "<PHONE>")
+
+
+# ------------------------------------------- Gopher-style repetition stats
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition features (the Gopher/MassiveText repetition
+    rules, re-expressed as two keyed aggregations): distinct-word ratio,
+    most-common-word fraction, and most-common-bigram fraction.
+
+    100-TB shape: ONE explode per granularity followed by a two-phase
+    hash aggregate keyed on (doc, token) then (doc) — partial aggregation
+    combines map-side, the exchange carries (id, token-hash-sized rows),
+    and both granularities join on the high-cardinality doc id. No
+    all-pairs, no window over the corpus, no Python.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(F.col(id_col).alias("_id"), words.alias("_w"))
+
+    def _top_frac(tokens: Column, prefix: str) -> DataFrame:
+        tok = base.select("_id", F.explode(tokens).alias("_t"))
+        per_tok = tok.groupBy("_id", "_t").agg(F.count("*").alias("_n"))
+        return per_tok.groupBy("_id").agg(
+            F.sum("_n").alias(f"{prefix}_total"),
+            F.max("_n").alias(f"{prefix}_top_n"),
+            F.count("*").alias(f"{prefix}_distinct"),
+        )
+
+    # size<2 guard is load-bearing: Spark's sequence(1, 0) is a DESCENDING
+    # [1, 0], not empty, so a bare transform would index out of bounds on
+    # single-word docs
+    bigrams = F.expr(
+        "CASE WHEN size(_w) < 2 THEN CAST(array() AS ARRAY<STRING>)"
+        " ELSE transform(sequence(1, size(_w) - 1),"
+        " i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1))) END"
+    )
+    w = _top_frac(F.col("_w"), "w")
+    b = _top_frac(bigrams, "b")
+    return (
+        w.join(b, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("w_total").alias("n_words"),
+            F.round(F.col("w_distinct") / F.col("w_total"), 4).alias("distinct_word_ratio"),
+            F.round(F.col("w_top_n") / F.col("w_total"), 4).alias("top_word_frac"),
+            F.round(
+                F.coalesce(F.col("b_top_n") / F.col("b_total"), F.lit(0.0)), 4
+            ).alias("top_bigram_frac"),
+        )
+    )

@@ -1472,6 +1472,191 @@ def o_bpe_token_count() -> str:
     """
 
 
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition rules (round 6): per-document
+    distinct-word ratio, most-common-word fraction, most-common-bigram
+    fraction, plus the keep flag a curation pass would filter on. Two
+    keyed two-phase aggregations (doc,token)->(doc); the exchange carries
+    ids+tokens only, no all-pairs, no Python. Thresholds fixed so the
+    synthetic corpus splits (word-salad docs repeat heavily)."""
+    d = _t(spark, sf_dir, "documents")
+    r = textstats.repetition_stats(d)
+    return r.select(
+        "doc_id",
+        "n_words",
+        "distinct_word_ratio",
+        "top_word_frac",
+        "top_bigram_frac",
+        ((F.col("top_word_frac") <= 0.1) & (F.col("top_bigram_frac") <= 0.05)).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def o_repetition_filter() -> str:
+    return r"""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ), wc AS (
+      SELECT doc_id, tok, count(*) AS n FROM w GROUP BY 1, 2
+    ), ws AS (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS w_total,
+             CAST(max(n) AS BIGINT) AS w_top_n,
+             CAST(count(*) AS BIGINT) AS w_distinct
+      FROM wc GROUP BY 1
+    ), b AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(regexp_split_to_array(trim(text), '\s+'))),
+                    i -> regexp_split_to_array(trim(text), '\s+')[i] || ' ' ||
+                         regexp_split_to_array(trim(text), '\s+')[i + 1])) AS tok
+      FROM documents
+    ), bc AS (
+      SELECT doc_id, tok, count(*) AS n FROM b GROUP BY 1, 2
+    ), bs AS (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS b_total,
+             CAST(max(n) AS BIGINT) AS b_top_n
+      FROM bc GROUP BY 1
+    )
+    SELECT ws.doc_id,
+           w_total AS n_words,
+           round(w_distinct / w_total, 4) AS distinct_word_ratio,
+           round(w_top_n / w_total, 4) AS top_word_frac,
+           round(coalesce(b_top_n / b_total, 0.0), 4) AS top_bigram_frac,
+           round(w_top_n / w_total, 4) <= 0.1
+             AND round(coalesce(b_top_n / b_total, 0.0), 4) <= 0.05 AS keep
+    FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+    ORDER BY 1
+    """
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (round 6): contact blurbs synthesized from customer
+    rows (phones rebuilt key-deterministically in TPC-H's NN-NNN-NNN-NNNN
+    shape — the synthetic customer table carries no c_phone) are scrubbed
+    with engine-portable regexes — emails first, then phones — and the
+    span counts are taken before redaction. The scrub is pure Column
+    algebra: at 100 TB it runs inside the scan's codegen stage with zero
+    exchanges (the orderBy here is gate-determinism only)."""
+    c = _t(spark, sf_dir, "customer")
+    phone = F.concat_ws(
+        "-",
+        F.lpad((F.col("c_nationkey") + 10).cast("string"), 2, "0"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lpad(((F.col("c_custkey") * 7) % 1000).cast("string"), 3, "0"),
+        F.lpad(((F.col("c_custkey") * 31) % 10000).cast("string"), 4, "0"),
+    )
+    blurb = F.concat(
+        F.lit("Contact "),
+        F.col("c_name"),
+        F.lit(" at "),
+        F.lower(F.regexp_replace(F.col("c_name"), "[^A-Za-z0-9]", "")),
+        F.lit("@example.com or "),
+        phone,
+        F.lit(" (alt: "),
+        phone,
+        F.lit(")"),
+    )
+    return (
+        c.select(F.col("c_custkey").alias("custkey"), blurb.alias("raw"))
+        .select(
+            "custkey",
+            textstats.pii_email_count(F.col("raw")).alias("n_emails"),
+            textstats.pii_phone_count(F.col("raw")).alias("n_phones"),
+            textstats.redact_pii(F.col("raw")).alias("redacted"),
+        )
+        .orderBy("custkey")
+    )
+
+
+def o_pii_scrub() -> str:
+    email, phone = textstats.EMAIL_RE, textstats.PHONE_RE
+    return f"""
+    WITH ph AS (
+      SELECT c_custkey, c_name,
+             lpad(CAST(c_nationkey + 10 AS VARCHAR), 2, '0') || '-' ||
+             lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+             lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+             lpad(CAST((c_custkey * 31) % 10000 AS VARCHAR), 4, '0') AS phone
+      FROM customer
+    ), raw AS (
+      SELECT c_custkey AS custkey,
+             'Contact ' || c_name || ' at ' ||
+             lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) ||
+             '@example.com or ' || phone || ' (alt: ' || phone || ')' AS raw
+      FROM ph
+    )
+    SELECT custkey,
+           CAST(len(regexp_extract_all(raw, '{email}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{phone}')) AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(raw, '{email}', '<EMAIL>', 'g'),
+                          '{phone}', '<PHONE>', 'g') AS redacted
+    FROM raw ORDER BY 1
+    """
+
+
+def q_url_host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level URL dedup (round 6): URLs synthesized deterministically
+    from document rows (mixed case, optional www., optional :port),
+    canonicalized by ops.text.url_host, then grouped per host — doc
+    count, distinct path count, canonical keeper id. The groupBy key is
+    the canonicalized host: one two-phase hash aggregate, ids+hosts in
+    the exchange. The shape CommonCrawl-style curation needs at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/page"),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    from .ops import text as tx
+
+    u = d.select(F.col("doc_id"), url.alias("url"))
+    return (
+        u.select(
+            "doc_id",
+            "url",
+            tx.url_host(F.col("url")).alias("host"),
+            F.regexp_extract(F.col("url"), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]+(/.*)$", 1).alias(
+                "path"
+            ),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("path").alias("n_paths"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+        .orderBy("host")
+    )
+
+
+def o_url_host_dedup() -> str:
+    return r"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END ||
+             source || '.Example.COM' ||
+             CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END ||
+             '/' || lang || '/page' || CAST(doc_id % 5 AS VARCHAR) AS url
+      FROM documents
+    ), c AS (
+      SELECT doc_id, url,
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)', 1)),
+               ':[0-9]+$', ''), '^www\.', '') AS host,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]+(/.*)$', 1) AS path
+      FROM u
+    )
+    SELECT host, count(*) AS n_docs, count(DISTINCT path) AS n_paths,
+           min(doc_id) AS keeper_id
+    FROM c GROUP BY 1 ORDER BY 1
+    """
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", textstats.lang_id_heuristic(F.col("text")).alias("pred_lang"))
@@ -4586,8 +4771,8 @@ QUERIES = {
     "window_functions": q_window_functions,
     # training-data pipeline: dedup + ANN
     "chunk_dedup": q_chunk_dedup,
-
-    "dedup_exact": q_dedup_exact,
+    # dedup_exact demoted r6 (r5-signed); the exact-dedup surface stays
+    # in-window via dedup_cluster_keep + chunk_dedup
     "minhash_verified_pairs": q_minhash_verified_pairs,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "phash_neardup": q_phash_neardup,
@@ -4597,7 +4782,8 @@ QUERIES = {
     "ann_pq_recall": q_ann_pq_recall,
     # multimodal + codec-in-pipeline gates
     "image_validate": q_image_validate,
-    "audio_validate": q_audio_validate,
+    # audio_validate demoted r6 (r5-signed); the audio surface stays
+    # in-window via audio_probe_formats + multimodal_curation
     "video_validate": q_video_validate,
     "dedup_cluster_keep": q_dedup_cluster_keep,
     "multimodal_curation": q_multimodal_curation,
@@ -4611,7 +4797,8 @@ QUERIES = {
     # r4-signed; band_math and percentiles_approx hold their families
     # in-window)
     "pivot_summary": q_pivot_summary,
-    "unpivot_melt": q_unpivot_melt,
+    # unpivot_melt demoted r6 (r5-signed); the reshape family stays
+    # in-window via pivot_summary
     "raster_band_math": q_raster_band_math,
     # tile_pyramid demoted r5 (r4-signed; zonal/rasterize/polygonize stay)
     "json_extract": q_json_extract,
@@ -4642,13 +4829,23 @@ QUERIES = {
     # round-6: MP3+AAC/ADTS+Ogg/Opus probe supersedes the MP3-only
     # audio_probe in-window (audio_probe demoted — r5-signed)
     "audio_probe_formats": q_audio_probe_formats,
+    # round-6: training-data curation trio enters the window its landing
+    # round (demoted: dedup_exact, audio_validate, unpivot_melt — all
+    # r5-signed, notes at their old slots)
+    "repetition_filter": q_repetition_filter,
+    "pii_scrub": q_pii_scrub,
+    "url_host_dedup": q_url_host_dedup,
     # ---- end of driver-gate window (50) ----
     # cluster_centroid demoted r6 (r5-signed) for http_store_roundtrip;
     # geo_knn_scaled + stream_dedup demoted r6 (both r5-signed) for the
     # overlay pair; audio_probe demoted r6 (r5-signed) for
     # audio_probe_formats; percentiles_approx demoted r6 (r5-signed) for
     # bpe_token_count; knn_flag_guard demoted r6 (r5-signed) for
-    # merge_upsert
+    # merge_upsert; dedup_exact + audio_validate + unpivot_melt demoted
+    # r6 (all r5-signed) for the curation trio
+    "dedup_exact": q_dedup_exact,
+    "audio_validate": q_audio_validate,
+    "unpivot_melt": q_unpivot_melt,
     "percentiles_approx": q_percentiles_approx,
     "knn_flag_guard": q_knn_flag_guard,
     "audio_probe": q_audio_probe,
@@ -4761,6 +4958,9 @@ def _build_oracles() -> dict[str, str]:
     "token_count_by_lang": o_token_count_by_lang(),
     "lang_id": o_lang_id(),
     "fingerprint": o_fingerprint(),
+    "repetition_filter": o_repetition_filter(),
+    "pii_scrub": o_pii_scrub(),
+    "url_host_dedup": o_url_host_dedup(),
     "curation_pipeline": o_curation_pipeline(),
     "ann_topk": o_ann_topk(),
     "embedding_neardup": o_embedding_neardup(),

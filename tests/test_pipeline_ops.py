@@ -544,3 +544,81 @@ def test_bpe_token_counts_spark_matches_python(spark):
     for _, r in pdf.iterrows():
         assert got.loc[r["doc_id"], "n_bpe_tokens"] == bpe.token_count_py(r["text"], merges, cache)
         assert got.loc[r["doc_id"], "n_ws_tokens"] == len(r["text"].split())
+
+
+# ------------------------------------------- round-6 curation operators
+
+def test_redact_pii_email_first_and_counts(spark):
+    from jpspark.ops import textstats as ts
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2, 3],
+                "t": [
+                    # digit-bearing local part: email must win before the
+                    # phone pattern can eat its digits
+                    "mail 12-345-678-9012a@x.co and 12-345-678-9012 done",
+                    "no pii here at all",
+                    "two phones 11-222-333-4444 99-888-777-6666",
+                ],
+            }
+        )
+    )
+    out = (
+        df.select(
+            "id",
+            ts.pii_email_count(F.col("t")).alias("ne"),
+            ts.pii_phone_count(F.col("t")).alias("np"),
+            ts.redact_pii(F.col("t")).alias("red"),
+        )
+        .orderBy("id")
+        .toPandas()
+    )
+    assert out["ne"].tolist() == [1, 0, 0]
+    # counts are taken pre-redaction: row 1's digits match BOTH patterns
+    assert out["np"].tolist() == [2, 0, 2]
+    assert out["red"][0] == "mail <EMAIL> and <PHONE> done"
+    assert out["red"][1] == "no pii here at all"
+    assert out["red"][2] == "two phones <PHONE> <PHONE>"
+
+
+def test_url_host_normalization(spark):
+    from jpspark.ops.text import url_host
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "u": [
+                    "https://WWW.Example.COM/a/b",
+                    "http://example.com:8080/x",
+                    "ftp://www.Sub.Example.com",  # no path at all
+                    "not a url",
+                ]
+            }
+        )
+    )
+    got = [r[0] for r in df.select(url_host(F.col("u"))).collect()]
+    assert got == ["example.com", "example.com", "sub.example.com", ""]
+
+
+def test_repetition_stats_closed_form(spark):
+    from jpspark.ops.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "a a a a",          # top word 4/4, top bigram 'a a' 3/3
+                    "a b c d",          # all distinct, every bigram unique
+                    "w",                # single word: zero bigrams
+                ],
+            }
+        )
+    )
+    out = repetition_stats(df).orderBy("doc_id").toPandas()
+    assert out["n_words"].tolist() == [4, 4, 1]
+    assert out["distinct_word_ratio"].tolist() == [0.25, 1.0, 1.0]
+    assert out["top_word_frac"].tolist() == [1.0, 0.25, 1.0]
+    assert out["top_bigram_frac"].tolist() == [1.0, 0.3333, 0.0]
