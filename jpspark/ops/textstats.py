@@ -131,6 +131,18 @@ def redact_pii(col: Column) -> Column:
 
 # ------------------------------------------- Gopher-style repetition stats
 
+def _bigrams_expr() -> Column:
+    """Adjacent-word bigrams ('w1 w2' strings) of the ``_w`` token array.
+    The size<2 guard is load-bearing: Spark's sequence(1, 0) is a
+    DESCENDING [1, 0], not empty, so a bare transform would index out of
+    bounds on single-word docs."""
+    return F.expr(
+        "CASE WHEN size(_w) < 2 THEN CAST(array() AS ARRAY<STRING>)"
+        " ELSE transform(sequence(1, size(_w) - 1),"
+        " i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1))) END"
+    )
+
+
 def repetition_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -156,16 +168,8 @@ def repetition_stats(
             F.count("*").alias(f"{prefix}_distinct"),
         )
 
-    # size<2 guard is load-bearing: Spark's sequence(1, 0) is a DESCENDING
-    # [1, 0], not empty, so a bare transform would index out of bounds on
-    # single-word docs
-    bigrams = F.expr(
-        "CASE WHEN size(_w) < 2 THEN CAST(array() AS ARRAY<STRING>)"
-        " ELSE transform(sequence(1, size(_w) - 1),"
-        " i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1))) END"
-    )
     w = _top_frac(F.col("_w"), "w")
-    b = _top_frac(bigrams, "b")
+    b = _top_frac(_bigrams_expr(), "b")
     return (
         w.join(b, "_id", "left")
         .select(
@@ -176,5 +180,82 @@ def repetition_stats(
             F.round(
                 F.coalesce(F.col("b_top_n") / F.col("b_total"), F.lit(0.0)), 4
             ).alias("top_bigram_frac"),
+        )
+    )
+
+
+# --------------------------------------- CCNet-style LM perplexity filter
+
+def bigram_lm_scores(
+    train: DataFrame,
+    score: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 1.0,
+) -> DataFrame:
+    """CCNet-style quality filter: score each document by its perplexity
+    under an add-k-smoothed bigram language model trained on ``train``
+    (self-scoring when ``score`` is None — the classic
+    "rank the corpus by its own LM" curation pass).
+
+    P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k*V), with context counts
+    derived from the bigram table itself (c(w1) = sum over w2) and V the
+    distinct-unigram vocabulary size. Returns per-doc n_bigrams, average
+    negative log-likelihood (natural log, rounded to 6 — ln is not
+    correctly rounded across engines but 1-ulp noise dies at 1e-6), and
+    perplexity exp(avg_nll) computed FROM the rounded nll so any oracle
+    replays it bit-for-bit.
+
+    100-TB shape: the LM is two keyed two-phase aggregations over the
+    exploded corpus (bigram, then context); scoring joins doc bigrams to
+    the LM on the high-cardinality, well-distributed bigram key — a plain
+    shuffle hash join, no broadcast of corpus-sized state (V travels as a
+    broadcast single-row frame). Unseen bigrams (scoring a frame the LM
+    never saw) back off to k/(k*V) via left joins. No all-pairs, no
+    Python, no window over the corpus.
+    """
+    if score is None:
+        score = train
+    kk = F.lit(float(k))
+
+    def _bigrams(df: DataFrame) -> DataFrame:
+        words = F.split(F.trim(F.col(text_col)), r"\s+")
+        base = df.select(F.col(id_col).alias("_id"), words.alias("_w"))
+        return base.select("_id", F.explode(_bigrams_expr()).alias("bg"))
+
+    corpus = _bigrams(train)
+    lm = corpus.groupBy("bg").agg(F.count("*").cast("double").alias("c12"))
+    ctx = (
+        lm.select(F.substring_index("bg", " ", 1).alias("w1"), "c12")
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    words_all = train.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_t")
+    )
+    vocab = words_all.agg(F.countDistinct("_t").cast("double").alias("vsz"))
+
+    doc_bg = _bigrams(score).withColumn("w1", F.substring_index("bg", " ", 1))
+    p = (F.coalesce(F.col("c12"), F.lit(0.0)) + kk) / (
+        F.coalesce(F.col("c1"), F.lit(0.0)) + kk * F.col("vsz")
+    )
+    per_doc = (
+        doc_bg.join(lm, "bg", "left")
+        .join(ctx, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 6).alias("avg_nll"),
+        )
+    )
+    return (
+        score.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.col("avg_nll"),
+            F.round(F.exp(F.col("avg_nll")), 4).alias("ppl"),
         )
     )

@@ -1657,6 +1657,52 @@ def o_url_host_dedup() -> str:
     """
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (round 6): score every document by
+    its perplexity under an add-1-smoothed bigram LM trained on the same
+    corpus (textstats.bigram_lm_scores). LM = two keyed two-phase aggs;
+    scoring = shuffle hash join on the high-cardinality bigram key; V
+    rides along as a broadcast single-row frame. avg_nll rounds at 1e-6
+    (ln is ~1-ulp across engines); ppl = exp(rounded nll) so the oracle
+    replays it exactly."""
+    d = _t(spark, sf_dir, "documents")
+    return textstats.bigram_lm_scores(d).orderBy("doc_id")
+
+
+def o_lm_perplexity() -> str:
+    return r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i + 1])) AS bg
+      FROM toks
+    ), lm AS (
+      SELECT bg, CAST(count(*) AS DOUBLE) AS c12 FROM bg GROUP BY 1
+    ), ctx AS (
+      SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1 FROM lm GROUP BY 1
+    ), v AS (
+      SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vsz
+      FROM (SELECT unnest(w) AS tok FROM toks)
+    ), per AS (
+      SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(-ln((lm.c12 + 1.0) / (ctx.c1 + v.vsz))), 6) AS avg_nll
+      FROM bg b
+      JOIN lm USING (bg)
+      JOIN ctx ON split_part(b.bg, ' ', 1) = ctx.w1
+      CROSS JOIN v
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(per.n_bigrams, 0) AS n_bigrams,
+           per.avg_nll,
+           round(exp(per.avg_nll), 4) AS ppl
+    FROM documents d LEFT JOIN per USING (doc_id)
+    ORDER BY 1
+    """
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", textstats.lang_id_heuristic(F.col("text")).alias("pred_lang"))
@@ -4778,7 +4824,8 @@ QUERIES = {
     "phash_neardup": q_phash_neardup,
     # ann_ivf_recall demoted r5 (r4-signed; ann_pq_recall exercises the
     # same IVF machinery + PQ codes in-window)
-    "resample_ffill": q_resample_ffill,
+    # resample_ffill demoted r6 (r5-signed); the reshape/time-series
+    # family stays in-window via pivot_summary + window_functions
     "ann_pq_recall": q_ann_pq_recall,
     # multimodal + codec-in-pipeline gates
     "image_validate": q_image_validate,
@@ -4835,6 +4882,9 @@ QUERIES = {
     "repetition_filter": q_repetition_filter,
     "pii_scrub": q_pii_scrub,
     "url_host_dedup": q_url_host_dedup,
+    # round-6: bigram-LM perplexity filter enters the window its landing
+    # round (demoted: resample_ffill — r5-signed, note at its old slot)
+    "lm_perplexity": q_lm_perplexity,
     # ---- end of driver-gate window (50) ----
     # cluster_centroid demoted r6 (r5-signed) for http_store_roundtrip;
     # geo_knn_scaled + stream_dedup demoted r6 (both r5-signed) for the
@@ -4842,7 +4892,9 @@ QUERIES = {
     # audio_probe_formats; percentiles_approx demoted r6 (r5-signed) for
     # bpe_token_count; knn_flag_guard demoted r6 (r5-signed) for
     # merge_upsert; dedup_exact + audio_validate + unpivot_melt demoted
-    # r6 (all r5-signed) for the curation trio
+    # r6 (all r5-signed) for the curation trio; resample_ffill demoted
+    # r6 (r5-signed) for lm_perplexity
+    "resample_ffill": q_resample_ffill,
     "dedup_exact": q_dedup_exact,
     "audio_validate": q_audio_validate,
     "unpivot_melt": q_unpivot_melt,
@@ -4959,6 +5011,7 @@ def _build_oracles() -> dict[str, str]:
     "lang_id": o_lang_id(),
     "fingerprint": o_fingerprint(),
     "repetition_filter": o_repetition_filter(),
+    "lm_perplexity": o_lm_perplexity(),
     "pii_scrub": o_pii_scrub(),
     "url_host_dedup": o_url_host_dedup(),
     "curation_pipeline": o_curation_pipeline(),

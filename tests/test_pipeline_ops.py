@@ -622,3 +622,39 @@ def test_repetition_stats_closed_form(spark):
     assert out["distinct_word_ratio"].tolist() == [0.25, 1.0, 1.0]
     assert out["top_word_frac"].tolist() == [1.0, 0.25, 1.0]
     assert out["top_bigram_frac"].tolist() == [1.0, 0.3333, 0.0]
+
+
+def test_bigram_lm_scores_closed_form(spark):
+    import math
+
+    from jpspark.ops.textstats import bigram_lm_scores
+
+    # corpus: "a b a b" + "a c" + "z" -> bigrams: (a b)x2, (b a)x1, (a c)x1
+    # ctx: a->3, b->1; V = 4 (a, b, c, AND the bigram-less doc's z)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b a b", "a c", "z"]})
+    )
+    out = bigram_lm_scores(df).orderBy("doc_id").toPandas().set_index("doc_id")
+    assert out["n_bigrams"].tolist() == [3, 1, 0]
+    p_ab = (2 + 1) / (3 + 4)   # c12=2, c1(a)=3, k=1, V=4
+    p_ba = (1 + 1) / (1 + 4)
+    p_ac = (1 + 1) / (3 + 4)
+    nll1 = round(-(math.log(p_ab) * 2 + math.log(p_ba)) / 3, 6)
+    nll2 = round(-math.log(p_ac), 6)
+    assert out.loc[1, "avg_nll"] == nll1
+    assert out.loc[2, "avg_nll"] == nll2
+    assert out.loc[1, "ppl"] == round(math.exp(nll1), 4)
+    # single-word doc: no bigrams, null scores
+    assert pd.isna(out.loc[3, "avg_nll"]) and pd.isna(out.loc[3, "ppl"])
+
+
+def test_bigram_lm_unseen_backoff(spark):
+    import math
+
+    from jpspark.ops.textstats import bigram_lm_scores
+
+    train = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a b"]}))
+    score = spark.createDataFrame(pd.DataFrame({"doc_id": [9], "text": ["x y"]}))
+    out = bigram_lm_scores(train, score).toPandas()
+    # unseen bigram AND unseen context back off to k/(k*V) = 1/2
+    assert out["avg_nll"].tolist() == [round(-math.log(1 / 2), 6)]
