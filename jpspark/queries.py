@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .geom import wkb
+from .geom import jismesh, wkb
 from .ops import dedup, knn, similarity, spatial_join, text, textstats, tiles
 
 # --------------------------------------------------------------- helpers
@@ -1700,6 +1700,80 @@ def o_lm_perplexity() -> str:
            round(exp(per.avg_nll), 4) AS ppl
     FROM documents d LEFT JOIN per USING (doc_id)
     ORDER BY 1
+    """
+
+
+def q_jis_mesh_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JIS X 0410 grid-square encoding (round 6): geotags synthesized on
+    an exact binary-fraction lattice over Japan (lat 24..46, lon 123..154,
+    step 1/128 deg — every mesh arithmetic step is then exact in doubles),
+    encoded to 2nd/3rd/half-level codes (geom/jismesh.py), rolled up per
+    2nd-level (10 km) square. Integer-only output: codes are LongType, so
+    the gate has zero float-hash exposure. At 10^12 rows this is one
+    two-phase hash aggregate on a compact long key — the mesh-partition
+    story the reference's per-mesh archives imply (mapping.rs:22)."""
+    ev = _t(spark, sf_dir, "events")
+    lat = 24.0 + (F.col("event_id") % 2816) / 128.0
+    lon = 123.0 + ((F.col("event_id") * 7) % 3968) / 128.0
+    pts = ev.select(
+        F.col("event_id"),
+        jismesh.mesh2(lat, lon).alias("m2"),
+        jismesh.mesh3(lat, lon).alias("m3"),
+        jismesh.mesh_half(lat, lon).alias("mh"),
+    )
+    return (
+        pts.groupBy("m2")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.countDistinct("m3").alias("n_mesh3"),
+            F.countDistinct("mh").alias("n_half"),
+            F.min("m3").alias("min_mesh3"),
+            F.max("mh").alias("max_half"),
+        )
+        .orderBy("m2")
+    )
+
+
+def o_jis_mesh_rollup() -> str:
+    return """
+    WITH pts AS (
+      SELECT event_id,
+             24.0 + (event_id % 2816) / 128.0 AS lat,
+             123.0 + ((event_id * 7) % 3968) / 128.0 AS lon
+      FROM events
+    ), parts AS (
+      SELECT event_id,
+             floor(lat * 1.5) AS a1,
+             lat * 1.5 - floor(lat * 1.5) AS f1,
+             floor(lon) - 100 AS lon1,
+             lon - floor(lon) AS g1
+      FROM pts
+    ), parts2 AS (
+      SELECT *,
+             floor(f1 * 8) AS q, f1 * 8 - floor(f1 * 8) AS f2,
+             floor(g1 * 8) AS v, g1 * 8 - floor(g1 * 8) AS g2
+      FROM parts
+    ), parts3 AS (
+      SELECT *,
+             floor(f2 * 10) AS r, f2 * 10 - floor(f2 * 10) AS f3,
+             floor(g2 * 10) AS w, g2 * 10 - floor(g2 * 10) AS g3
+      FROM parts2
+    ), codes AS (
+      SELECT CAST((a1 * 100 + lon1) * 100 + q * 10 + v AS BIGINT) AS m2,
+             CAST(((a1 * 100 + lon1) * 100 + q * 10 + v) * 100
+                  + r * 10 + w AS BIGINT) AS m3,
+             CAST((((a1 * 100 + lon1) * 100 + q * 10 + v) * 100
+                   + r * 10 + w) * 10
+                  + floor(f3 * 2) * 2 + floor(g3 * 2) + 1 AS BIGINT) AS mh
+      FROM parts3
+    )
+    SELECT m2,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(count(DISTINCT m3) AS BIGINT) AS n_mesh3,
+           CAST(count(DISTINCT mh) AS BIGINT) AS n_half,
+           min(m3) AS min_mesh3,
+           max(mh) AS max_half
+    FROM codes GROUP BY 1 ORDER BY 1
     """
 
 
@@ -4811,9 +4885,9 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "bm25_score": q_bm25_score,
     # OLAP aggregates (rollup_summary + cube_summary demoted r5, both
-    # r4-signed; the new arbitrary grouping_sets generalizes both
-    # in-window) + the analytic window-function sweep
-    "grouping_sets": q_grouping_sets,
+    # r4-signed; grouping_sets demoted r6 — r5-signed — for
+    # jis_mesh_rollup; the OLAP family stays in-window via
+    # window_functions + pivot_summary) + the analytic window sweep
     "window_functions": q_window_functions,
     # training-data pipeline: dedup + ANN
     "chunk_dedup": q_chunk_dedup,
@@ -4885,6 +4959,10 @@ QUERIES = {
     # round-6: bigram-LM perplexity filter enters the window its landing
     # round (demoted: resample_ffill — r5-signed, note at its old slot)
     "lm_perplexity": q_lm_perplexity,
+    # round-6: JIS X 0410 mesh-code rollup enters the window its landing
+    # round (demoted: grouping_sets — r5-signed; the OLAP family stays
+    # in-window via window_functions + pivot_summary)
+    "jis_mesh_rollup": q_jis_mesh_rollup,
     # ---- end of driver-gate window (50) ----
     # cluster_centroid demoted r6 (r5-signed) for http_store_roundtrip;
     # geo_knn_scaled + stream_dedup demoted r6 (both r5-signed) for the
@@ -4893,8 +4971,10 @@ QUERIES = {
     # bpe_token_count; knn_flag_guard demoted r6 (r5-signed) for
     # merge_upsert; dedup_exact + audio_validate + unpivot_melt demoted
     # r6 (all r5-signed) for the curation trio; resample_ffill demoted
-    # r6 (r5-signed) for lm_perplexity
+    # r6 (r5-signed) for lm_perplexity; grouping_sets demoted r6
+    # (r5-signed) for jis_mesh_rollup
     "resample_ffill": q_resample_ffill,
+    "grouping_sets": q_grouping_sets,
     "dedup_exact": q_dedup_exact,
     "audio_validate": q_audio_validate,
     "unpivot_melt": q_unpivot_melt,
@@ -5012,6 +5092,7 @@ def _build_oracles() -> dict[str, str]:
     "fingerprint": o_fingerprint(),
     "repetition_filter": o_repetition_filter(),
     "lm_perplexity": o_lm_perplexity(),
+    "jis_mesh_rollup": o_jis_mesh_rollup(),
     "pii_scrub": o_pii_scrub(),
     "url_host_dedup": o_url_host_dedup(),
     "curation_pipeline": o_curation_pipeline(),

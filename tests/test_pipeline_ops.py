@@ -658,3 +658,34 @@ def test_bigram_lm_unseen_backoff(spark):
     out = bigram_lm_scores(train, score).toPandas()
     # unseen bigram AND unseen context back off to k/(k*V) = 1/2
     assert out["avg_nll"].tolist() == [round(-math.log(1 / 2), 6)]
+
+
+def test_jis_mesh_known_codes_and_bounds(spark):
+    from jpspark.geom import jismesh
+
+    # Tokyo Station (35.681236 N, 139.767125 E): published JIS X 0410
+    # codes are 5339 / 533946 / 53394611
+    df = spark.createDataFrame(pd.DataFrame({"lat": [35.681236, 34.7024854], "lon": [139.767125, 135.4959506]}))
+    out = df.select(
+        jismesh.mesh1(F.col("lat"), F.col("lon")).alias("m1"),
+        jismesh.mesh2(F.col("lat"), F.col("lon")).alias("m2"),
+        jismesh.mesh3(F.col("lat"), F.col("lon")).alias("m3"),
+        jismesh.mesh_half(F.col("lat"), F.col("lon")).alias("mh"),
+    ).toPandas()
+    assert out["m1"].tolist() == [5339, 5235]       # Tokyo, Osaka
+    assert out["m2"].tolist() == [533946, 523503]
+    assert out["m3"].tolist() == [53394611, 52350349]
+    assert (out["mh"] // 10).tolist() == [53394611, 52350349]
+    assert set(out["mh"] % 10) <= {1, 2, 3, 4}
+
+    # decode round-trip: every point must fall inside its own mesh3 box
+    back = (
+        df.select("lat", "lon", jismesh.mesh3(F.col("lat"), F.col("lon")).alias("m3"))
+        .select("lat", "lon", *jismesh.mesh3_bounds(F.col("m3")))
+        .toPandas()
+    )
+    assert ((back["lat"] >= back["lat_lo"]) & (back["lat"] < back["lat_hi"])).all()
+    assert ((back["lon"] >= back["lon_lo"]) & (back["lon"] < back["lon_hi"])).all()
+    # a 3rd-level square is 30" x 45"
+    assert np.allclose(back["lat_hi"] - back["lat_lo"], 30 / 3600)
+    assert np.allclose(back["lon_hi"] - back["lon_lo"], 45 / 3600)
