@@ -486,6 +486,66 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: for each *test* (benchmark) document,
+    measure its word-n-gram overlap with the *train* corpus — the
+    standard contamination check run before training on web-scale text
+    (the n-gram variant of the GPT-3/PaLM decontamination recipe).
+
+    Returns one row per test doc: ``n_ngrams`` (distinct n-grams),
+    ``n_hit`` (of those, how many occur anywhere in train),
+    ``contamination`` (hit ratio, round 4), ``n_train_docs`` (distinct
+    train docs sharing at least one n-gram).
+
+    100-TB shape: both sides explode to (id, md5(n-gram)) — fixed-width
+    16-byte keys, never raw text — dedup per doc map-side, then ONE
+    shuffle hash join on the n-gram key followed by a keyed two-phase
+    aggregate. Train-side n-grams are pre-deduped per (train_doc, gram)
+    so the join fan-out is bounded by true containment, not term
+    frequency. No all-pairs, no Python.
+    """
+    def _grams(df: DataFrame) -> DataFrame:
+        words = F.split(F.trim(F.col(text_col)), r"\s+")
+        base = df.select(F.col(id_col).alias("_id"), words.alias("_w"))
+        grams = F.expr(
+            f"CASE WHEN size(_w) < {int(n)} THEN CAST(array() AS ARRAY<STRING>)"
+            f" ELSE transform(sequence(1, size(_w) - {int(n)} + 1),"
+            f" i -> array_join(slice(_w, i, {int(n)}), ' ')) END"
+        )
+        return (
+            base.select("_id", F.explode(grams).alias("_g"))
+            .select("_id", F.md5(F.col("_g")).alias("gram"))
+            .distinct()
+        )
+
+    tr = _grams(train).withColumnRenamed("_id", "train_id")
+    te = _grams(test)
+    hits = te.join(tr, "gram", "left")
+    return (
+        hits.groupBy("_id")
+        .agg(
+            F.countDistinct("gram").alias("n_ngrams"),
+            F.countDistinct(
+                F.when(F.col("train_id").isNotNull(), F.col("gram"))
+            ).alias("n_hit"),
+            F.countDistinct("train_id").alias("n_train_docs"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_ngrams",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_ngrams"), 4).alias("contamination"),
+            "n_train_docs",
+        )
+    )
+
+
 def embedding_neardup_lsh(
     emb: DataFrame,
     threshold: float = 0.99,

@@ -1777,6 +1777,79 @@ def o_jis_mesh_rollup() -> str:
     """
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (round 6): a synthetic benchmark set is
+    carved deterministically out of documents (doc_id % 7 == 0, >= 15
+    words: a 12-word window starting at 1 + doc_id % 3; docs with
+    doc_id % 14 != 0 get two synthetic novel tokens appended so the
+    contamination ratio actually varies), then every benchmark doc is
+    scored for word-trigram overlap against the FULL corpus via
+    ops.dedup.ngram_contamination — (id, md5(gram)) exchange, one join
+    on the gram key, keyed two-phase aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    start = (F.col("doc_id") % 3 + 1).cast("int")
+    base = F.array_join(F.slice(words, start, 12), " ")
+    test_text = F.when(
+        F.col("doc_id") % 14 == 0, base
+    ).otherwise(
+        F.concat(
+            base,
+            F.lit(" qq"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ww"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    test = (
+        d.filter((F.col("doc_id") % 7 == 0) & (F.size(words) >= 15))
+        .select(F.col("doc_id"), test_text.alias("text"))
+    )
+    return dedup.ngram_contamination(d, test, n=3).orderBy("doc_id")
+
+
+def o_decontamination() -> str:
+    return r"""
+    WITH tw AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ), test AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 14 = 0
+                  THEN array_to_string(w[(1 + doc_id % 3):(doc_id % 3 + 12)], ' ')
+                  ELSE array_to_string(w[(1 + doc_id % 3):(doc_id % 3 + 12)], ' ')
+                       || ' qq' || CAST(doc_id AS VARCHAR)
+                       || ' ww' || CAST(doc_id AS VARCHAR)
+             END AS text
+      FROM tw WHERE doc_id % 7 = 0 AND len(w) >= 15
+    ), train_g AS (
+      SELECT DISTINCT doc_id AS train_id, g
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 1),
+                      i -> array_to_string(w[i:i+2], ' '))) AS g
+        FROM tw
+      )
+    ), test_g AS (
+      SELECT DISTINCT doc_id, g
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1),
+                      i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS g
+        FROM test
+      )
+    )
+    SELECT t.doc_id,
+           CAST(count(DISTINCT t.g) AS BIGINT) AS n_ngrams,
+           CAST(count(DISTINCT CASE WHEN tr.train_id IS NOT NULL THEN t.g END) AS BIGINT) AS n_hit,
+           round(count(DISTINCT CASE WHEN tr.train_id IS NOT NULL THEN t.g END)
+                 / count(DISTINCT t.g), 4) AS contamination,
+           CAST(count(DISTINCT tr.train_id) AS BIGINT) AS n_train_docs
+    FROM test_g t LEFT JOIN train_g tr USING (g)
+    GROUP BY 1 ORDER BY 1
+    """
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", textstats.lang_id_heuristic(F.col("text")).alias("pred_lang"))
@@ -4883,7 +4956,8 @@ QUERIES = {
     "asof_join": q_asof_join,
     "approx_distinct": q_approx_distinct,
     "stratified_sample": q_stratified_sample,
-    "bm25_score": q_bm25_score,
+    # bm25_score demoted r6 (r5-signed) for decontamination; the
+    # text-scoring family stays in-window via lm_perplexity
     # OLAP aggregates (rollup_summary + cube_summary demoted r5, both
     # r4-signed; grouping_sets demoted r6 — r5-signed — for
     # jis_mesh_rollup; the OLAP family stays in-window via
@@ -4963,6 +5037,9 @@ QUERIES = {
     # round (demoted: grouping_sets — r5-signed; the OLAP family stays
     # in-window via window_functions + pivot_summary)
     "jis_mesh_rollup": q_jis_mesh_rollup,
+    # round-6: benchmark decontamination enters the window its landing
+    # round (demoted: bm25_score — r5-signed, note at its old slot)
+    "decontamination": q_decontamination,
     # ---- end of driver-gate window (50) ----
     # cluster_centroid demoted r6 (r5-signed) for http_store_roundtrip;
     # geo_knn_scaled + stream_dedup demoted r6 (both r5-signed) for the
@@ -4972,9 +5049,11 @@ QUERIES = {
     # merge_upsert; dedup_exact + audio_validate + unpivot_melt demoted
     # r6 (all r5-signed) for the curation trio; resample_ffill demoted
     # r6 (r5-signed) for lm_perplexity; grouping_sets demoted r6
-    # (r5-signed) for jis_mesh_rollup
+    # (r5-signed) for jis_mesh_rollup; bm25_score demoted r6 (r5-signed)
+    # for decontamination
     "resample_ffill": q_resample_ffill,
     "grouping_sets": q_grouping_sets,
+    "bm25_score": q_bm25_score,
     "dedup_exact": q_dedup_exact,
     "audio_validate": q_audio_validate,
     "unpivot_melt": q_unpivot_melt,
@@ -5093,6 +5172,7 @@ def _build_oracles() -> dict[str, str]:
     "repetition_filter": o_repetition_filter(),
     "lm_perplexity": o_lm_perplexity(),
     "jis_mesh_rollup": o_jis_mesh_rollup(),
+    "decontamination": o_decontamination(),
     "pii_scrub": o_pii_scrub(),
     "url_host_dedup": o_url_host_dedup(),
     "curation_pipeline": o_curation_pipeline(),

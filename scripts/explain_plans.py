@@ -49,6 +49,9 @@ AUDIT = [
     # round 6
     "overlay_intersection",  # expect: cell-cover pair exchange carries ids/cells; geometry re-joins per surviving pair
     "bpe_token_count",     # expect: scan -> Arrow-batched kernel projection; only the final orderBy exchanges
+    "repetition_filter",   # expect: two-phase aggs per granularity; ReadSchema = doc_id+text only
+    "lm_perplexity",       # expect: LM/ctx two-phase aggs; 1-row V broadcast; scoring join keyed on bigram
+    "jis_mesh_rollup",     # expect: codegen encode straight off the scan -> ONE two-phase agg exchange
 ]
 
 

@@ -689,3 +689,35 @@ def test_jis_mesh_known_codes_and_bounds(spark):
     # a 3rd-level square is 30" x 45"
     assert np.allclose(back["lat_hi"] - back["lat_lo"], 30 / 3600)
     assert np.allclose(back["lon_hi"] - back["lon_lo"], 45 / 3600)
+
+
+def test_ngram_contamination_closed_form(spark):
+    train = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d e", "x y z w"]})
+    )
+    test = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12, 13],
+                "text": [
+                    "a b c d",          # both trigrams in train doc 1
+                    "p q r s",          # nothing in train
+                    "c d e f g",        # 1 of 3 trigrams hits
+                    "a b c a b c a b",  # repeats: distinct grams only
+                ],
+            }
+        )
+    )
+    out = (
+        dedup.ngram_contamination(train, test, n=3)
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[10, "n_ngrams"] == 2 and out.loc[10, "n_hit"] == 2
+    assert out.loc[10, "contamination"] == 1.0 and out.loc[10, "n_train_docs"] == 1
+    assert out.loc[11, "n_hit"] == 0 and out.loc[11, "n_train_docs"] == 0
+    assert out.loc[12, "n_ngrams"] == 3 and out.loc[12, "n_hit"] == 1
+    assert out.loc[12, "contamination"] == 0.3333
+    # repeated trigrams collapse: 'a b c'/'b c a'/'c a b' -> 3 distinct
+    assert out.loc[13, "n_ngrams"] == 3 and out.loc[13, "n_hit"] == 1
