@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .geom import jismesh, wkb
+from .geom import geodesic, jismesh, wkb
 from .ops import dedup, knn, similarity, spatial_join, text, textstats, tiles
 
 # --------------------------------------------------------------- helpers
@@ -1847,6 +1847,81 @@ def o_decontamination() -> str:
            CAST(count(DISTINCT tr.train_id) AS BIGINT) AS n_train_docs
     FROM test_g t LEFT JOIN train_g tr USING (g)
     GROUP BY 1 ORDER BY 1
+    """
+
+
+def q_geo_haversine_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic measures (round 6): each geotag (same exact
+    binary-fraction Japan lattice as jis_mesh_rollup, first 500 events)
+    is assigned its nearest of 64 synthetic stations by great-circle
+    distance (geom/geodesic.py haversine + initial bearing, WGS84 mean
+    sphere), with a (distance, station_id) tie-break. The station table
+    is a broadcast dim — the realistic 100-TB shape (tiny dim x huge
+    fact, one codegen stage, zero fact-side shuffle before the per-key
+    top-1 window). Trig is ~1-ulp across engines; round(4) absorbs it."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    lat = 24.0 + (F.col("event_id") % 2816) / 128.0
+    lon = 123.0 + ((F.col("event_id") * 7) % 3968) / 128.0
+    pts = ev.select("event_id", lat.alias("lat"), lon.alias("lon"))
+    st = spark.range(64).select(
+        F.col("id").alias("station_id"),
+        (26.0 + (F.col("id") % 8) * 2.5).alias("slat"),
+        (128.0 + F.floor(F.col("id") / 8) * 3.25).alias("slon"),
+    )
+    pairs = pts.crossJoin(F.broadcast(st)).select(
+        "event_id",
+        "station_id",
+        geodesic.haversine_km(
+            F.col("lat"), F.col("lon"), F.col("slat"), F.col("slon")
+        ).alias("dist_km"),
+        geodesic.initial_bearing_deg(
+            F.col("lat"), F.col("lon"), F.col("slat"), F.col("slon")
+        ).alias("bearing_deg"),
+    )
+    w = Window.partitionBy("event_id").orderBy("dist_km", "station_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "station_id", "dist_km", "bearing_deg")
+        .orderBy("event_id")
+    )
+
+
+def o_geo_haversine_nn() -> str:
+    return """
+    WITH pts AS (
+      SELECT event_id,
+             24.0 + (event_id % 2816) / 128.0 AS lat,
+             123.0 + ((event_id * 7) % 3968) / 128.0 AS lon
+      FROM events WHERE event_id < 500
+    ), st AS (
+      SELECT s AS station_id,
+             26.0 + (s % 8) * 2.5 AS slat,
+             128.0 + floor(s / 8) * 3.25 AS slon
+      FROM generate_series(0, 63) t(s)
+    ), pairs AS (
+      SELECT event_id, station_id,
+             round(2 * atan2(
+                 sqrt(sin(radians(slat - lat) / 2) * sin(radians(slat - lat) / 2)
+                      + cos(radians(lat)) * cos(radians(slat))
+                        * sin(radians(slon - lon) / 2) * sin(radians(slon - lon) / 2)),
+                 sqrt(1 - (sin(radians(slat - lat) / 2) * sin(radians(slat - lat) / 2)
+                      + cos(radians(lat)) * cos(radians(slat))
+                        * sin(radians(slon - lon) / 2) * sin(radians(slon - lon) / 2)))
+             ) * 6371.0088, 4) AS dist_km,
+             round((degrees(atan2(
+                 sin(radians(slon - lon)) * cos(radians(slat)),
+                 cos(radians(lat)) * sin(radians(slat))
+                   - sin(radians(lat)) * cos(radians(slat)) * cos(radians(slon - lon))
+             )) + 360.0) % 360.0, 4) AS bearing_deg
+      FROM pts CROSS JOIN st
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_id ORDER BY dist_km, station_id) AS rn
+      FROM pairs
+    )
+    SELECT event_id, station_id, dist_km, bearing_deg
+    FROM ranked WHERE rn = 1 ORDER BY event_id
     """
 
 
@@ -4941,7 +5016,9 @@ QUERIES = {
     "geo_knn": q_geo_knn,
     "geo_tile_assign": q_geo_tile_assign,
     "geo_dissolve": q_geo_dissolve,
-    "geo_measures": q_geo_measures,
+    # geo_measures demoted r6 (r5-signed) for geo_haversine_nn; the
+    # measures family keeps simplify_dp + geo_dissolve in-window and
+    # gains its geodesic sibling
     "simplify_dp": q_simplify,
     "cell_compact": q_cell_compact,
     # streaming
@@ -5040,6 +5117,9 @@ QUERIES = {
     # round-6: benchmark decontamination enters the window its landing
     # round (demoted: bm25_score — r5-signed, note at its old slot)
     "decontamination": q_decontamination,
+    # round-6: geodesic nearest-station enters the window its landing
+    # round (demoted: geo_measures — r5-signed, note at its old slot)
+    "geo_haversine_nn": q_geo_haversine_nn,
     # ---- end of driver-gate window (50) ----
     # cluster_centroid demoted r6 (r5-signed) for http_store_roundtrip;
     # geo_knn_scaled + stream_dedup demoted r6 (both r5-signed) for the
@@ -5054,6 +5134,7 @@ QUERIES = {
     "resample_ffill": q_resample_ffill,
     "grouping_sets": q_grouping_sets,
     "bm25_score": q_bm25_score,
+    "geo_measures": q_geo_measures,
     "dedup_exact": q_dedup_exact,
     "audio_validate": q_audio_validate,
     "unpivot_melt": q_unpivot_melt,
@@ -5173,6 +5254,7 @@ def _build_oracles() -> dict[str, str]:
     "lm_perplexity": o_lm_perplexity(),
     "jis_mesh_rollup": o_jis_mesh_rollup(),
     "decontamination": o_decontamination(),
+    "geo_haversine_nn": o_geo_haversine_nn(),
     "pii_scrub": o_pii_scrub(),
     "url_host_dedup": o_url_host_dedup(),
     "curation_pipeline": o_curation_pipeline(),

@@ -721,3 +721,43 @@ def test_ngram_contamination_closed_form(spark):
     assert out.loc[12, "contamination"] == 0.3333
     # repeated trigrams collapse: 'a b c'/'b c a'/'c a b' -> 3 distinct
     assert out.loc[13, "n_ngrams"] == 3 and out.loc[13, "n_hit"] == 1
+
+
+def test_haversine_and_bearing_python_replay(spark):
+    import math
+
+    from jpspark.geom import geodesic
+
+    pts = pd.DataFrame(
+        {
+            "lat1": [35.681236, 43.068661, 26.2124],
+            "lon1": [139.767125, 141.350755, 127.6809],
+            "lat2": [34.7024854, 35.681236, 35.681236],
+            "lon2": [135.4959506, 139.767125, 139.767125],
+        }
+    )
+    out = (
+        spark.createDataFrame(pts)
+        .select(
+            geodesic.haversine_km(
+                F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")
+            ).alias("d"),
+            geodesic.initial_bearing_deg(
+                F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")
+            ).alias("b"),
+        )
+        .toPandas()
+    )
+
+    def hav(lat1, lon1, lat2, lon2):
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        dp, dl = math.radians(lat2 - lat1), math.radians(lon2 - lon1)
+        a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        return round(2 * math.atan2(math.sqrt(a), math.sqrt(1 - a)) * 6371.0088, 4)
+
+    for i, r in pts.iterrows():
+        assert abs(out.loc[i, "d"] - hav(r.lat1, r.lon1, r.lat2, r.lon2)) < 1e-3
+    # Tokyo->Osaka is ~400 km pointing roughly WSW; Sapporo->Tokyo ~830 km S
+    assert 395 < out.loc[0, "d"] < 410 and 240 < out.loc[0, "b"] < 260
+    assert 820 < out.loc[1, "d"] < 840 and 170 < out.loc[1, "b"] < 200
+    assert (out["b"] >= 0).all() and (out["b"] < 360).all()
