@@ -33,6 +33,9 @@ def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
         F.sin(dp / 2) * F.sin(dp / 2)
         + F.cos(p1) * F.cos(p2) * F.sin(dl / 2) * F.sin(dl / 2)
     )
+    # near-antipodal points can push a past 1.0 by a few ulp, which would
+    # make sqrt(1 - a) NaN — clamp (oracles must replay the least())
+    a = F.least(a, F.lit(1.0))
     d = 2 * F.atan2(F.sqrt(a), F.sqrt(1 - a)) * EARTH_RADIUS_KM
     return F.round(d, 4)
 
@@ -45,4 +48,6 @@ def initial_bearing_deg(lat1: Column, lon1: Column, lat2: Column, lon2: Column) 
     y = F.sin(dl) * F.cos(p2)
     x = F.cos(p1) * F.sin(p2) - F.sin(p1) * F.cos(p2) * F.cos(dl)
     deg = F.degrees(F.atan2(y, x))
-    return F.round((deg + 360.0) % 360.0, 4)
+    # the trailing % 360.0 runs AFTER rounding: a bearing of 359.99997
+    # would otherwise round up to 360.0, violating the [0, 360) contract
+    return F.round((deg + 360.0) % 360.0, 4) % 360.0

@@ -809,12 +809,22 @@ def scan(
         df = _read_parts(spark, out_dir, keep, store, m, filters=filters)
     from pyspark.sql import functions as F
 
+    dtypes = dict(df.dtypes)
     for col, op, value in filters:
         # a column absent from the data (e.g. a clustering key this table
         # was never written with) can't be filtered row-wise; stats
         # pruning above already treated it as unknown (no prune)
         if col in df.columns:
-            df = df.filter(_FILTER_OPS[op](F.col(col), value))
+            # coerce the literal(s) to the COLUMN's type via try_cast: a
+            # mistyped probe (int vs string column) then matches nothing
+            # instead of blowing up in ANSI-mode cast at runtime — and
+            # identically on the URI fast path and the object-read path
+            dt = dtypes[col]
+            if op == "in":
+                lit = [F.lit(v).try_cast(dt) for v in value]
+                df = df.filter(F.col(col).isin(lit))
+            else:
+                df = df.filter(_FILTER_OPS[op](F.col(col), F.lit(value).try_cast(dt)))
     return df, report
 
 
@@ -893,7 +903,13 @@ def _read_parts(spark, out_dir: str, keys, store, m: dict, filters=None):
                     raise FileNotFoundError(f"{out_dir}: missing part object {key}")
                 try:
                     tbl = pq.read_table(_io.BytesIO(buf), filters=pa_filters)
-                except (pa.ArrowInvalid, OSError, ValueError):
+                except (
+                    pa.ArrowInvalid,
+                    pa.ArrowNotImplementedError,  # e.g. string col vs int probe
+                    pa.ArrowTypeError,
+                    OSError,
+                    ValueError,
+                ):
                     if pa_filters is None:
                         raise
                     # filter pushdown is opportunistic (e.g. a probe type the
@@ -1763,10 +1779,21 @@ def merge_into(
     exclusive-create; on conflict the whole CoW pass re-runs on the new
     base (8 attempts)."""
     store = storage or LocalStorage()
-    for _attempt in range(8):
-        manifest = _merge_into_once(spark, out_dir, source, key, store, shard_size, max_probe_keys)
-        if manifest is not None:
-            return manifest
+    # pin the source: it is read up to three times per attempt (profile
+    # aggregate, key collect, anti-join) and again on commit retry — a
+    # non-deterministic source would otherwise pass the uniqueness/null
+    # checks yet merge a DIFFERENT key set. The profile aggregate below
+    # is a full pass, so it materializes the cache before any reuse.
+    source = source.persist()
+    try:
+        for _attempt in range(8):
+            manifest = _merge_into_once(
+                spark, out_dir, source, key, store, shard_size, max_probe_keys
+            )
+            if manifest is not None:
+                return manifest
+    finally:
+        source.unpersist()
     raise RuntimeError(f"merge_into: commit conflict persisted after 8 retries under {out_dir}")
 
 
@@ -1814,16 +1841,44 @@ def _merge_into_once(
                 f"{int(prof.n_keys)} distinct {key!r}) — pre-aggregate the source"
             )
         if int(prof.n_keys) <= max_probe_keys:
-            key_vals = [r[0] for r in source.select(key).collect()]
-            probe = [(key, "in", key_vals)]
+            import bisect
+
+            key_vals = sorted(r[0] for r in source.select(key).collect())
+
+            def may_match(meta: dict) -> bool:
+                # sorted-key fast path: bisect the file's [lo, hi] range
+                # once instead of scanning all K keys per file, and feed
+                # only the in-range slice to the Bloom probe
+                stats = meta.get("stats") or {}
+                ent = stats.get(key) or {}
+                lo, hi = ent.get("lo"), ent.get("hi")
+                cand = key_vals
+                if lo is not None and hi is not None:
+                    try:
+                        i = bisect.bisect_left(key_vals, lo)
+                        j = bisect.bisect_right(key_vals, hi)
+                    except TypeError:
+                        i, j = 0, len(key_vals)  # incomparable: no prune
+                    if i >= j:
+                        return False
+                    cand = key_vals[i:j]
+                return _file_may_match(
+                    stats, int(meta["row_count"]), [(key, "in", cand)],
+                    bloom_ctx=(store, out_dir),
+                )
+
         else:
-            probe = [(key, ">=", prof.mn), (key, "<=", prof.mx)]
+            range_probe = [(key, ">=", prof.mn), (key, "<=", prof.mx)]
+
+            def may_match(meta: dict) -> bool:
+                return _file_may_match(
+                    meta.get("stats") or {}, int(meta["row_count"]), range_probe,
+                    bloom_ctx=(store, out_dir),
+                )
+
         affected, kept_entries = {}, {}
         for pid, meta in parts.items():
-            if _file_may_match(
-                meta.get("stats") or {}, int(meta["row_count"]), probe,
-                bloom_ctx=(store, out_dir),
-            ):
+            if may_match(meta):
                 affected[pid] = meta
             else:
                 kept_entries[pid] = meta

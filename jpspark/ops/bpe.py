@@ -108,9 +108,13 @@ def bpe_token_count_col(merges: list[Merge]) -> Column:
     ``.alias``-style call: ``bpe_token_count_col(merges)(F.col('text'))``
     is avoided — returns a pandas_udf to apply to one column)."""
 
+    # closure-captured so it persists across Arrow batches for the life
+    # of the executor Python worker — inside the udf body it would be
+    # rebuilt per ~8k-row batch and only dedupe within one batch
+    cache: dict = {}
+
     @F.pandas_udf(T.LongType())
     def udf(texts: pd.Series) -> pd.Series:
-        cache: dict = {}  # distinct-word cache, lives for the batch+worker
         return texts.map(lambda t: token_count_py(t, merges, cache))
 
     return udf

@@ -518,13 +518,17 @@ def ngram_contamination(
             f" ELSE transform(sequence(1, size(_w) - {int(n)} + 1),"
             f" i -> array_join(slice(_w, i, {int(n)}), ' ')) END"
         )
+        # explode_outer: a doc with < n words keeps one null-gram row so
+        # it still appears in the output (n_ngrams = 0) instead of being
+        # silently dropped; countDistinct and the equi-join both ignore
+        # the null
         return (
-            base.select("_id", F.explode(grams).alias("_g"))
+            base.select("_id", F.explode_outer(grams).alias("_g"))
             .select("_id", F.md5(F.col("_g")).alias("gram"))
             .distinct()
         )
 
-    tr = _grams(train).withColumnRenamed("_id", "train_id")
+    tr = _grams(train).filter(F.col("gram").isNotNull()).withColumnRenamed("_id", "train_id")
     te = _grams(test)
     hits = te.join(tr, "gram", "left")
     return (
@@ -540,7 +544,10 @@ def ngram_contamination(
             F.col("_id").alias(id_col),
             "n_ngrams",
             "n_hit",
-            F.round(F.col("n_hit") / F.col("n_ngrams"), 4).alias("contamination"),
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.round(F.col("n_hit") / F.col("n_ngrams"), 4),
+            ).alias("contamination"),
             "n_train_docs",
         )
     )

@@ -219,6 +219,12 @@ def overlay_intersection(
     positive overlaps). ``res`` sets the candidate grid; coarser = fewer
     cover rows, finer = fewer false candidate pairs — the exact kernel
     makes the answer independent of the choice."""
+    if id_a == id_b:
+        raise ValueError(
+            f"id_a and id_b are both {id_a!r}: the pair join would be "
+            "ambiguous — rename one side first "
+            "(e.g. df_b.withColumnRenamed)"
+        )
     ca = _cover_cells(df_a, id_a, geom_a, res)
     cb = _cover_cells(df_b, id_b, geom_b, res)
     pairs = (

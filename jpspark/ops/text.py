@@ -84,9 +84,12 @@ def url_last_segment(col: Column) -> Column:
 def url_host(col: Column) -> Column:
     """Canonical host of a URL for host-level corpus grouping/dedup:
     authority extracted by regex (portable to the RE2 oracle — no
-    java.net parsing), lowercased, leading 'www.' and any :port stripped.
-    Pure Column algebra; runs inside codegen at scan speed."""
-    host = F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1)
+    java.net parsing; terminated by /, ? or # so path-less URLs with a
+    query/fragment don't swallow it), userinfo@ stripped, lowercased,
+    leading 'www.' and any :port stripped. Pure Column algebra; runs
+    inside codegen at scan speed."""
+    host = F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    host = F.regexp_replace(host, r"^[^@]*@", "")
     host = F.regexp_replace(F.lower(host), r":[0-9]+$", "")
     return F.regexp_replace(host, r"^www\.", "")
 

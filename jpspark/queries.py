@@ -1646,7 +1646,9 @@ def o_url_host_dedup() -> str:
     ), c AS (
       SELECT doc_id, url,
              regexp_replace(regexp_replace(
-               lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)', 1)),
+               lower(regexp_replace(
+                 regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+                 '^[^@]*@', '')),
                ':[0-9]+$', ''), '^www\.', '') AS host,
              regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]+(/.*)$', 1) AS path
       FROM u
@@ -1902,18 +1904,18 @@ def o_geo_haversine_nn() -> str:
     ), pairs AS (
       SELECT event_id, station_id,
              round(2 * atan2(
-                 sqrt(sin(radians(slat - lat) / 2) * sin(radians(slat - lat) / 2)
+                 sqrt(least(sin(radians(slat - lat) / 2) * sin(radians(slat - lat) / 2)
                       + cos(radians(lat)) * cos(radians(slat))
-                        * sin(radians(slon - lon) / 2) * sin(radians(slon - lon) / 2)),
-                 sqrt(1 - (sin(radians(slat - lat) / 2) * sin(radians(slat - lat) / 2)
+                        * sin(radians(slon - lon) / 2) * sin(radians(slon - lon) / 2), 1.0)),
+                 sqrt(1 - least(sin(radians(slat - lat) / 2) * sin(radians(slat - lat) / 2)
                       + cos(radians(lat)) * cos(radians(slat))
-                        * sin(radians(slon - lon) / 2) * sin(radians(slon - lon) / 2)))
+                        * sin(radians(slon - lon) / 2) * sin(radians(slon - lon) / 2), 1.0))
              ) * 6371.0088, 4) AS dist_km,
              round((degrees(atan2(
                  sin(radians(slon - lon)) * cos(radians(slat)),
                  cos(radians(lat)) * sin(radians(slat))
                    - sin(radians(lat)) * cos(radians(slat)) * cos(radians(slon - lon))
-             )) + 360.0) % 360.0, 4) AS bearing_deg
+             )) + 360.0) % 360.0, 4) % 360.0 AS bearing_deg
       FROM pts CROSS JOIN st
     ), ranked AS (
       SELECT *, row_number() OVER (

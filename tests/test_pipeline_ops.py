@@ -594,12 +594,23 @@ def test_url_host_normalization(spark):
                     "http://example.com:8080/x",
                     "ftp://www.Sub.Example.com",  # no path at all
                     "not a url",
+                    "https://example.com?sid=1",   # path-less query string
+                    "https://Example.com#frag",    # path-less fragment
+                    "https://user:pw@example.com/x",  # userinfo stripped
                 ]
             }
         )
     )
     got = [r[0] for r in df.select(url_host(F.col("u"))).collect()]
-    assert got == ["example.com", "example.com", "sub.example.com", ""]
+    assert got == [
+        "example.com",
+        "example.com",
+        "sub.example.com",
+        "",
+        "example.com",
+        "example.com",
+        "example.com",
+    ]
 
 
 def test_repetition_stats_closed_form(spark):
@@ -698,12 +709,13 @@ def test_ngram_contamination_closed_form(spark):
     test = spark.createDataFrame(
         pd.DataFrame(
             {
-                "doc_id": [10, 11, 12, 13],
+                "doc_id": [10, 11, 12, 13, 14],
                 "text": [
                     "a b c d",          # both trigrams in train doc 1
                     "p q r s",          # nothing in train
                     "c d e f g",        # 1 of 3 trigrams hits
                     "a b c a b c a b",  # repeats: distinct grams only
+                    "a b",              # too short for any trigram
                 ],
             }
         )
@@ -721,6 +733,9 @@ def test_ngram_contamination_closed_form(spark):
     assert out.loc[12, "contamination"] == 0.3333
     # repeated trigrams collapse: 'a b c'/'b c a'/'c a b' -> 3 distinct
     assert out.loc[13, "n_ngrams"] == 3 and out.loc[13, "n_hit"] == 1
+    # short docs are KEPT (explode_outer), with zero grams and null ratio
+    assert out.loc[14, "n_ngrams"] == 0 and out.loc[14, "n_hit"] == 0
+    assert pd.isna(out.loc[14, "contamination"]) and out.loc[14, "n_train_docs"] == 0
 
 
 def test_haversine_and_bearing_python_replay(spark):

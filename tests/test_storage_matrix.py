@@ -118,3 +118,17 @@ def test_dml_then_distributed_read(spark, store_ctx):
     assert back.filter(F.col("id") >= 300).count() == 0
     # time travel still sees pre-delete data through the same data plane
     assert mf.read_snapshot(spark, out_dir, version=1, storage=store).count() == 400
+
+
+def test_scan_mistyped_probe_falls_back(spark, store_ctx):
+    """A probe whose literal type the pyarrow reader can't compare against
+    the column (int vs string tag) must fall back to a plain decode +
+    Spark-side residual on the object-read path, not crash the executor
+    (pyarrow raises ArrowNotImplementedError here, which the fallback
+    except-tuple must cover). The URI fast path coerces it in Spark, so
+    this is exactly the Local-vs-object divergence the matrix exists to
+    preclude."""
+    store, out_dir, _ = store_ctx
+    _write(spark, out_dir, store)
+    got, _rep = mf.scan(spark, out_dir, [("tag", "=", 5)], storage=store)
+    assert got.count() == 0  # no string tag equals int 5; no crash
