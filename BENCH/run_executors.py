@@ -118,18 +118,30 @@ def run_cluster(n_exec: int) -> dict:
             f.write(script)
         procs = []
         outs = []
+        errs = []
         for shard in range(n_exec):
             out = os.path.join(td, f"out-{shard}.json")
             outs.append(out)
+            epath = os.path.join(td, f"err-{shard}.log")
+            errs.append(epath)
             procs.append(
                 subprocess.Popen(
                     [sys.executable, spath, str(shard), str(n_exec), td, out],
-                    cwd=REPO, stderr=subprocess.DEVNULL, stdout=subprocess.DEVNULL,
+                    cwd=REPO, stderr=open(epath, "w"), stdout=subprocess.DEVNULL,
                 )
             )
-        for p in procs:
+        for shard, p in enumerate(procs):
             if p.wait() != 0:
-                raise RuntimeError(f"executor failed (cluster size {n_exec})")
+                tail = ""
+                try:
+                    with open(errs[shard]) as f:
+                        tail = "".join(f.readlines()[-25:])
+                except OSError:
+                    pass
+                raise RuntimeError(
+                    f"executor {shard} failed (cluster size {n_exec}); "
+                    f"stderr tail:\n{tail}"
+                )
         results = [json.load(open(o)) for o in outs]
     # cluster wall time per stage = slowest executor (they started together)
     agg = {k: max(r[k] for r in results) for k in ("pip", "tiles", "knn", "total")}

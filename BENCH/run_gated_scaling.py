@@ -71,6 +71,11 @@ def canary() -> float:
 def main() -> None:
     import run_executors as rx
 
+    # run_executors reads ITS sf_dir from sys.argv at import time, so our
+    # [n_attempts] argument would leak in as a bogus SF path — pin it
+    if len(sys.argv) > 1:
+        rx.SF_DIR = "/root/testdata/sf0.1"
+
     attempts = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     samples: dict[int, list[dict]] = {1: [], 4: []}
     for n_exec in (1, 4):
