@@ -370,19 +370,27 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
     extras["cc_chain_nodes_per_sec"] = round(2_000_000 / timings["cc_chain_d127"], 1)
     extras["cc_chain_rounds"] = dd.CC_LAST_ROUNDS
 
-    # round 6: END-TO-END dedup at amplified corpus scale (documents are a
-    # fixed 500 rows at every sf, so the per-stage numbers above never
-    # exercised the full pipeline's joins at volume). 500 docs x 128
-    # deterministic variants = 64k docs: replica rp carries variant
-    # v = rp//4, and each variant prepends 160 variant-specific tokens, so
-    # every (doc, v) group holds 4 EXACT replicas (Jaccard 1.0) while
+    # round 6: END-TO-END dedup at amplified corpus scale (documents are
+    # 500 rows at sf<=0.01 and 5,000 at sf0.1, so the per-stage numbers
+    # above never exercised the full pipeline's joins at volume).
+    # The amplification targets a ~64k-doc corpus at every sf (amp =
+    # 64000/n_docs rounded down to a multiple of 4) so the driver bench
+    # stays comparable round-over-round and bounded in wall-clock — the
+    # 640k-doc variant at sf0.1 measured 2.2k docs/s but single-handedly
+    # tripled the bench (295s of 397s). Replica rp carries variant
+    # v = rp//4, and each variant prepends 160 variant-specific tokens,
+    # so every (doc, v) group holds 4 EXACT replicas (Jaccard 1.0) while
     # cross-variant pairs of the same doc sit at ~0.12-0.23 shingle
     # Jaccard (shared text grams G vs G+320 union; max doc is 100 words)
     # — below the bands=16/rows=4 LSH floor (~0.5), so they produce only
-    # the band-collision tail (~j^4 per band), not a 128-clique explosion.
-    # Verify still sees every candidate (est floor 0) and must cut the
-    # tail at 0.8; CC + canonical keep must recover exactly 16,000
-    # four-doc clusters over 64k docs.
+    # the band-collision tail (~j^4 per band), not an amp-clique
+    # explosion. Verify still sees every candidate (est floor 0) and must
+    # cut the tail at 0.8; CC + canonical keep must recover exactly
+    # n_corpus/4 four-doc clusters.
+    n_docs_base = docs.count()
+    dedup_amp = max(4, (64_000 // n_docs_base) // 4 * 4)
+    rep_v = spark.range(dedup_amp).select(F.col("id").alias("rp"))
+
     def dedup_big_fn():
         var_words = F.concat_ws(
             " ",
@@ -396,12 +404,18 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
                 ),
             ),
         )
+        # persist the amplified corpus: both the signature scan and the
+        # shingle-verify scan consume it, and the 160-token variant
+        # prefix is expensive to regenerate (the unpersisted form spent
+        # ~40% of the block re-running concat_ws(transform(...)))
         dv = (
-            docs.crossJoin(rep_d)
-            .select((F.col("doc_id") * 128 + F.col("rp")).alias("doc_id"), "text")
+            docs.crossJoin(rep_v)
+            .select((F.col("doc_id") * dedup_amp + F.col("rp")).alias("doc_id"), "text")
             .withColumn("text", F.concat_ws(" ", var_words, F.col("text")))
             .repartition(cpus * 4)
+            .persist()
         )
+        dv.count()
         sigs = dedup_ops.minhash_signatures(dv, k=64).persist()
         sigs.count()
         cand = dedup_ops.minhash_lsh_pairs(sigs, bands=16, rows_per_band=4, min_jaccard_est=0.0)
@@ -422,12 +436,15 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
         ).collect()[0]
         edges.unpersist()
         sigs.unpersist()
+        dv.unpersist()
         return int(r.nc), int(r.nn)
 
+    n_corpus = n_docs_base * dedup_amp
     n_clusters, n_clustered_docs = timed("dedup_big_block", dedup_big_fn, timings)
-    assert n_clusters == 16_000, n_clusters
-    assert n_clustered_docs == 64_000, n_clustered_docs
-    extras["dedup_e2e_docs_per_sec"] = round(64_000 / timings["dedup_big_block"], 1)
+    assert n_clusters * 4 == n_corpus, (n_clusters, n_corpus)
+    assert n_clustered_docs == n_corpus, (n_clustered_docs, n_corpus)
+    extras["dedup_e2e_docs_per_sec"] = round(n_corpus / timings["dedup_big_block"], 1)
+    extras["dedup_e2e_docs"] = n_corpus
     extras["dedup_e2e_clusters"] = n_clusters
     extras["dedup_e2e_rounds"] = dd.CC_LAST_ROUNDS
 
