@@ -887,3 +887,119 @@ def chunk_documents(
         lambda i: F.array_join(F.slice(F.col("ws"), i * width + 1, width), " "),
     )
     return base.select(F.col(id_col), F.posexplode(chunks).alias("pos", "chunk"))
+
+
+def duplicated_substring_spans(
+    docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact substring dedup anchors, word granularity — the distributed
+    form of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"): every k-word window whose text occurs MORE THAN ONCE
+    across the corpus (counting all positions, within- and cross-document)
+    anchors a duplicated span; overlapping/adjacent anchors merge into
+    maximal spans per document.
+
+    Returns one row per maximal span: (id, span_start, span_end) as
+    half-open word-index intervals [span_start, span_end).
+
+    100-TB shape: positions explode to (id, start, md5(gram)) — fixed
+    16-byte keys, never raw text; corpus frequency is ONE shuffle on the
+    gram key, and the anchor join re-uses that partitioning (co-located).
+    Span merge is one keyed window over (id, start, end) triples. The
+    reference's loader has no sub-document dedup at all (it delegates
+    row-level conflict handling to PostGIS upserts, NOTES.md:96-133);
+    this is the training-data-pipeline extension of that conflict-skip
+    semantics to substring granularity.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(F.col(id_col).alias("_id"), words.alias("_w"))
+    # guard: sequence(0, n-k) is DESCENDING when n < k (Spark sequence
+    # never returns empty for reversed bounds) — gate on size first
+    grams = F.when(
+        F.size("_w") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_w") - k),
+            lambda i: F.struct(
+                i.cast("int").alias("s"),
+                F.md5(F.array_join(F.slice("_w", i + 1, k), " ")).alias("g"),
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<s INT, g STRING>>)"))
+    anchors = base.select("_id", F.explode(grams).alias("a")).select(
+        "_id", F.col("a.s").alias("s"), F.col("a.g").alias("gram")
+    )
+    dup_grams = (
+        anchors.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("gram")
+    )
+    hits = anchors.join(dup_grams, "gram").select(
+        "_id", "s", (F.col("s") + F.lit(int(k))).alias("e")
+    )
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy("_id").orderBy("s")
+    prev_max_e = F.max("e").over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "brk",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "grp", F.sum("brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        flagged.groupBy("_id", "grp")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .select(F.col("_id").alias(id_col), "span_start", "span_end")
+    )
+
+
+def strip_duplicated_substrings(
+    docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Remove every maximal duplicated span found by
+    :func:`duplicated_substring_spans` from each document and report the
+    damage: (id, n_words, n_spans, dup_words, text_clean).
+
+    The only place text meets the span list is the final per-id join; at
+    scale a corpus bucketed by id keeps the text in place (span lists are
+    tiny relative to text and hash to the same buckets), and at test SF
+    AQE broadcasts the aggregated span side — either way text never rides
+    a shuffle. Word filtering is a codegen higher-order filter with the
+    positional lambda index; no Python."""
+    spans = duplicated_substring_spans(docs, k=k, text_col=text_col, id_col=id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e")))
+        ).alias("ivs"),
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_words"),
+    )
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(F.col(id_col), words.alias("_w"))
+    joined = base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        "_w",
+        F.coalesce(
+            "ivs", F.expr("CAST(array() AS ARRAY<STRUCT<s INT, e INT>>)")
+        ).alias("ivs"),
+        F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+        F.coalesce("dup_words", F.lit(0).cast("long")).alias("dup_words"),
+    )
+    kept = F.filter(
+        "_w",
+        lambda x, i: ~F.exists(
+            "ivs", lambda iv: (i >= iv["s"]) & (i < iv["e"])
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_w").alias("n_words"),
+        "n_spans",
+        "dup_words",
+        F.array_join(kept, " ").alias("text_clean"),
+    )

@@ -1852,6 +1852,102 @@ def o_decontamination() -> str:
     """
 
 
+_SLOGAN = (
+    "tokyo osaka kyoto nara sendai sapporo fukuoka nagoya kobe hiroshima "
+    "okayama chiba"
+)
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (round 6), Lee et al. 2022 style at word
+    granularity: a corpus is planted with two duplication shapes —
+    doc_id % 11 == 3 docs get their own 8-word prefix appended (a
+    WITHIN-document repeat), doc_id % 7 == 0 docs get a shared 12-word
+    slogan appended (a CROSS-document repeat) — then every 5-word window
+    occurring more than once anywhere in the corpus anchors a span,
+    overlapping anchors merge into maximal spans per doc, and the spans
+    are excised (ops.dedup.strip_duplicated_substrings). Output: per-doc
+    damage report + the cleaned text. Exchanges carry (id, start,
+    md5-16B) anchors and (id, s, e) triples — never text; the final
+    text-meets-spans join broadcasts the tiny span side (bucketed-by-id
+    layout at scale)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws0 = F.split(F.trim(F.col("text")), r"\s+")
+    t1 = F.when(
+        F.col("doc_id") % 11 == 3,
+        F.concat(F.col("text"), F.lit(" "), F.array_join(F.slice(ws0, 1, 8), " ")),
+    ).otherwise(F.col("text"))
+    planted = d.select(F.col("doc_id"), t1.alias("text"))
+    t2 = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit(" " + _SLOGAN)),
+    ).otherwise(F.col("text"))
+    corpus = planted.select(F.col("doc_id"), t2.alias("text"))
+    return dedup.strip_duplicated_substrings(corpus, k=5).orderBy("doc_id")
+
+
+def o_substring_dedup() -> str:
+    return r"""
+    WITH w0 AS (
+      SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS ws0
+      FROM documents
+    ), t1 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 3
+                  THEN text || ' ' || array_to_string(ws0[1:8], ' ')
+                  ELSE text END AS text
+      FROM w0
+    ), t2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' __SLOGAN__'
+                  ELSE text END AS text
+      FROM t1
+    ), w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM t2
+    ), g AS (
+      SELECT doc_id, t.s,
+             md5(array_to_string(ws[t.s+1:t.s+5], ' ')) AS gram
+      FROM w, UNNEST(CASE WHEN len(ws) >= 5 THEN range(0, len(ws)-4)
+                          ELSE [] END) AS t(s)
+    ), freq AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(*) > 1
+    ), a AS (
+      SELECT g.doc_id, g.s, g.s + 5 AS e FROM g JOIN freq USING (gram)
+    ), m AS (
+      SELECT doc_id, s, e,
+             CASE WHEN max(e) OVER w1 IS NULL OR s > max(e) OVER w1
+                  THEN 1 ELSE 0 END AS brk
+      FROM a
+      WINDOW w1 AS (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), mm AS (
+      SELECT doc_id, s, e,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM m
+    ), sp AS (
+      SELECT doc_id, grp, min(s) AS ss, max(e) AS ee
+      FROM mm GROUP BY doc_id, grp
+    ), spl AS (
+      SELECT doc_id, list(struct_pack(s := ss, e := ee)) AS ivs,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(ee - ss) AS BIGINT) AS dup_words
+      FROM sp GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(len(ws) AS INT) AS n_words,
+           CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(dup_words, 0) AS BIGINT) AS dup_words,
+           coalesce(array_to_string(
+             list_filter(ws, (x, i) -> ivs IS NULL OR
+               len(list_filter(ivs, iv -> i-1 >= iv.s AND i-1 < iv.e)) = 0),
+             ' '), '') AS text_clean
+    FROM w LEFT JOIN spl USING (doc_id)
+    ORDER BY doc_id
+    """.replace("__SLOGAN__", _SLOGAN)
+
+
 def q_geo_haversine_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geodesic measures (round 6): each geotag (same exact
     binary-fraction Japan lattice as jis_mesh_rollup, first 500 events)
@@ -5065,7 +5161,9 @@ QUERIES = {
     "xlsx_crosswalk": q_xlsx_crosswalk,
     # raster analysis + MVT tiling
     "raster_zonal_stats": q_raster_zonal_stats,
-    "rasterize": q_rasterize,
+    # rasterize demoted r6 (r5-signed) for substring_dedup; the
+    # raster family stays in-window via raster_zonal_stats +
+    # raster_band_math
     "polygonize": q_polygonize,
     # raster_histogram + length_quantile_filter demoted r5 (both
     # r4-signed; band_math and percentiles_approx hold their families
@@ -5122,6 +5220,10 @@ QUERIES = {
     # round-6: geodesic nearest-station enters the window its landing
     # round (demoted: geo_measures — r5-signed, note at its old slot)
     "geo_haversine_nn": q_geo_haversine_nn,
+    # round-6: exact substring dedup (Lee et al. spans) enters the window
+    # its landing round (demoted: rasterize — r5-signed; raster family
+    # stays in-window via raster_zonal_stats + raster_band_math)
+    "substring_dedup": q_substring_dedup,
     # ---- end of driver-gate window (50) ----
     # cluster_centroid demoted r6 (r5-signed) for http_store_roundtrip;
     # geo_knn_scaled + stream_dedup demoted r6 (both r5-signed) for the
@@ -5132,8 +5234,10 @@ QUERIES = {
     # r6 (all r5-signed) for the curation trio; resample_ffill demoted
     # r6 (r5-signed) for lm_perplexity; grouping_sets demoted r6
     # (r5-signed) for jis_mesh_rollup; bm25_score demoted r6 (r5-signed)
-    # for decontamination
+    # for decontamination; rasterize demoted r6 (r5-signed) for
+    # substring_dedup
     "resample_ffill": q_resample_ffill,
+    "rasterize": q_rasterize,
     "grouping_sets": q_grouping_sets,
     "bm25_score": q_bm25_score,
     "geo_measures": q_geo_measures,
@@ -5257,6 +5361,7 @@ def _build_oracles() -> dict[str, str]:
     "jis_mesh_rollup": o_jis_mesh_rollup(),
     "decontamination": o_decontamination(),
     "geo_haversine_nn": o_geo_haversine_nn(),
+    "substring_dedup": o_substring_dedup(),
     "pii_scrub": o_pii_scrub(),
     "url_host_dedup": o_url_host_dedup(),
     "curation_pipeline": o_curation_pipeline(),

@@ -776,3 +776,46 @@ def test_haversine_and_bearing_python_replay(spark):
     assert 395 < out.loc[0, "d"] < 410 and 240 < out.loc[0, "b"] < 260
     assert 820 < out.loc[1, "d"] < 840 and 170 < out.loc[1, "b"] < 200
     assert (out["b"] >= 0).all() and (out["b"] < 360).all()
+
+
+def test_substring_dedup_spans_and_strip(spark):
+    """Hand-golden for duplicated_substring_spans/strip (k=3):
+    doc 1 and doc 2 share the run "p q r s" (two 3-gram anchors at
+    positions 1,2 in doc 1 / 0,1 in doc 2 -> ONE merged span each);
+    doc 3 repeats "m n o" within itself (both occurrences excised);
+    doc 4 is unique and survives untouched; doc 5 has fewer than k
+    words (no grams, untouched)."""
+    import pandas as pd
+
+    from jpspark.ops import dedup
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [
+                    "a p q r s b",        # span [1,5)
+                    "p q r s c d",        # span [0,4)
+                    "m n o x y m n o",    # spans [0,3) and [5,8)
+                    "unique words only here",
+                    "t u",
+                ],
+            }
+        )
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dedup.duplicated_substring_spans(docs, k=3).collect()
+    }
+    assert spans == {(1, 1, 5), (2, 0, 4), (3, 0, 3), (3, 5, 8)}
+
+    out = {
+        r.doc_id: r
+        for r in dedup.strip_duplicated_substrings(docs, k=3).collect()
+    }
+    assert out[1].text_clean == "a b" and out[1].n_spans == 1 and out[1].dup_words == 4
+    assert out[2].text_clean == "c d"
+    assert out[3].text_clean == "x y" and out[3].n_spans == 2 and out[3].dup_words == 6
+    assert out[4].text_clean == "unique words only here" and out[4].n_spans == 0
+    assert out[5].text_clean == "t u" and out[5].dup_words == 0
+    assert out[3].n_words == 8
