@@ -59,6 +59,40 @@ def decode_stats(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(kernel, schema)
 
 
+def channel_sums(images: DataFrame) -> DataFrame:
+    """Exact integer per-channel pixel sums per image — the
+    order-independent form of channel statistics (means/histogram
+    normalizers derive as sum/n_px downstream, so no float accumulation
+    order can ever diverge between engines or partitionings). One decode
+    per image, one int64 reduction per channel, all inside the Arrow
+    batch; output rows are 5 fixed-width columns, so the exchange weight
+    is ~40 B/image regardless of image size."""
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("n_px", T.LongType()),
+            T.StructField("r_sum", T.LongType()),
+            T.StructField("g_sum", T.LongType()),
+            T.StructField("b_sum", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, buf, fmt in zip(
+                pdf["image_id"].to_numpy(), pdf["bytes"].to_numpy(), pdf["fmt"].to_numpy()
+            ):
+                px = img.decode(bytes(buf), fmt).astype(np.int64)
+                s = px.reshape(-1, px.shape[-1]).sum(axis=0)
+                rows.append(
+                    (iid, px.shape[0] * px.shape[1], int(s[0]), int(s[1]), int(s[2]))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(kernel, schema)
+
+
 def resize_images(images: DataFrame, out_w: int, out_h: int, out_fmt: str = "raw") -> DataFrame:
     """Distributed image resize (area-mean, real): re-encodes to out_fmt."""
     schema = "image_id string, bytes binary, w int, h int, fmt string"

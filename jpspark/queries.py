@@ -1948,6 +1948,74 @@ def o_substring_dedup() -> str:
     """.replace("__SLOGAN__", _SLOGAN)
 
 
+def q_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image channel statistics + distributed resize (round 6): the
+    payload-table fixture rows (input_hint schema) flow through TWO real
+    multimodal operators — ops.multimodal.channel_sums on the original
+    bytes (decode + exact int64 per-channel sums) and channel_sums again
+    on ops.multimodal.resize_images(8x8 area-mean, re-encoded raw). All
+    sums are integers, so no float accumulation order can diverge. The
+    oracle bakes per-image VALUES computed straight from the deterministic
+    pixel pattern (fixtures.pixel_pattern) — for the three lossless
+    formats that path never touches our codecs, so it independently
+    verifies encode -> bytes -> executor decode -> stats; for qlossy the
+    expected pixels replay the quantization (documented, codec-dependent
+    by nature). 150 images keeps the VALUES literal bounded."""
+    from . import fixtures as fx
+    from .ops import multimodal as mm
+
+    pdf = fx.images(150)[["image_id", "bytes", "fmt"]]
+    sdf = spark.createDataFrame(pdf).repartition(8)
+    full = mm.channel_sums(sdf)
+    thumb = mm.channel_sums(mm.resize_images(sdf, 8, 8, "raw")).select(
+        "image_id",
+        F.col("r_sum").alias("t_r_sum"),
+        F.col("g_sum").alias("t_g_sum"),
+        F.col("b_sum").alias("t_b_sum"),
+    )
+    fmts = sdf.select("image_id", "fmt")
+    return (
+        full.join(thumb, "image_id")
+        .join(fmts, "image_id")
+        .select(
+            "image_id", "fmt", "n_px", "r_sum", "g_sum", "b_sum",
+            "t_r_sum", "t_g_sum", "t_b_sum",
+        )
+        .orderBy("image_id")
+    )
+
+
+def o_image_channel_stats() -> str:
+    import numpy as np
+
+    from . import fixtures as fx
+    from .codec import image as img
+
+    pdf = fx.images(150)[["image_id", "w", "h", "fmt"]]
+    vals = []
+    for iid, w, h, fmt in pdf.itertuples(index=False):
+        i = int(iid[3:])
+        px = fx.pixel_pattern(i, int(w), int(h))
+        if fmt == "qlossy":  # quantized-lossy: expected pixels replay the codec
+            px = img.decode(img.encode(px, "qlossy"), "qlossy")
+        s = px.astype(np.int64).reshape(-1, 3).sum(axis=0)
+        small = np.clip(np.round(img.resize_area_mean(px, 8, 8)), 0, 255).astype(np.uint8)
+        t = small.astype(np.int64).reshape(-1, 3).sum(axis=0)
+        vals.append(
+            f"('{iid}','{fmt}',{int(w) * int(h)},{int(s[0])},{int(s[1])},{int(s[2])},"
+            f"{int(t[0])},{int(t[1])},{int(t[2])})"
+        )
+    return (
+        "SELECT image_id, fmt, CAST(n_px AS BIGINT) AS n_px,"
+        " CAST(r_sum AS BIGINT) AS r_sum, CAST(g_sum AS BIGINT) AS g_sum,"
+        " CAST(b_sum AS BIGINT) AS b_sum, CAST(t_r_sum AS BIGINT) AS t_r_sum,"
+        " CAST(t_g_sum AS BIGINT) AS t_g_sum, CAST(t_b_sum AS BIGINT) AS t_b_sum"
+        f" FROM (VALUES {','.join(vals)})"
+        " AS t(image_id, fmt, n_px, r_sum, g_sum, b_sum, t_r_sum, t_g_sum, t_b_sum)"
+        " ORDER BY image_id"
+    )
+
+
 def q_geo_haversine_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geodesic measures (round 6): each geotag (same exact
     binary-fraction Japan lattice as jis_mesh_rollup, first 500 events)
@@ -5154,7 +5222,8 @@ QUERIES = {
     "image_validate": q_image_validate,
     # audio_validate demoted r6 (r5-signed); the audio surface stays
     # in-window via audio_probe_formats + multimodal_curation
-    "video_validate": q_video_validate,
+    # video_validate demoted r6 (r5-signed) for image_channel_stats;
+    # multimodal stays in-window via image_validate + multimodal_curation
     "dedup_cluster_keep": q_dedup_cluster_keep,
     "multimodal_curation": q_multimodal_curation,
     "shapefile_pipeline": q_shapefile_pipeline,
@@ -5224,6 +5293,11 @@ QUERIES = {
     # its landing round (demoted: rasterize — r5-signed; raster family
     # stays in-window via raster_zonal_stats + raster_band_math)
     "substring_dedup": q_substring_dedup,
+    # round-6: image channel stats + distributed resize enters the window
+    # its landing round (demoted: video_validate — r5-signed; multimodal
+    # stays in-window via image_validate + multimodal_curation +
+    # audio_probe_formats)
+    "image_channel_stats": q_image_channel_stats,
     # ---- end of driver-gate window (50) ----
     # cluster_centroid demoted r6 (r5-signed) for http_store_roundtrip;
     # geo_knn_scaled + stream_dedup demoted r6 (both r5-signed) for the
@@ -5238,6 +5312,7 @@ QUERIES = {
     # substring_dedup
     "resample_ffill": q_resample_ffill,
     "rasterize": q_rasterize,
+    "video_validate": q_video_validate,
     "grouping_sets": q_grouping_sets,
     "bm25_score": q_bm25_score,
     "geo_measures": q_geo_measures,
@@ -5362,6 +5437,7 @@ def _build_oracles() -> dict[str, str]:
     "decontamination": o_decontamination(),
     "geo_haversine_nn": o_geo_haversine_nn(),
     "substring_dedup": o_substring_dedup(),
+    "image_channel_stats": o_image_channel_stats(),
     "pii_scrub": o_pii_scrub(),
     "url_host_dedup": o_url_host_dedup(),
     "curation_pipeline": o_curation_pipeline(),

@@ -228,3 +228,37 @@ def test_flac_in_audio_operator(spark):
     row = mm.decode_audio_stats(df, strict=True).collect()[0]
     assert row.sample_rate == rate and row.n_samples == rate
     assert abs(row.rms - 0.25 / np.sqrt(2)) < 1e-3
+
+
+def test_channel_sums_hand_golden(spark):
+    """channel_sums on a 2x2 raw image with known pixels, plus the
+    resize composition: 8x8 upscale of a constant image keeps per-pixel
+    values, so thumb sums are 64x the constant."""
+    import numpy as np
+    import pandas as pd
+
+    from jpspark.codec import image as img
+    from jpspark.ops import multimodal as mm
+
+    px = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [100, 110, 120]]],
+        dtype=np.uint8,
+    )
+    const = np.full((4, 4, 3), [5, 6, 7], dtype=np.uint8)
+    sdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": ["a", "b"],
+                "bytes": [img.encode(px, "raw"), img.encode(const, "raw")],
+                "fmt": ["raw", "raw"],
+            }
+        )
+    )
+    out = {r.image_id: r for r in mm.channel_sums(sdf).collect()}
+    assert out["a"].n_px == 4
+    assert (out["a"].r_sum, out["a"].g_sum, out["a"].b_sum) == (220, 260, 300)
+    thumb = {r.image_id: r for r in mm.channel_sums(mm.resize_images(sdf, 8, 8, "raw")).collect()}
+    assert (thumb["b"].r_sum, thumb["b"].g_sum, thumb["b"].b_sum) == (
+        64 * 5, 64 * 6, 64 * 7,
+    )
+    assert thumb["b"].n_px == 64
