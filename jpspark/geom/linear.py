@@ -1,0 +1,106 @@
+"""Linear referencing: snap points to the nearest polyline segment.
+
+The map-matching primitive (GPS trace -> road network, station -> rail
+line) the reference's PostGIS consumers express as
+``ST_ClosestPoint`` / ``ST_LineLocatePoint`` joins; here it is pure
+Column algebra — clamped projection onto each candidate segment, then a
+per-point top-1 window — so the whole kernel stays inside whole-stage
+codegen with no Python and no geometry objects.
+
+Scale shape: the segment table is the small side (a road network is
+O(10^7) rows; points are the 10^12-row fact) — broadcast it and the
+fact never shuffles before the per-point top-1 window, which partitions
+by the high-cardinality point id. For segment tables past broadcast
+size, key both sides by covering grid cell (geom/cell.py) first and
+join on the cell — same kernel, bounded candidates per point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def segments_from_vertices(
+    vertices: DataFrame,
+    line_col: str = "line_id",
+    seq_col: str = "seq",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Ordered vertex rows (line, seq, x, y) -> segment rows
+    (line, seg_idx, ax, ay, bx, by, seg_len, m_offset) where m_offset is
+    the cumulative polyline length before this segment (the linear-
+    referencing origin). One keyed window pass (lead + running sum)."""
+    w = Window.partitionBy(line_col).orderBy(seq_col)
+    seg = (
+        vertices.select(
+            F.col(line_col).alias("line_id"),
+            F.col(seq_col).alias("seg_idx"),
+            F.col(x_col).alias("ax"),
+            F.col(y_col).alias("ay"),
+            F.lead(x_col).over(w).alias("bx"),
+            F.lead(y_col).over(w).alias("by"),
+        )
+        .filter(F.col("bx").isNotNull())
+    )
+    dx = F.col("bx") - F.col("ax")
+    dy = F.col("by") - F.col("ay")
+    seg = seg.withColumn("seg_len", F.sqrt(dx * dx + dy * dy))
+    w2 = Window.partitionBy("line_id").orderBy("seg_idx")
+    return seg.withColumn(
+        "m_offset",
+        F.coalesce(
+            F.sum("seg_len").over(w2.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0.0),
+        ),
+    )
+
+
+def snap_to_segments(
+    points: DataFrame,
+    segments: DataFrame,
+    id_col: str = "point_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Snap each point to its nearest segment (clamped perpendicular
+    projection): returns (id, line_id, seg_idx, t, snap_x, snap_y, dist,
+    measure). ``measure`` is the distance along the line from its first
+    vertex to the snapped point. Ties (equidistant segments — e.g. the
+    shared vertex of two adjacent segments) break deterministically on
+    (line_id, seg_idx). ``segments`` is broadcast — see module docstring
+    for the past-broadcast-size recipe."""
+    px, py = F.col(x_col), F.col(y_col)
+    dx = F.col("bx") - F.col("ax")
+    dy = F.col("by") - F.col("ay")
+    len2 = dx * dx + dy * dy
+    t = F.when(len2 == 0.0, F.lit(0.0)).otherwise(
+        F.least(
+            F.greatest(((px - F.col("ax")) * dx + (py - F.col("ay")) * dy) / len2, F.lit(0.0)),
+            F.lit(1.0),
+        )
+    )
+    cand = points.crossJoin(F.broadcast(segments)).select(
+        F.col(id_col),
+        "line_id",
+        "seg_idx",
+        t.alias("t"),
+        (F.col("ax") + t * dx).alias("snap_x"),
+        (F.col("ay") + t * dy).alias("snap_y"),
+        px.alias("_px"),
+        py.alias("_py"),
+        "seg_len",
+        "m_offset",
+    )
+    ddx = F.col("_px") - F.col("snap_x")
+    ddy = F.col("_py") - F.col("snap_y")
+    cand = cand.withColumn("dist", F.sqrt(ddx * ddx + ddy * ddy)).withColumn(
+        "measure", F.col("m_offset") + F.col("t") * F.col("seg_len")
+    )
+    w = Window.partitionBy(id_col).orderBy("dist", "line_id", "seg_idx")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "line_id", "seg_idx", "t", "snap_x", "snap_y", "dist", "measure")
+    )

@@ -2091,6 +2091,92 @@ def o_geo_haversine_nn() -> str:
     """
 
 
+def q_geo_snap_road(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear referencing (round 6): each geotag (the same exact
+    binary-fraction Japan lattice as geo_haversine_nn, first 500 events)
+    snaps to its nearest segment of a synthetic 8-polyline road network
+    (geom/linear.py: clamped projection + per-point top-1 window) with
+    the distance along the line (measure). Road vertices sit on binary-
+    fraction lattices, so everything upstream of the sqrt/divide kernel
+    is exact in both engines, and the kernel replays bit-for-bit with
+    identical op order (the knn/haversine precedent). Segments broadcast
+    — the 100-TB shape is tiny-network x huge-fact, zero fact shuffle
+    before the per-point window."""
+    from .geom import linear
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    pts = ev.select(
+        "event_id",
+        (123.0 + ((F.col("event_id") * 7) % 3968) / 128.0).alias("x"),
+        (24.0 + (F.col("event_id") % 2816) / 128.0).alias("y"),
+    )
+    vx = spark.range(48).select(
+        F.expr("id DIV 6").alias("line_id"),
+        (F.col("id") % 6).alias("seq"),
+        (124.0 + F.expr("id DIV 6") * 0.5 + (F.col("id") % 6) * 0.75).alias("x"),
+        (
+            25.0
+            + F.expr("id DIV 6") * 2.0
+            + ((F.expr("id DIV 6") * 31 + (F.col("id") % 6) * 17) % 64) / 32.0
+        ).alias("y"),
+    )
+    seg = linear.segments_from_vertices(vx)
+    return linear.snap_to_segments(pts, seg, id_col="event_id").orderBy("event_id")
+
+
+def o_geo_snap_road() -> str:
+    return """
+    WITH pts AS (
+      SELECT event_id,
+             123.0 + ((event_id * 7) % 3968) / 128.0 AS px,
+             24.0 + (event_id % 2816) / 128.0 AS py
+      FROM events WHERE event_id < 500
+    ), v AS (
+      SELECT i // 6 AS line_id, i % 6 AS seq,
+             124.0 + (i // 6) * 0.5 + (i % 6) * 0.75 AS x,
+             25.0 + (i // 6) * 2.0 + (((i // 6) * 31 + (i % 6) * 17) % 64) / 32.0 AS y
+      FROM (SELECT unnest(range(0, 48)) AS i)
+    ), seg0 AS (
+      SELECT line_id, seq AS seg_idx, x AS ax, y AS ay,
+             lead(x) OVER w AS xb, lead(y) OVER w AS yb
+      FROM v WINDOW w AS (PARTITION BY line_id ORDER BY seq)
+    ), seg1 AS (
+      SELECT *, sqrt((xb - ax) * (xb - ax) + (yb - ay) * (yb - ay)) AS seg_len
+      FROM seg0 WHERE xb IS NOT NULL
+    ), seg AS (
+      SELECT *, coalesce(sum(seg_len) OVER (
+        PARTITION BY line_id ORDER BY seg_idx
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS m_offset
+      FROM seg1
+    ), cand AS (
+      SELECT event_id, line_id, seg_idx,
+             CASE WHEN (xb - ax) * (xb - ax) + (yb - ay) * (yb - ay) = 0.0 THEN 0.0
+                  ELSE least(greatest(
+                    ((px - ax) * (xb - ax) + (py - ay) * (yb - ay))
+                      / ((xb - ax) * (xb - ax) + (yb - ay) * (yb - ay)), 0.0), 1.0)
+             END AS t,
+             ax, ay, xb, yb, px, py, seg_len, m_offset
+      FROM pts CROSS JOIN seg
+    ), c2 AS (
+      SELECT event_id, line_id, seg_idx, t,
+             ax + t * (xb - ax) AS snap_x, ay + t * (yb - ay) AS snap_y,
+             px, py, seg_len, m_offset
+      FROM cand
+    ), c3 AS (
+      SELECT event_id, line_id, seg_idx, t, snap_x, snap_y,
+             sqrt((px - snap_x) * (px - snap_x) + (py - snap_y) * (py - snap_y)) AS dist,
+             m_offset + t * seg_len AS measure
+      FROM c2
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_id ORDER BY dist, line_id, seg_idx) AS rn
+      FROM c3
+    )
+    SELECT event_id, line_id, seg_idx, t, snap_x, snap_y, dist, measure
+    FROM ranked WHERE rn = 1 ORDER BY event_id
+    """
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", textstats.lang_id_heuristic(F.col("text")).alias("pred_lang"))
@@ -5230,10 +5316,9 @@ QUERIES = {
     "xlsx_crosswalk": q_xlsx_crosswalk,
     # raster analysis + MVT tiling
     "raster_zonal_stats": q_raster_zonal_stats,
-    # rasterize demoted r6 (r5-signed) for substring_dedup; the
-    # raster family stays in-window via raster_zonal_stats +
-    # raster_band_math
-    "polygonize": q_polygonize,
+    # rasterize demoted r6 (r5-signed) for substring_dedup; polygonize
+    # demoted r6 (r5-signed) for geo_snap_road; the raster family stays
+    # in-window via raster_zonal_stats + raster_band_math
     # raster_histogram + length_quantile_filter demoted r5 (both
     # r4-signed; band_math and percentiles_approx hold their families
     # in-window)
@@ -5298,6 +5383,11 @@ QUERIES = {
     # stays in-window via image_validate + multimodal_curation +
     # audio_probe_formats)
     "image_channel_stats": q_image_channel_stats,
+    # round-6: point-to-segment snap / linear referencing enters the
+    # window its landing round (demoted: polygonize — r5-signed; the
+    # raster<->vector family stays in-window via raster_zonal_stats +
+    # raster_band_math + mvt_tiles)
+    "geo_snap_road": q_geo_snap_road,
     # ---- end of driver-gate window (50) ----
     # cluster_centroid demoted r6 (r5-signed) for http_store_roundtrip;
     # geo_knn_scaled + stream_dedup demoted r6 (both r5-signed) for the
@@ -5313,6 +5403,7 @@ QUERIES = {
     "resample_ffill": q_resample_ffill,
     "rasterize": q_rasterize,
     "video_validate": q_video_validate,
+    "polygonize": q_polygonize,
     "grouping_sets": q_grouping_sets,
     "bm25_score": q_bm25_score,
     "geo_measures": q_geo_measures,
@@ -5438,6 +5529,7 @@ def _build_oracles() -> dict[str, str]:
     "geo_haversine_nn": o_geo_haversine_nn(),
     "substring_dedup": o_substring_dedup(),
     "image_channel_stats": o_image_channel_stats(),
+    "geo_snap_road": o_geo_snap_road(),
     "pii_scrub": o_pii_scrub(),
     "url_host_dedup": o_url_host_dedup(),
     "curation_pipeline": o_curation_pipeline(),

@@ -439,3 +439,52 @@ def test_wkb_ewkb_srid_skipped_zm_rejected():
     iso = b"\x01" + struct.pack("<I", 1001) + b"\x00" * 24
     with pytest.raises(ValueError, match="1000"):
         wkb.parse(iso)
+
+
+def test_snap_to_segments_hand_golden(spark):
+    """Clamped projection + linear referencing on a hand-checkable
+    network: line 0 is the unit-square L (0,0)->(1,0)->(1,1); line 1 is
+    a distant horizontal segment. Checks interior projection, endpoint
+    clamping, the (line_id, seg_idx) tie-break at the shared vertex, and
+    the measure (cumulative length + t*seg_len)."""
+    import pandas as pd
+
+    from jpspark.geom import linear
+
+    vx = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "line_id": [0, 0, 0, 1, 1],
+                "seq": [0, 1, 2, 0, 1],
+                "x": [0.0, 1.0, 1.0, 10.0, 11.0],
+                "y": [0.0, 0.0, 1.0, 0.0, 0.0],
+            }
+        )
+    )
+    seg = linear.segments_from_vertices(vx)
+    rows = {(r.line_id, r.seg_idx): r for r in seg.collect()}
+    assert rows[(0, 1)].m_offset == 1.0 and rows[(0, 0)].m_offset == 0.0
+    assert rows[(0, 1)].seg_len == 1.0
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "point_id": [1, 2, 3, 4],
+                "x": [0.25, -1.0, 1.0, 10.5],
+                # 1: above the first segment's interior -> t=0.25
+                # 2: left of the first vertex -> clamps to t=0 (corner)
+                # 3: exactly at the shared vertex (1,0): dist 0 on BOTH
+                #    segments -> tie-break keeps seg_idx 0 (t=1)
+                # 4: midpoint of line 1
+                "y": [0.5, 0.0, 0.0, 0.25],
+            }
+        )
+    )
+    out = {r.point_id: r for r in linear.snap_to_segments(pts, seg).collect()}
+    assert (out[1].line_id, out[1].seg_idx, out[1].t) == (0, 0, 0.25)
+    assert (out[1].snap_x, out[1].snap_y, out[1].dist) == (0.25, 0.0, 0.5)
+    assert out[1].measure == 0.25
+    assert (out[2].t, out[2].snap_x, out[2].dist) == (0.0, 0.0, 1.0)
+    assert (out[3].seg_idx, out[3].t, out[3].dist) == (0, 1.0, 0.0)
+    assert out[3].measure == 1.0
+    assert (out[4].line_id, out[4].t, out[4].dist, out[4].measure) == (1, 0.5, 0.25, 0.5)
