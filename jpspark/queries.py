@@ -1965,7 +1965,11 @@ def q_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops import multimodal as mm
 
     pdf = fx.images(150)[["image_id", "bytes", "fmt"]]
-    sdf = spark.createDataFrame(pdf).repartition(8)
+    # no repartition: createDataFrame already slices across the default
+    # parallelism, and a round-robin repartition would be the one place
+    # bytes ride an exchange (at scale the payload table arrives
+    # partitioned from the parquet scan)
+    sdf = spark.createDataFrame(pdf)
     full = mm.channel_sums(sdf)
     thumb = mm.channel_sums(mm.resize_images(sdf, 8, 8, "raw")).select(
         "image_id",

@@ -52,6 +52,9 @@ AUDIT = [
     "repetition_filter",   # expect: two-phase aggs per granularity; ReadSchema = doc_id+text only
     "lm_perplexity",       # expect: LM/ctx two-phase aggs; 1-row V broadcast; scoring join keyed on bigram
     "jis_mesh_rollup",     # expect: codegen encode straight off the scan -> ONE two-phase agg exchange
+    "substring_dedup",     # expect: gram/freq exchanges carry (id, s, md5) — raw text/word arrays never shuffle
+    "image_channel_stats", # expect: bytes stay inside the two mapInPandas chains; joins exchange sums only
+    "geo_snap_road",       # expect: BroadcastExchange of segments; ONE hash exchange (per-point window)
 ]
 
 
@@ -114,7 +117,16 @@ def audit_single_shuffle(plan: str, max_shuffles: int = 1) -> str:
     return f"AUDIT: {n} shuffle exchange(s) (<= {max_shuffles}) — single keyed pass. PASS"
 
 
-SINGLE_SHUFFLE_AUDITS = {"asof_join": 1, "grouping_sets": 1, "window_functions": 1}
+SINGLE_SHUFFLE_AUDITS = {
+    "asof_join": 1,
+    "grouping_sets": 1,
+    "window_functions": 1,
+    # round 6: segments broadcast; the fact side's only hash exchange is
+    # the per-point top-1 window — the second allowed exchange is the
+    # segment-BUILD window (lead + running m_offset) on the tiny network
+    # side before it broadcasts
+    "geo_snap_road": 2,
+}
 
 NO_HEAVY_AUDITS = {
     "raster_zonal_stats": ("bytes",),
@@ -128,6 +140,11 @@ NO_HEAVY_AUDITS = {
     # round 4: document text must be pruned before any exchange
     "bm25_score": ("text",),
     "stratified_sample": ("text",),
+    # round 6: raw text and the split word array must stay map-side;
+    # only (id, s, md5) anchors and (id, s, e) spans may exchange
+    "substring_dedup": ("text", "_w"),
+    # round 6: image bytes live inside the mapInPandas chains only
+    "image_channel_stats": ("bytes",),
 }
 
 
