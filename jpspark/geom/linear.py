@@ -104,3 +104,34 @@ def snap_to_segments(
         .filter(F.col("rn") == 1)
         .select(id_col, "line_id", "seg_idx", "t", "snap_x", "snap_y", "dist", "measure")
     )
+
+
+def track_steps(
+    points: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple = ("event_id",),
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-track movement steps: for each point, the planar distance and
+    time delta to the track's previous point (ordered by ts, then the
+    tie-break columns). One keyed window pass; first point of a track has
+    NULL step/dt. ``step_q`` is the step quantized to 1/2^20 units (round
+    half-never occurs on binary-fraction lattices) so downstream SUMs are
+    integer-exact and order-independent — the float-aggregation rule every
+    oracle in this engine follows."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    px = F.lag(x_col).over(w)
+    py = F.lag(y_col).over(w)
+    dx = F.col(x_col) - px
+    dy = F.col(y_col) - py
+    step = F.sqrt(dx * dx + dy * dy)
+    # parquet timestamps arrive as TIMESTAMP_NTZ; the session timezone is
+    # pinned UTC, so the cast is an identity re-tag
+    tus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return points.withColumn("step", step).withColumn(
+        "step_q", F.round(step * F.lit(1048576.0)).cast("long")
+    ).withColumn("tus", tus).withColumn(
+        "dt_us", tus - F.lag(tus).over(w)
+    )

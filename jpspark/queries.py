@@ -2181,6 +2181,65 @@ def o_geo_snap_road() -> str:
     """
 
 
+def q_track_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory analytics (round 6): the events table becomes GPS
+    tracks (user_id = track, ts order, the binary-fraction Japan lattice
+    as coordinates) and geom/linear.py track_steps computes per-step
+    planar distance + time delta in ONE keyed window pass; per-track
+    rollup: points, moves, total length (integer-exact via the 1/2^20
+    step quantization — order-independent sum), longest step, stop count
+    (step < 0.25 deg), duration. The 100-TB shape: one shuffle on the
+    track key, fixed-width rows, no Python."""
+    from .geom import linear
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (123.0 + ((F.col("event_id") * 7) % 3968) / 128.0).alias("x"),
+        (24.0 + (F.col("event_id") % 2816) / 128.0).alias("y"),
+    )
+    st = linear.track_steps(ev)
+    return (
+        st.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pts"),
+            F.count("step").alias("n_moves"),
+            F.sum("step_q").alias("total_len_q"),
+            F.max("step").alias("max_step"),
+            F.sum(
+                F.when(F.col("step_q") < 262144, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_stops"),
+            ((F.max("tus") - F.min("tus")) / F.lit(1000000)).cast("long").alias("duration_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def o_track_stats() -> str:
+    return """
+    WITH p AS (
+      SELECT event_id, user_id, ts,
+             123.0 + ((event_id * 7) % 3968) / 128.0 AS x,
+             24.0 + (event_id % 2816) / 128.0 AS y
+      FROM events
+    ), s AS (
+      SELECT user_id, epoch_us(ts) AS tus,
+             sqrt((x - lag(x) OVER w) * (x - lag(x) OVER w)
+                + (y - lag(y) OVER w) * (y - lag(y) OVER w)) AS step
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_pts,
+           CAST(count(step) AS BIGINT) AS n_moves,
+           CAST(sum(CAST(round(step * 1048576.0) AS BIGINT)) AS BIGINT) AS total_len_q,
+           max(step) AS max_step,
+           CAST(sum(CASE WHEN round(step * 1048576.0) < 262144.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_stops,
+           CAST((max(tus) - min(tus)) // 1000000 AS BIGINT) AS duration_s
+    FROM s GROUP BY user_id ORDER BY user_id
+    """
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", textstats.lang_id_heuristic(F.col("text")).alias("pred_lang"))
@@ -5317,7 +5376,8 @@ QUERIES = {
     "dedup_cluster_keep": q_dedup_cluster_keep,
     "multimodal_curation": q_multimodal_curation,
     "shapefile_pipeline": q_shapefile_pipeline,
-    "xlsx_crosswalk": q_xlsx_crosswalk,
+    # xlsx_crosswalk demoted r6 (r5-signed) for track_stats; the codec
+    # ingest family stays in-window via shapefile_pipeline
     # raster analysis + MVT tiling
     "raster_zonal_stats": q_raster_zonal_stats,
     # rasterize demoted r6 (r5-signed) for substring_dedup; polygonize
@@ -5392,6 +5452,10 @@ QUERIES = {
     # raster<->vector family stays in-window via raster_zonal_stats +
     # raster_band_math + mvt_tiles)
     "geo_snap_road": q_geo_snap_road,
+    # round-6: trajectory track rollup enters the window its landing
+    # round (demoted: xlsx_crosswalk — r5-signed; the from-scratch-codec
+    # ingest family stays in-window via shapefile_pipeline)
+    "track_stats": q_track_stats,
     # ---- end of driver-gate window (50) ----
     # cluster_centroid demoted r6 (r5-signed) for http_store_roundtrip;
     # geo_knn_scaled + stream_dedup demoted r6 (both r5-signed) for the
@@ -5408,6 +5472,7 @@ QUERIES = {
     "rasterize": q_rasterize,
     "video_validate": q_video_validate,
     "polygonize": q_polygonize,
+    "xlsx_crosswalk": q_xlsx_crosswalk,
     "grouping_sets": q_grouping_sets,
     "bm25_score": q_bm25_score,
     "geo_measures": q_geo_measures,
@@ -5534,6 +5599,7 @@ def _build_oracles() -> dict[str, str]:
     "substring_dedup": o_substring_dedup(),
     "image_channel_stats": o_image_channel_stats(),
     "geo_snap_road": o_geo_snap_road(),
+    "track_stats": o_track_stats(),
     "pii_scrub": o_pii_scrub(),
     "url_host_dedup": o_url_host_dedup(),
     "curation_pipeline": o_curation_pipeline(),

@@ -488,3 +488,35 @@ def test_snap_to_segments_hand_golden(spark):
     assert (out[3].seg_idx, out[3].t, out[3].dist) == (0, 1.0, 0.0)
     assert out[3].measure == 1.0
     assert (out[4].line_id, out[4].t, out[4].dist, out[4].measure) == (1, 0.5, 0.25, 0.5)
+
+
+def test_track_steps_hand_golden(spark):
+    """track_steps on a two-user hand case: 3-4-5 step distances land
+    exactly on the 1/2^20 quantization grid; first point NULL step; ties
+    on equal ts break by event_id."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from jpspark.geom import linear
+
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 10],
+            "user_id": [7, 7, 7, 8],
+            "ts": [t0, t0 + dt.timedelta(seconds=10), t0 + dt.timedelta(seconds=10), t0],
+            "x": [0.0, 3.0 / 128, 3.0 / 128, 5.0],
+            "y": [0.0, 4.0 / 128, 4.0 / 128, 5.0],
+        }
+    )
+    out = {
+        r.event_id: r
+        for r in linear.track_steps(spark.createDataFrame(pdf)).collect()
+    }
+    assert out[1].step is None and out[1].dt_us is None
+    assert out[2].step == 5.0 / 128 and out[2].step_q == 5 * 8192
+    assert out[2].dt_us == 10_000_000
+    # same-ts tie: event 3 orders after event 2, zero step
+    assert out[3].step == 0.0 and out[3].dt_us == 0
+    assert out[10].step is None  # other track's first point
