@@ -2240,6 +2240,54 @@ def o_track_stats() -> str:
     """
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (round 6): orders and lineitem are both
+    written as managed tables bucketed+sorted by the join key (8
+    buckets), then joined and rolled up PER KEY — and the query RAISES
+    unless the executed plan really has ZERO hash-partitioning exchanges
+    (ops/bucketing.py assert_colocated_plan): scan -> zip buckets ->
+    SortMergeJoin -> same-key aggregate, no shuffle anywhere. This is
+    the layout that turns the daily fact-x-dim shuffle at 10^12 rows
+    into zero network bytes. Revenue sums are integer cents, so no float
+    accumulation order can diverge."""
+    from .ops import bucketing
+
+    ord_ = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_custkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice"
+    )
+    bucketing.write_bucketed(ord_, "jp_bkt_orders", "okey", 8)
+    bucketing.write_bucketed(li, "jp_bkt_lineitem", "okey", 8)
+    j = bucketing.colocated_join(spark, "jp_bkt_orders", "jp_bkt_lineitem", "okey")
+    out = (
+        j.groupBy("okey")
+        .agg(
+            F.max("o_custkey").alias("custkey"),
+            F.count("*").alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "revenue_c"
+            ),
+        )
+        .filter(F.col("okey") % 101 == 0)
+        .orderBy("okey")
+    )
+    bucketing.assert_colocated_plan(out)
+    return out
+
+
+def o_bucketed_join() -> str:
+    return """
+    SELECT o.o_orderkey AS okey,
+           CAST(max(o.o_custkey) AS BIGINT) AS custkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1 HAVING o.o_orderkey % 101 = 0 ORDER BY 1
+    """
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", textstats.lang_id_heuristic(F.col("text")).alias("pred_lang"))
@@ -5389,7 +5437,8 @@ QUERIES = {
     "pivot_summary": q_pivot_summary,
     # unpivot_melt demoted r6 (r5-signed); the reshape family stays
     # in-window via pivot_summary
-    "raster_band_math": q_raster_band_math,
+    # raster_band_math demoted r6 (r5-signed) for bucketed_join; raster
+    # family stays in-window via raster_zonal_stats + mvt_tiles
     # tile_pyramid demoted r5 (r4-signed; zonal/rasterize/polygonize stay)
     "json_extract": q_json_extract,
     "mvt_tiles": q_mvt_tiles,
@@ -5456,6 +5505,11 @@ QUERIES = {
     # round (demoted: xlsx_crosswalk — r5-signed; the from-scratch-codec
     # ingest family stays in-window via shapefile_pipeline)
     "track_stats": q_track_stats,
+    # round-6: bucketed co-located join (zero-shuffle layout, guarded at
+    # plan time) enters the window its landing round (demoted:
+    # raster_band_math — r5-signed; raster family stays in-window via
+    # raster_zonal_stats + mvt_tiles)
+    "bucketed_join": q_bucketed_join,
     # ---- end of driver-gate window (50) ----
     # cluster_centroid demoted r6 (r5-signed) for http_store_roundtrip;
     # geo_knn_scaled + stream_dedup demoted r6 (both r5-signed) for the
@@ -5473,6 +5527,7 @@ QUERIES = {
     "video_validate": q_video_validate,
     "polygonize": q_polygonize,
     "xlsx_crosswalk": q_xlsx_crosswalk,
+    "raster_band_math": q_raster_band_math,
     "grouping_sets": q_grouping_sets,
     "bm25_score": q_bm25_score,
     "geo_measures": q_geo_measures,
@@ -5600,6 +5655,7 @@ def _build_oracles() -> dict[str, str]:
     "image_channel_stats": o_image_channel_stats(),
     "geo_snap_road": o_geo_snap_road(),
     "track_stats": o_track_stats(),
+    "bucketed_join": o_bucketed_join(),
     "pii_scrub": o_pii_scrub(),
     "url_host_dedup": o_url_host_dedup(),
     "curation_pipeline": o_curation_pipeline(),

@@ -1268,3 +1268,34 @@ def test_bloom_sidecar_blobs_and_vacuum_sweep(spark, tmp_path):
         for p in mf.load_manifest(out)["partitions"].values()
     }
     assert all(k.split(".bloom.")[0] in live_parts for k in leftover)
+
+
+def test_bucketed_colocated_join_no_shuffle(spark, tmp_path):
+    """write_bucketed + colocated_join: the executed plan joins with ZERO
+    hash exchanges; the same join over plain (non-bucketed) frames with
+    broadcast disabled DOES shuffle, so the guard genuinely
+    discriminates layouts (and raises on the bad one)."""
+    import pandas as pd
+
+    from jpspark.ops import bucketing
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": range(200), "a": [i * 2 for i in range(200)]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [i % 50 for i in range(400)], "b": range(400)})
+    )
+    bucketing.write_bucketed(left, "t_bkt_left", "k", 4)
+    bucketing.write_bucketed(right, "t_bkt_right", "k", 4)
+    j = bucketing.colocated_join(spark, "t_bkt_left", "t_bkt_right", "k")
+    assert j.count() == 400  # every right row matches exactly one left key
+    # agg on the bucket key stays exchange-free too
+    agg = j.groupBy("k").count()
+    bucketing.assert_colocated_plan(agg)
+
+    # negative control: plain frames shuffle (merge hint, no broadcast)
+    plain = left.hint("merge").join(right, "k")
+    with pytest.raises(AssertionError, match="still shuffles"):
+        bucketing.assert_colocated_plan(plain)
+    spark.sql("DROP TABLE IF EXISTS t_bkt_left")
+    spark.sql("DROP TABLE IF EXISTS t_bkt_right")
