@@ -55,6 +55,8 @@ AUDIT = [
     "substring_dedup",     # expect: gram/freq exchanges carry (id, s, md5) — raw text/word arrays never shuffle
     "image_channel_stats", # expect: bytes stay inside the two mapInPandas chains; joins exchange sums only
     "geo_snap_road",       # expect: BroadcastExchange of segments; ONE hash exchange (per-point window)
+    "track_stats",         # expect: ONE hash exchange serves the track window AND the same-key agg
+    "bucketed_join",       # expect: bucketed scans -> SMJ -> same-key agg, ZERO hash exchanges
 ]
 
 
@@ -126,6 +128,10 @@ SINGLE_SHUFFLE_AUDITS = {
     # segment-BUILD window (lead + running m_offset) on the tiny network
     # side before it broadcasts
     "geo_snap_road": 2,
+    # round 6: the track window's exchange also serves the per-track agg
+    "track_stats": 1,
+    # round 6: the whole point — bucketed layout, zero hash exchanges
+    "bucketed_join": 0,
 }
 
 NO_HEAVY_AUDITS = {
