@@ -269,6 +269,18 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
     n_imgs = img_big.count()
     timed("image_decode", lambda: mm.decode_stats(img_big).agg(F.sum("w")).collect(), timings)
     extras["decode_imgs_per_sec"] = round(n_imgs / timings["image_decode"], 1)
+
+    # round 6: the thumbnail path — decode -> 8x8 area-mean resize ->
+    # re-encode raw -> exact channel sums (two chained Arrow kernels; the
+    # multimodal curation hot loop at 10^12 images)
+    timed(
+        "image_resize",
+        lambda: mm.channel_sums(mm.resize_images(img_big, 8, 8, "raw"))
+        .agg(F.sum("r_sum"))
+        .collect(),
+        timings,
+    )
+    extras["resize_imgs_per_sec"] = round(n_imgs / timings["image_resize"], 1)
     img_big.unpersist()
 
     # --- MVT encode: the vector-tile sink over the full point set at a
