@@ -26,6 +26,9 @@ snapshot isolation + file pruning, this optimizes repeated-join layout.
 
 from __future__ import annotations
 
+import shutil
+from urllib.parse import unquote, urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -39,13 +42,18 @@ def write_bucketed(
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # the default in-memory catalog forgets tables across sessions but the
     # managed location persists on disk; a stale dir fails saveAsTable
-    # with LOCATION_ALREADY_EXISTS — clear it (driver-local warehouse)
+    # with LOCATION_ALREADY_EXISTS — clear it (local warehouse only:
+    # scheme-less or file: URIs; db-qualified names live under <db>.db/)
     wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    if wh.startswith("file:"):
-        import shutil
-        from urllib.parse import unquote, urlparse
-
-        loc = unquote(urlparse(wh).path).rstrip("/") + "/" + table.lower()
+    parsed = urlparse(wh)
+    if parsed.scheme in ("", "file"):
+        base = unquote(parsed.path or wh).rstrip("/")
+        parts = table.lower().split(".")
+        if len(parts) == 2:
+            db, tbl = parts
+        else:
+            db, tbl = spark.catalog.currentDatabase().lower(), parts[0]
+        loc = f"{base}/{tbl}" if db == "default" else f"{base}/{db}.db/{tbl}"
         shutil.rmtree(loc, ignore_errors=True)
     (
         df.write.format("parquet")

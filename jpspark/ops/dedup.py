@@ -524,7 +524,9 @@ def ngram_contamination(
         # the null
         return (
             base.select("_id", F.explode_outer(grams).alias("_g"))
-            .select("_id", F.md5(F.col("_g")).alias("gram"))
+            # unhex: 16-byte binary keys, not 32-char hex strings — halves
+            # the gram exchange's payload
+            .select("_id", F.unhex(F.md5(F.col("_g"))).alias("gram"))
             .distinct()
         )
 
@@ -921,10 +923,12 @@ def duplicated_substring_spans(
             F.sequence(F.lit(0), F.size("_w") - k),
             lambda i: F.struct(
                 i.cast("int").alias("s"),
-                F.md5(F.array_join(F.slice("_w", i + 1, k), " ")).alias("g"),
+                # unhex: a true 16-byte binary key — the hex string form
+                # would double the anchor exchange's dominant payload
+                F.unhex(F.md5(F.array_join(F.slice("_w", i + 1, k), " "))).alias("g"),
             ),
         ),
-    ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<s INT, g STRING>>)"))
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<s INT, g BINARY>>)"))
     anchors = base.select("_id", F.explode(grams).alias("a")).select(
         "_id", F.col("a.s").alias("s"), F.col("a.g").alias("gram")
     )

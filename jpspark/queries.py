@@ -1977,7 +1977,11 @@ def q_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g_sum").alias("t_g_sum"),
         F.col("b_sum").alias("t_b_sum"),
     )
-    fmts = sdf.select("image_id", "fmt")
+    # fmt lookup from the driver-side pandas frame: deriving it from sdf
+    # would embed the binary local relation in a THIRD plan subtree just
+    # to read a string column (at scale this is a column-pruned scan of
+    # the same parquet table, so nothing duplicates)
+    fmts = spark.createDataFrame(pdf[["image_id", "fmt"]])
     return (
         full.join(thumb, "image_id")
         .join(fmts, "image_id")

@@ -159,11 +159,11 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     sf = "/root/testdata/sf0.01"
     out = ["# PLANS.md — physical-plan audit (generated by scripts/explain_plans.py)", ""]
+    from jpspark.ops.bucketing import physical_plan
+
     for name in AUDIT:
         df = QUERIES[name](spark, sf)
-        plan = df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-        )
+        plan = physical_plan(df)
         out += [f"## {name}", ""]
         if name in BAND_AUDITS:
             heavy, key = BAND_AUDITS[name]

@@ -1270,11 +1270,12 @@ def test_bloom_sidecar_blobs_and_vacuum_sweep(spark, tmp_path):
     assert all(k.split(".bloom.")[0] in live_parts for k in leftover)
 
 
-def test_bucketed_colocated_join_no_shuffle(spark, tmp_path):
+def test_bucketed_colocated_join_no_shuffle(spark):
     """write_bucketed + colocated_join: the executed plan joins with ZERO
-    hash exchanges; the same join over plain (non-bucketed) frames with
-    broadcast disabled DOES shuffle, so the guard genuinely
-    discriminates layouts (and raises on the bad one)."""
+    hash exchanges; the same merge-hinted join over plain (non-bucketed)
+    frames DOES shuffle (the hint pins SMJ — broadcast never enters), so
+    the guard genuinely discriminates layouts (and raises on the bad
+    one)."""
     import pandas as pd
 
     from jpspark.ops import bucketing
