@@ -2292,6 +2292,110 @@ def o_bucketed_join() -> str:
     """
 
 
+def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi map-matching (round 6): events become per-user GPS tracks
+    (row_number over ts), each track matched against the geo_snap_road
+    network with a 0.25-deg switch penalty (ops/mapmatch.py: emission =
+    per-line min clamped-projection distance in pure Column algebra; the
+    sequential DP per track runs in applyInPandas — the stateful
+    custom-operator path). The oracle replays the DP as a DuckDB
+    recursive CTE whose rows carry the dp VECTOR as a LIST, stepped with
+    a list comprehension — costs match integer-exactly via the
+    floor(x*1e6+0.5) quantization."""
+    from .ops import mapmatch
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2500)
+    p0 = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (123.0 + ((F.col("event_id") * 7) % 3968) / 128.0).alias("x"),
+        (24.0 + (F.col("event_id") % 2816) / 128.0).alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = p0.select(
+        "user_id", F.row_number().over(w).alias("i"), "x", "y"
+    )
+    vx = spark.range(48).select(
+        F.expr("id DIV 6").alias("line_id"),
+        (F.col("id") % 6).alias("seq"),
+        (124.0 + F.expr("id DIV 6") * 0.5 + (F.col("id") % 6) * 0.75).alias("x"),
+        (
+            25.0
+            + F.expr("id DIV 6") * 2.0
+            + ((F.expr("id DIV 6") * 31 + (F.col("id") % 6) * 17) % 64) / 32.0
+        ).alias("y"),
+    )
+    from .geom import linear
+
+    seg = linear.segments_from_vertices(vx)
+    return mapmatch.map_match(pts, seg, switch_cost=0.25).orderBy("user_id")
+
+
+def o_map_match() -> str:
+    return """
+    WITH RECURSIVE p0 AS (
+      SELECT user_id, ts, event_id,
+             123.0 + ((event_id * 7) % 3968) / 128.0 AS x,
+             24.0 + (event_id % 2816) / 128.0 AS y
+      FROM events WHERE event_id < 2500
+    ), p AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i,
+             x, y
+      FROM p0
+    ), v AS (
+      SELECT i // 6 AS line_id, i % 6 AS seq,
+             124.0 + (i // 6) * 0.5 + (i % 6) * 0.75 AS x,
+             25.0 + (i // 6) * 2.0 + (((i // 6) * 31 + (i % 6) * 17) % 64) / 32.0 AS y
+      FROM (SELECT unnest(range(0, 48)) AS i)
+    ), seg0 AS (
+      SELECT line_id, seq AS seg_idx, x AS ax, y AS ay,
+             lead(x) OVER w AS xb, lead(y) OVER w AS yb
+      FROM v WINDOW w AS (PARTITION BY line_id ORDER BY seq)
+    ), seg AS (
+      SELECT * FROM seg0 WHERE xb IS NOT NULL
+    ), cand AS (
+      SELECT p.user_id, p.i, s.line_id,
+             CASE WHEN (xb - ax) * (xb - ax) + (yb - ay) * (yb - ay) = 0.0 THEN 0.0
+                  ELSE least(greatest(
+                    ((x - ax) * (xb - ax) + (y - ay) * (yb - ay))
+                      / ((xb - ax) * (xb - ax) + (yb - ay) * (yb - ay)), 0.0), 1.0)
+             END AS t,
+             ax, ay, xb, yb, x, y
+      FROM p CROSS JOIN seg s
+    ), c2 AS (
+      SELECT user_id, i, line_id,
+             ax + t * (xb - ax) AS sx, ay + t * (yb - ay) AS sy, x, y
+      FROM cand
+    ), em AS (
+      SELECT user_id, i, line_id,
+             min(sqrt((x - sx) * (x - sx) + (y - sy) * (y - sy))) AS e
+      FROM c2 GROUP BY 1, 2, 3
+    ), el AS (
+      SELECT user_id, i, list(e ORDER BY line_id) AS ev
+      FROM em GROUP BY 1, 2
+    ), rec AS (
+      SELECT user_id, i, ev AS dp FROM el WHERE i = 1
+      UNION ALL
+      SELECT el.user_id, el.i,
+             [el.ev[l] + least(r.dp[l], list_aggregate(r.dp, 'min') + 0.25)
+              for l in range(1, 9)] AS dp
+      FROM rec r JOIN el ON el.user_id = r.user_id AND el.i = r.i + 1
+    ), fin AS (
+      SELECT r.user_id, r.i AS n_pts, r.dp
+      FROM rec r
+      JOIN (SELECT user_id, max(i) AS mi FROM el GROUP BY 1) m
+        ON r.user_id = m.user_id AND r.i = m.mi
+    )
+    SELECT user_id,
+           CAST(n_pts AS INT) AS n_pts,
+           CAST(floor(list_aggregate(dp, 'min') * 1000000.0 + 0.5) AS BIGINT) AS cost_u6,
+           CAST(list_position(dp, list_aggregate(dp, 'min')) - 1 AS BIGINT) AS best_line
+    FROM fin ORDER BY user_id
+    """
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", textstats.lang_id_heuristic(F.col("text")).alias("pred_lang"))
@@ -5445,7 +5549,8 @@ QUERIES = {
     # family stays in-window via raster_zonal_stats + mvt_tiles
     # tile_pyramid demoted r5 (r4-signed; zonal/rasterize/polygonize stay)
     "json_extract": q_json_extract,
-    "mvt_tiles": q_mvt_tiles,
+    # mvt_tiles demoted r6 (r5-signed) for map_match; the MVT family
+    # stays in-window via stream_mvt_ingest
     # Iceberg-style DML over the checkpointed manifest table
     # (spatial_prune_scan demoted r5 — r4-signed; the pruned-scan family
     # stays in-window via the new bloom_prune_scan and delete_snapshot)
@@ -5514,6 +5619,10 @@ QUERIES = {
     # raster_band_math — r5-signed; raster family stays in-window via
     # raster_zonal_stats + mvt_tiles)
     "bucketed_join": q_bucketed_join,
+    # round-6: Viterbi map-matching enters the window its landing round
+    # (demoted: mvt_tiles — r5-signed; the MVT family stays in-window via
+    # stream_mvt_ingest)
+    "map_match": q_map_match,
     # ---- end of driver-gate window (50) ----
     # cluster_centroid demoted r6 (r5-signed) for http_store_roundtrip;
     # geo_knn_scaled + stream_dedup demoted r6 (both r5-signed) for the
@@ -5532,6 +5641,7 @@ QUERIES = {
     "polygonize": q_polygonize,
     "xlsx_crosswalk": q_xlsx_crosswalk,
     "raster_band_math": q_raster_band_math,
+    "mvt_tiles": q_mvt_tiles,
     "grouping_sets": q_grouping_sets,
     "bm25_score": q_bm25_score,
     "geo_measures": q_geo_measures,
@@ -5660,6 +5770,7 @@ def _build_oracles() -> dict[str, str]:
     "geo_snap_road": o_geo_snap_road(),
     "track_stats": o_track_stats(),
     "bucketed_join": o_bucketed_join(),
+    "map_match": o_map_match(),
     "pii_scrub": o_pii_scrub(),
     "url_host_dedup": o_url_host_dedup(),
     "curation_pipeline": o_curation_pipeline(),

@@ -819,3 +819,40 @@ def test_substring_dedup_spans_and_strip(spark):
     assert out[4].text_clean == "unique words only here" and out[4].n_spans == 0
     assert out[5].text_clean == "t u" and out[5].dup_words == 0
     assert out[3].n_words == 8
+
+
+def test_map_match_viterbi_switch_vs_stay(spark):
+    """Hand-golden Viterbi: two parallel horizontal lines (y=0, y=10), a
+    track that hugs line 0 then line 1. Cheap switch cost -> the optimal
+    path switches (cost 0.1*4 + 0.5, ends on line 1); prohibitive switch
+    cost -> it stays, tie between lines broken to the first index."""
+    import pandas as pd
+
+    from jpspark.geom import linear
+    from jpspark.ops import mapmatch
+
+    vx = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "line_id": [0, 0, 1, 1],
+                "seq": [0, 1, 0, 1],
+                "x": [0.0, 3.0, 0.0, 3.0],
+                "y": [0.0, 0.0, 10.0, 10.0],
+            }
+        )
+    )
+    seg = linear.segments_from_vertices(vx)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [5, 5, 5, 5],
+                "i": [1, 2, 3, 4],
+                "x": [0.0, 1.0, 2.0, 3.0],
+                "y": [0.1, 0.1, 9.9, 9.9],
+            }
+        )
+    )
+    cheap = mapmatch.map_match(pts, seg, switch_cost=0.5).collect()[0]
+    assert (cheap.n_pts, cheap.cost_u6, cheap.best_line) == (4, 900000, 1)
+    stay = mapmatch.map_match(pts, seg, switch_cost=100.0).collect()[0]
+    assert (stay.cost_u6, stay.best_line) == (20000000, 0)
