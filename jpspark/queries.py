@@ -2396,6 +2396,73 @@ def o_map_match() -> str:
     """
 
 
+def _sssp_grid_edges():
+    """The deterministic 16x16 grid graph both engines share: directed
+    4-neighbor edges, w = 1 + ((src*7 + dst*13) % 16)/16 — exact binary
+    fractions, so every path sum is exact in a double and min-ties are
+    exact ties (bit-equality needs no op-order mirroring)."""
+    n = 16
+    edges = []
+    for r in range(n):
+        for c in range(n):
+            u = r * n + c
+            for dr, dc in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+                rr, cc = r + dr, c + dc
+                if 0 <= rr < n and 0 <= cc < n:
+                    v = rr * n + cc
+                    edges.append((u, v, 1.0 + ((u * 7 + v * 13) % 16) / 16.0))
+    return edges
+
+
+def q_sssp_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths (round 6): distributed Bellman-Ford
+    relaxation (ops/graph.py — labels-only exchanges, one scalar per
+    round, size-triggered lineage cuts shared with connected components)
+    over the deterministic 16x16 grid graph, source node 0. The oracle is
+    an INDEPENDENT algorithm — driver-side Dijkstra baked to VALUES — so
+    the distributed relaxation is checked against a different shortest-
+    path construction entirely; exact binary-fraction weights make the
+    comparison bit-exact with no rounding."""
+    from .ops import graph as graph_ops
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(_sssp_grid_edges(), columns=["src", "dst", "w"])
+    )
+    return (
+        graph_ops.shortest_paths(edges, source=0)
+        .filter(F.col("node") % 17 == 0)
+        .orderBy("node")
+    )
+
+
+def o_sssp_grid() -> str:
+    import heapq
+
+    adj: dict[int, list[tuple[int, float]]] = {}
+    for u, v, w in _sssp_grid_edges():
+        adj.setdefault(u, []).append((v, w))
+    dist = {0: 0.0}
+    pq = [(0.0, 0)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, ()):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    vals = ",".join(
+        f"({node},CAST({dist[node]!r} AS DOUBLE))"
+        for node in sorted(dist)
+        if node % 17 == 0
+    )
+    return (
+        "SELECT CAST(node AS BIGINT) AS node, dist "
+        f"FROM (VALUES {vals}) AS t(node, dist) ORDER BY node"
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", textstats.lang_id_heuristic(F.col("text")).alias("pred_lang"))
@@ -5554,7 +5621,8 @@ QUERIES = {
     # Iceberg-style DML over the checkpointed manifest table
     # (spatial_prune_scan demoted r5 — r4-signed; the pruned-scan family
     # stays in-window via the new bloom_prune_scan and delete_snapshot)
-    "delete_snapshot": q_delete_snapshot,
+    # delete_snapshot demoted r6 (r5-signed) for sssp_grid; DML family
+    # stays in-window via merge_upsert + bloom_prune_scan
     "bloom_prune_scan": q_bloom_prune_scan,
     # round-6: MERGE INTO completes the DML triad in-window
     # (knn_flag_guard demoted — r5-signed; the guard contract stays
@@ -5623,6 +5691,10 @@ QUERIES = {
     # (demoted: mvt_tiles — r5-signed; the MVT family stays in-window via
     # stream_mvt_ingest)
     "map_match": q_map_match,
+    # round-6: single-source shortest paths enters the window its landing
+    # round (demoted: delete_snapshot — r5-signed; the DML/time-travel
+    # family stays in-window via merge_upsert + bloom_prune_scan)
+    "sssp_grid": q_sssp_grid,
     # ---- end of driver-gate window (50) ----
     # cluster_centroid demoted r6 (r5-signed) for http_store_roundtrip;
     # geo_knn_scaled + stream_dedup demoted r6 (both r5-signed) for the
@@ -5642,6 +5714,7 @@ QUERIES = {
     "xlsx_crosswalk": q_xlsx_crosswalk,
     "raster_band_math": q_raster_band_math,
     "mvt_tiles": q_mvt_tiles,
+    "delete_snapshot": q_delete_snapshot,
     "grouping_sets": q_grouping_sets,
     "bm25_score": q_bm25_score,
     "geo_measures": q_geo_measures,
@@ -5771,6 +5844,7 @@ def _build_oracles() -> dict[str, str]:
     "track_stats": o_track_stats(),
     "bucketed_join": o_bucketed_join(),
     "map_match": o_map_match(),
+    "sssp_grid": o_sssp_grid(),
     "pii_scrub": o_pii_scrub(),
     "url_host_dedup": o_url_host_dedup(),
     "curation_pipeline": o_curation_pipeline(),

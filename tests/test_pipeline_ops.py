@@ -856,3 +856,30 @@ def test_map_match_viterbi_switch_vs_stay(spark):
     assert (cheap.n_pts, cheap.cost_u6, cheap.best_line) == (4, 900000, 1)
     stay = mapmatch.map_match(pts, seg, switch_cost=100.0).collect()[0]
     assert (stay.cost_u6, stay.best_line) == (20000000, 0)
+
+
+def test_shortest_paths_hand_golden(spark):
+    """Hand graph: 0->1 (1.0), 1->2 (2.0), 0->2 (4.0) -> dist(2)=3.0 via
+    the two-hop path; node 3 only has an OUTGOING edge to 0, so it is
+    absent from the result (unreachable); round counter exposed."""
+    import pandas as pd
+
+    from jpspark.ops import graph
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "src": [0, 1, 0, 3],
+                "dst": [1, 2, 2, 0],
+                "w": [1.0, 2.0, 4.0, 1.0],
+            }
+        )
+    )
+    out = {r.node: r.dist for r in graph.shortest_paths(edges, source=0).collect()}
+    assert out == {0: 0.0, 1: 1.0, 2: 3.0}
+    assert graph.SSSP_LAST_ROUNDS >= 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        graph.shortest_paths(edges, source=0, max_rounds=1)
