@@ -344,6 +344,38 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
 
     timed("chunk_dedup", chunk_dedup_fn, timings)
     extras["chunk_docs_per_sec"] = round(n_docs / timings["chunk_dedup"], 1)
+
+    # round 6: exact substring dedup over a replicated corpus — the
+    # adversarial shape: EVERY 5-gram is a corpus duplicate, so every
+    # position anchors, the span merge sees maximal overlap chains, and
+    # whole documents excise to empty. dup_words == n_words for every
+    # doc with >= 5 words, asserted. Replication targets ~128k docs (the
+    # full x128 corpus at sf0.1 is 640k docs and made this one stage 53s
+    # — the dedup_big_block lesson: bound bench stages for
+    # round-over-round comparability, scale evidence lives in the rate).
+    sub_rep = min(128, max(4, 128_000 // max(n_docs // 128, 1)))
+    docs_sub = (
+        docs.crossJoin(spark.range(sub_rep).select(F.col("id").alias("rp")))
+        .select((F.col("doc_id") * sub_rep + F.col("rp")).alias("doc_id"), "text")
+        .repartition(cpus * 4)
+    )
+    n_sub = (n_docs // 128) * sub_rep
+
+    def substr_fn():
+        r = (
+            dd.strip_duplicated_substrings(docs_sub, k=5)
+            .agg(
+                F.sum("dup_words").alias("dw"),
+                F.sum(F.when(F.col("n_words") >= 5, F.col("n_words")).otherwise(F.lit(0))).alias("nw"),
+            )
+            .collect()[0]
+        )
+        assert int(r.dw) == int(r.nw), (r.dw, r.nw)
+        return int(r.dw)
+
+    timed("substring_dedup", substr_fn, timings)
+    extras["substr_docs_per_sec"] = round(n_sub / timings["substring_dedup"], 1)
+    extras["substr_docs"] = n_sub
     docs_big.unpersist()
 
     # round 4: connected components on a 2M-node near-dup-shaped graph

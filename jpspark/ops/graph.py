@@ -51,6 +51,19 @@ def shortest_paths(
     (negative cycles are out of contract)."""
     global SSSP_LAST_ROUNDS
     spark = edges.sparkSession
+    # same storage discipline as connected_components: with a
+    # cluster-visible checkpoint dir the lineage cut uses df.checkpoint;
+    # the driver-local tempfile spill is only correct in local mode —
+    # fail loud on a non-local master rather than silently scatter
+    # parquet across executor disks (round-5 ADVICE on the CC twin)
+    _use_reliable = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+    if not _use_reliable and not spark.sparkContext._jsc.sc().isLocal():
+        raise RuntimeError(
+            "shortest_paths: lineage cuts on a non-local master need a "
+            "cluster-visible checkpoint dir — call "
+            "spark.sparkContext.setCheckpointDir('<shared path>') first "
+            "(the driver-local parquet spill is only correct in local mode)"
+        )
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
@@ -92,18 +105,23 @@ def shortest_paths(
             break
         plan_chars = len(dist._jdf.queryExecution().analyzed().toString())
         if plan_chars > _CC_CUT_PLAN_CHARS:
-            new_dir = _tempfile.mkdtemp(prefix="jpspark-sssp-cut-")
-            _CC_CUT_DIRS.add(new_dir)
-            dist.write.mode("overwrite").parquet(new_dir)
-            dist.unpersist()
-            dist = spark.read.parquet(new_dir).persist()
-            dist.count()
-            if cut_dir is not None:
-                import shutil as _shutil
+            if _use_reliable:
+                old = dist
+                dist = dist.checkpoint(eager=True)
+                old.unpersist()
+            else:
+                new_dir = _tempfile.mkdtemp(prefix="jpspark-sssp-cut-")
+                _CC_CUT_DIRS.add(new_dir)
+                dist.write.mode("overwrite").parquet(new_dir)
+                dist.unpersist()
+                dist = spark.read.parquet(new_dir).persist()
+                dist.count()
+                if cut_dir is not None:
+                    import shutil as _shutil
 
-                _shutil.rmtree(cut_dir, ignore_errors=True)
-                _CC_CUT_DIRS.discard(cut_dir)
-            cut_dir = new_dir
+                    _shutil.rmtree(cut_dir, ignore_errors=True)
+                    _CC_CUT_DIRS.discard(cut_dir)
+                cut_dir = new_dir
     else:
         e.unpersist()
         raise RuntimeError(

@@ -883,3 +883,34 @@ def test_shortest_paths_hand_golden(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         graph.shortest_paths(edges, source=0, max_rounds=1)
+
+
+def test_shortest_paths_chain_lineage_cut(spark):
+    """A 24-node path forces ~24 relaxation rounds — deep enough that the
+    size-triggered lineage cut must fire (the plan doubles per round
+    without it). Distances stay exact and spill dirs are registered for
+    the shared CC release lifecycle."""
+    import pandas as pd
+
+    from jpspark.ops import dedup as dd
+    from jpspark.ops import graph
+
+    n = 24
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "src": list(range(n - 1)),
+                "dst": list(range(1, n)),
+                "w": [1.0 + (i % 4) / 4.0 for i in range(n - 1)],
+            }
+        )
+    )
+    out = {r.node: r.dist for r in graph.shortest_paths(edges, source=0).collect()}
+    assert len(out) == n
+    expect = 0.0
+    for i in range(n - 1):
+        assert out[i] == expect
+        expect += 1.0 + (i % 4) / 4.0
+    assert out[n - 1] == expect
+    assert graph.SSSP_LAST_ROUNDS >= n - 1
+    dd.release_cc_spills()  # reclaim this test's cut dirs
