@@ -135,3 +135,61 @@ def track_steps(
     ).withColumn("tus", tus).withColumn(
         "dt_us", tus - F.lag(tus).over(w)
     )
+
+
+def stay_points(
+    points: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_cols: tuple = ("event_id",),
+    x_col: str = "x",
+    y_col: str = "y",
+    move_q: int = 262144,
+    min_dwell_s: int = 0,
+    min_pts: int = 1,
+    coord_scale: int = 1048576,
+) -> DataFrame:
+    """Stay-point detection: maximal runs of consecutive track points
+    whose step from the previous point stays below ``move_q`` (in the
+    1/2^20 step_q units of ``track_steps``), kept when the run dwells at
+    least ``min_dwell_s`` seconds and has at least ``min_pts`` points.
+    The GPS-trace "where did it stop" primitive (Li et al. 2008 stay
+    points; the reference's consumers run the PostGIS analog over
+    station/facility layers, /root/reference/NOTES.md:96-133).
+
+    Implementation: one keyed window pass computes steps
+    (``track_steps``), a second window over the SAME partitioning (so
+    Catalyst plans ONE exchange) assigns segment ids as the running
+    count of move events (a track's first point and every step >=
+    ``move_q`` start a new segment), then a groupBy on (key, segment) —
+    whose key prefix matches the window partitioning — rolls up. All
+    outputs are integer-exact: centroid is returned as quantized
+    coordinate SUMS (``sum_xq``/``sum_yq`` at ``coord_scale`` units)
+    plus ``n_pts`` so no float division order can diverge.
+
+    Scale shape: one shuffle on the track key total; segments are
+    bounded by the per-track point count; nothing leaves codegen.
+    """
+    st = track_steps(points, key_col, ts_col, order_cols, x_col, y_col)
+    w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    is_move = F.when(
+        F.col("step_q").isNull() | (F.col("step_q") >= move_q), F.lit(1)
+    ).otherwise(F.lit(0))
+    seg = st.withColumn("seg", F.sum(is_move).over(w))
+    out = (
+        seg.groupBy(key_col, "seg")
+        .agg(
+            F.count("*").alias("n_pts"),
+            F.sum(F.round(F.col(x_col) * coord_scale).cast("long")).alias("sum_xq"),
+            F.sum(F.round(F.col(y_col) * coord_scale).cast("long")).alias("sum_yq"),
+            F.min("tus").alias("t_start_us"),
+            F.max("tus").alias("t_end_us"),
+        )
+        .withColumn(
+            "dwell_s",
+            ((F.col("t_end_us") - F.col("t_start_us")) / F.lit(1000000)).cast("long"),
+        )
+    )
+    return out.filter(
+        (F.col("dwell_s") >= F.lit(min_dwell_s)) & (F.col("n_pts") >= F.lit(min_pts))
+    )

@@ -141,6 +141,79 @@ def extract_features(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(kernel, schema)
 
 
+_AUG_OPS = ("hflip", "vflip", "rot90", "center_crop")
+
+
+def augment_images(
+    images: DataFrame, ops: tuple = ("hflip", "rot90", "center_crop"), crop_frac: float = 0.5
+) -> DataFrame:
+    """Training-data image augmentation: per input image emit one row per
+    requested op — horizontal/vertical mirror, 90-degree CCW rotation,
+    center crop (``crop_frac`` of each side, floor'd offsets) — with the
+    augmented pixels re-encoded raw plus exact int64 per-channel sums so
+    parity is checkable without shipping pixels. Flip/rot90 are pixel
+    permutations (sums invariant); the crop's sums are a closed-form
+    sub-rectangle reduction — both replayable by an oracle straight from
+    the deterministic pixel pattern.
+
+    Scale shape: embarrassingly parallel map over the payload table — no
+    shuffle, blobs never ride an exchange; one decode serves all ops for
+    the row. Every op is a whole-array numpy view/slice (no per-pixel
+    Python)."""
+    for o in ops:
+        if o not in _AUG_OPS:
+            raise ValueError(f"augment_images: unknown op {o!r}; known: {_AUG_OPS}")
+    schema = (
+        "image_id string, op string, bytes binary, w int, h int, fmt string,"
+        " r_sum long, g_sum long, b_sum long"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, buf, fmt in zip(
+                pdf["image_id"].to_numpy(), pdf["bytes"].to_numpy(), pdf["fmt"].to_numpy()
+            ):
+                px = img.decode(bytes(buf), fmt)
+                for op in ops:
+                    if op == "hflip":
+                        out = px[:, ::-1]
+                    elif op == "vflip":
+                        out = px[::-1]
+                    elif op == "rot90":
+                        out = np.rot90(px)
+                    else:  # center_crop
+                        ch = max(int(px.shape[0] * crop_frac), 1)
+                        cw = max(int(px.shape[1] * crop_frac), 1)
+                        oy = (px.shape[0] - ch) // 2
+                        ox = (px.shape[1] - cw) // 2
+                        out = px[oy : oy + ch, ox : ox + cw]
+                    out = np.ascontiguousarray(out)
+                    s = out.astype(np.int64).reshape(-1, out.shape[-1]).sum(axis=0)
+                    rows.append(
+                        (
+                            iid,
+                            op,
+                            img.encode(out, "raw"),
+                            out.shape[1],
+                            out.shape[0],
+                            "raw",
+                            int(s[0]),
+                            int(s[1]),
+                            int(s[2]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "op", "bytes", "w", "h", "fmt",
+                    "r_sum", "g_sum", "b_sum",
+                ],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(kernel, schema)
+
+
 # ------------------------------------------------------------ audio / video
 
 AUDIO_SCHEMA = "media_id string, sample_rate int, n_samples long, rms double"

@@ -259,3 +259,43 @@ def bigram_lm_scores(
             F.round(F.exp(F.col("avg_nll")), 4).alias("ppl"),
         )
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 10000,
+) -> DataFrame:
+    """Inverted index build: token -> document frequency + the sorted
+    posting list (the retrieval-side table a curation/search pipeline
+    materializes next to BM25 scoring). Whitespace tokenization matches
+    the engine's BM25/token-count convention so the same SQL oracle
+    tokenizer applies.
+
+    Plan shape at 10^12 docs: split+explode stays in codegen, the
+    (token, doc) pairs are DISTINCT-reduced with map-side partial
+    aggregation, and ONE shuffle on token builds df + the posting array.
+    Posting lists are the scale hazard (a stopword's list is the corpus)
+    — lists longer than ``max_postings`` are returned as NULL with the
+    exact ``df`` still populated; the production layout shards those
+    tokens into (token, bucket) posting segments instead of one row.
+
+    Returns (token, df, postings) with postings a comma-joined sorted
+    id string (bounded by ``max_postings``), df the exact distinct-doc
+    count."""
+    pairs = (
+        docs.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    return pairs.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.when(
+            F.count("*") <= max_postings,
+            F.array_join(F.array_sort(F.collect_list("_doc")), ","),
+        ).alias("postings"),
+    )

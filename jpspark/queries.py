@@ -5538,6 +5538,208 @@ def o_multimodal_curation() -> str:
     """
 
 
+def q_kde_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density heatmap (round 6): every event geotag (the
+    binary-fraction Japan lattice) lands in a 0.25-degree cell and the
+    per-cell counts are smoothed with the integer triangular 4-2-1
+    stencil (ops/density.grid_density, radius 1) — the "events per mesh,
+    smoothed" surface consumers derive from the reference's mesh layers
+    (/root/reference/NOTES.md:96-133). Pure Column algebra: the first
+    shuffle reduces the 10^12-point fact to occupied cells with map-side
+    combine; the 9-offset explode runs on the AGGREGATED cells only.
+    Cell size 1/4 deg on a 1/128-deg lattice -> exact floors; integer
+    weights -> bit-exact densities."""
+    from .ops import density
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (123.0 + ((F.col("event_id") * 7) % 3968) / 128.0).alias("x"),
+        (24.0 + (F.col("event_id") % 2816) / 128.0).alias("y"),
+    )
+    return (
+        density.grid_density(ev, "x", "y", x0=123.0, y0=24.0, cell=0.25, radius=1)
+        .orderBy("cx", "cy")
+    )
+
+
+def o_kde_heatmap() -> str:
+    return """
+    WITH p AS (
+      SELECT CAST(floor((123.0 + ((event_id * 7) % 3968) / 128.0 - 123.0) / 0.25) AS BIGINT) AS ix,
+             CAST(floor((24.0 + (event_id % 2816) / 128.0 - 24.0) / 0.25) AS BIGINT) AS iy
+      FROM events
+    ), c AS (
+      SELECT ix, iy, count(*) AS cnt FROM p GROUP BY ix, iy
+    ), o AS (
+      SELECT dx.g AS dx, dy.g AS dy,
+             (2 - abs(dx.g)) * (2 - abs(dy.g)) AS wt
+      FROM generate_series(-1, 1) dx(g), generate_series(-1, 1) dy(g)
+    )
+    SELECT c.ix + o.dx AS cx, c.iy + o.dy AS cy,
+           CAST(sum(c.cnt * o.wt) AS BIGINT) AS density
+    FROM c CROSS JOIN o
+    GROUP BY 1, 2 ORDER BY cx, cy
+    """
+
+
+def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection (round 6): the events-as-GPS-tracks fixture
+    (same lattice as track_stats) is segmented into maximal dwell runs —
+    consecutive points whose step stays under 0.25 deg — by
+    geom/linear.stay_points: track_steps + a second window over the SAME
+    partitioning (one exchange serves both) + a groupBy whose key prefix
+    matches. Centroids come back as exact quantized coordinate sums, so
+    every output column is integer and order-independent. Runs with >= 2
+    points survive."""
+    from .geom import linear
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (123.0 + ((F.col("event_id") * 7) % 3968) / 128.0).alias("x"),
+        (24.0 + (F.col("event_id") % 2816) / 128.0).alias("y"),
+    )
+    return (
+        linear.stay_points(ev, move_q=262144, min_pts=2)
+        .select(
+            "user_id", "seg", "n_pts", "sum_xq", "sum_yq",
+            "t_start_us", "t_end_us", "dwell_s",
+        )
+        .orderBy("user_id", "seg")
+    )
+
+
+def o_stay_points() -> str:
+    return """
+    WITH p AS (
+      SELECT event_id, user_id, ts,
+             123.0 + ((event_id * 7) % 3968) / 128.0 AS x,
+             24.0 + (event_id % 2816) / 128.0 AS y
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, event_id, x, y, epoch_us(ts) AS tus,
+             CAST(round(sqrt((x - lag(x) OVER w) * (x - lag(x) OVER w)
+                           + (y - lag(y) OVER w) * (y - lag(y) OVER w))
+                        * 1048576.0) AS BIGINT) AS step_q
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT user_id, x, y, tus,
+             sum(CASE WHEN step_q IS NULL OR step_q >= 262144 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seg
+      FROM s
+    )
+    SELECT user_id, CAST(seg AS BIGINT) AS seg,
+           CAST(count(*) AS BIGINT) AS n_pts,
+           CAST(sum(CAST(round(x * 1048576.0) AS BIGINT)) AS BIGINT) AS sum_xq,
+           CAST(sum(CAST(round(y * 1048576.0) AS BIGINT)) AS BIGINT) AS sum_yq,
+           CAST(min(tus) AS BIGINT) AS t_start_us,
+           CAST(max(tus) AS BIGINT) AS t_end_us,
+           CAST((max(tus) - min(tus)) // 1000000 AS BIGINT) AS dwell_s
+    FROM g GROUP BY user_id, seg
+    HAVING count(*) >= 2
+    ORDER BY user_id, seg
+    """
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (round 6): token -> exact document frequency
+    + sorted posting list over the corpus (ops/textstats.inverted_index)
+    — the retrieval table a curation pipeline materializes next to BM25.
+    Same whitespace tokenizer as bm25_score so one oracle convention
+    serves both. One shuffle on token after a distinct (token, doc)
+    reduction; posting lists past the cap come back NULL by contract —
+    the stopword guard, exercised HERE: with max_postings=50 the
+    corpus-wide tokens return exact df + NULL postings while rarer
+    tokens keep the real sorted list. Singleton tokens (most of the
+    vocabulary) are filtered so output stays bounded."""
+    from .ops import textstats as ts
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        ts.inverted_index(docs, max_postings=50)
+        .filter(F.col("df") >= 2)
+        .orderBy("token")
+    )
+
+
+def o_inverted_index() -> str:
+    return r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents
+    ), pairs AS (
+      SELECT DISTINCT doc_id, unnest(ws) AS token FROM w
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS df,
+           CASE WHEN count(*) <= 50
+                THEN array_to_string(list_sort(list(doc_id)), ',')
+                END AS postings
+    FROM pairs WHERE token != ''
+    GROUP BY token HAVING count(*) >= 2
+    ORDER BY token
+    """
+
+
+def q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image augmentation (round 6): 120 payload-table fixture rows flow
+    through ops/multimodal.augment_images — hflip / rot90 / center-crop
+    as whole-array numpy views inside one mapInPandas decode — and the
+    query returns the augmented dims + exact int64 channel sums (the
+    pixels stay on the executors; ~50 B/row crosses the exchange). The
+    oracle replays pattern -> transform -> sums driver-side from the
+    deterministic pixel function, so for the lossless formats it checks
+    encode -> executor decode -> augment end-to-end; qlossy expected
+    pixels replay the documented quantization."""
+    from . import fixtures as fx
+    from .ops import multimodal as mm
+
+    pdf = fx.images(120)[["image_id", "bytes", "fmt"]]
+    sdf = spark.createDataFrame(pdf)
+    return (
+        mm.augment_images(sdf)
+        .select("image_id", "op", "w", "h", "r_sum", "g_sum", "b_sum")
+        .orderBy("image_id", "op")
+    )
+
+
+def o_image_augment() -> str:
+    import numpy as np
+
+    from . import fixtures as fx
+    from .codec import image as img
+
+    pdf = fx.images(120)[["image_id", "w", "h", "fmt"]]
+    vals = []
+    for iid, w, h, fmt in pdf.itertuples(index=False):
+        i = int(iid[3:])
+        px = fx.pixel_pattern(i, int(w), int(h))
+        if fmt == "qlossy":
+            px = img.decode(img.encode(px, "qlossy"), "qlossy")
+        ch = max(int(px.shape[0] * 0.5), 1)
+        cw = max(int(px.shape[1] * 0.5), 1)
+        oy = (px.shape[0] - ch) // 2
+        ox = (px.shape[1] - cw) // 2
+        for op, out in (
+            ("center_crop", px[oy : oy + ch, ox : ox + cw]),
+            ("hflip", px[:, ::-1]),
+            ("rot90", np.rot90(px)),
+        ):
+            s = out.astype(np.int64).reshape(-1, 3).sum(axis=0)
+            vals.append(
+                f"('{iid}','{op}',{out.shape[1]},{out.shape[0]},"
+                f"{int(s[0])},{int(s[1])},{int(s[2])})"
+            )
+    return (
+        "SELECT image_id, op, CAST(w AS INT) AS w, CAST(h AS INT) AS h,"
+        " CAST(r_sum AS BIGINT) AS r_sum, CAST(g_sum AS BIGINT) AS g_sum,"
+        " CAST(b_sum AS BIGINT) AS b_sum"
+        f" FROM (VALUES {','.join(vals)})"
+        " AS t(image_id, op, w, h, r_sum, g_sum, b_sum)"
+        " ORDER BY image_id, op"
+    )
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -5570,14 +5772,20 @@ QUERIES = {
     "geo_image_pipeline": q_geo_image_pipeline,
     "asof_join": q_asof_join,
     "approx_distinct": q_approx_distinct,
-    "stratified_sample": q_stratified_sample,
+    # round-6: smoothed grid-density heatmap enters the window its
+    # landing round (demoted: stratified_sample — r5-signed; sampling
+    # stays full-gate-covered, note at its new slot)
+    "kde_heatmap": q_kde_heatmap,
     # bm25_score demoted r6 (r5-signed) for decontamination; the
     # text-scoring family stays in-window via lm_perplexity
     # OLAP aggregates (rollup_summary + cube_summary demoted r5, both
     # r4-signed; grouping_sets demoted r6 — r5-signed — for
     # jis_mesh_rollup; the OLAP family stays in-window via
     # window_functions + pivot_summary) + the analytic window sweep
-    "window_functions": q_window_functions,
+    # round-6: stay-point detection enters the window its landing round
+    # (demoted: window_functions — r5-signed; the analytic-window surface
+    # stays in-window via stay_points' two window passes + track_stats)
+    "stay_points": q_stay_points,
     # training-data pipeline: dedup + ANN
     "chunk_dedup": q_chunk_dedup,
     # dedup_exact demoted r6 (r5-signed); the exact-dedup surface stays
@@ -5591,7 +5799,11 @@ QUERIES = {
     # family stays in-window via pivot_summary + window_functions
     "ann_pq_recall": q_ann_pq_recall,
     # multimodal + codec-in-pipeline gates
-    "image_validate": q_image_validate,
+    # round-6: image augmentation (flip/rot90/crop) enters the window its
+    # landing round (demoted: image_validate — r5-signed; the image
+    # decode-parity surface stays in-window via image_channel_stats +
+    # multimodal_curation + geo_image_pipeline)
+    "image_augment": q_image_augment,
     # audio_validate demoted r6 (r5-signed); the audio surface stays
     # in-window via audio_probe_formats + multimodal_curation
     # video_validate demoted r6 (r5-signed) for image_channel_stats;
@@ -5610,6 +5822,10 @@ QUERIES = {
     # r4-signed; band_math and percentiles_approx hold their families
     # in-window)
     "pivot_summary": q_pivot_summary,
+    # round-6: inverted-index build enters the window its landing round
+    # (demoted: json_extract — r5-signed; the semi-structured family
+    # stays full-gate-covered, note at its new slot)
+    "inverted_index": q_inverted_index,
     # unpivot_melt demoted r6 (r5-signed); the reshape family stays
     # in-window via pivot_summary
     # raster_band_math demoted r6 (r5-signed) for bucketed_join; raster
@@ -5706,7 +5922,15 @@ QUERIES = {
     # r6 (r5-signed) for lm_perplexity; grouping_sets demoted r6
     # (r5-signed) for jis_mesh_rollup; bm25_score demoted r6 (r5-signed)
     # for decontamination; rasterize demoted r6 (r5-signed) for
-    # substring_dedup
+    # substring_dedup; stratified_sample demoted r6 (r5-signed) for
+    # kde_heatmap; window_functions demoted r6 (r5-signed) for
+    # stay_points; json_extract demoted r6 (r5-signed) for
+    # inverted_index; image_validate demoted r6 (r5-signed) for
+    # image_augment
+    "stratified_sample": q_stratified_sample,
+    "window_functions": q_window_functions,
+    "json_extract": q_json_extract,
+    "image_validate": q_image_validate,
     "resample_ffill": q_resample_ffill,
     "rasterize": q_rasterize,
     "video_validate": q_video_validate,
@@ -5845,6 +6069,10 @@ def _build_oracles() -> dict[str, str]:
     "bucketed_join": o_bucketed_join(),
     "map_match": o_map_match(),
     "sssp_grid": o_sssp_grid(),
+    "kde_heatmap": o_kde_heatmap(),
+    "stay_points": o_stay_points(),
+    "inverted_index": o_inverted_index(),
+    "image_augment": o_image_augment(),
     "pii_scrub": o_pii_scrub(),
     "url_host_dedup": o_url_host_dedup(),
     "curation_pipeline": o_curation_pipeline(),

@@ -57,6 +57,10 @@ AUDIT = [
     "geo_snap_road",       # expect: BroadcastExchange of segments; ONE hash exchange (per-point window)
     "track_stats",         # expect: ONE hash exchange serves the track window AND the same-key agg
     "bucketed_join",       # expect: bucketed scans -> SMJ -> same-key agg, ZERO hash exchanges
+    "kde_heatmap",         # expect: cell-key exchange AFTER partial agg; offsets broadcast; explode on aggregated cells only
+    "stay_points",         # expect: ONE hash exchange serves track_steps window + seg window + same-key agg
+    "inverted_index",      # expect: distinct + token aggs two-phase; text pruned before any exchange
+    "image_augment",       # expect: bytes stay inside the mapInPandas; only the final orderBy exchanges sums
 ]
 
 
@@ -132,6 +136,14 @@ SINGLE_SHUFFLE_AUDITS = {
     "track_stats": 1,
     # round 6: the whole point — bucketed layout, zero hash exchanges
     "bucketed_join": 0,
+    # round 6: the track-key exchange serves the step window, the
+    # segment-id window AND the (key, seg) agg (key-prefix clustering)
+    "stay_points": 1,
+    # round 6: histogram agg + stencil re-agg; offsets broadcast; the
+    # explode fans out aggregated cells only
+    "kde_heatmap": 2,
+    # round 6: (token, doc) distinct + token agg; both two-phase
+    "inverted_index": 2,
 }
 
 NO_HEAVY_AUDITS = {
@@ -151,6 +163,11 @@ NO_HEAVY_AUDITS = {
     "substring_dedup": ("text", "_w"),
     # round 6: image bytes live inside the mapInPandas chains only
     "image_channel_stats": ("bytes",),
+    # round 6: augmented blobs are born and dropped inside the kernel;
+    # the orderBy exchanges fixed-width sums only
+    "image_augment": ("bytes",),
+    # round 6: raw text pruned before the (token, doc) distinct exchange
+    "inverted_index": ("text",),
 }
 
 

@@ -262,3 +262,59 @@ def test_channel_sums_hand_golden(spark):
         64 * 5, 64 * 6, 64 * 7,
     )
     assert thumb["b"].n_px == 64
+
+
+def test_augment_images_sums_and_dims(spark):
+    """Flip/rot90 are pixel permutations (channel sums invariant, dims
+    swap for rot90); the center crop's sums replay from the pattern."""
+    import numpy as np
+
+    from jpspark import fixtures as fx
+    from jpspark.ops import multimodal as mm
+
+    pdf = fx.images(12)[["image_id", "bytes", "fmt", "w", "h"]]
+    sdf = spark.createDataFrame(pdf[["image_id", "bytes", "fmt"]])
+    base = {r.image_id: r for r in mm.channel_sums(sdf).collect()}
+    rows = mm.augment_images(sdf).collect()
+    assert len(rows) == 3 * len(pdf)
+    meta = pdf.set_index("image_id")
+    for r in rows:
+        b = base[r.image_id]
+        w0, h0 = int(meta.loc[r.image_id, "w"]), int(meta.loc[r.image_id, "h"])
+        if r.op == "hflip":
+            assert (r.r_sum, r.g_sum, r.b_sum) == (b.r_sum, b.g_sum, b.b_sum)
+            assert (r.w, r.h) == (w0, h0)
+        elif r.op == "rot90":
+            assert (r.r_sum, r.g_sum, r.b_sum) == (b.r_sum, b.g_sum, b.b_sum)
+            assert (r.w, r.h) == (h0, w0)
+        else:
+            assert r.op == "center_crop"
+            assert (r.w, r.h) == (max(w0 // 2, 1), max(h0 // 2, 1))
+            assert 0 < r.r_sum < b.r_sum
+    # crop sums replay exactly from the deterministic pattern (lossless row)
+    ll = pdf[pdf.fmt != "qlossy"].iloc[0]
+    px = fx.pixel_pattern(int(ll.image_id[3:]), int(ll.w), int(ll.h))
+    ch, cw = int(ll.h) // 2, int(ll.w) // 2
+    oy, ox = (int(ll.h) - ch) // 2, (int(ll.w) - cw) // 2
+    exp = px[oy : oy + ch, ox : ox + cw].astype(np.int64).reshape(-1, 3).sum(axis=0)
+    got = [r for r in rows if r.image_id == ll.image_id and r.op == "center_crop"][0]
+    assert (got.r_sum, got.g_sum, got.b_sum) == tuple(int(v) for v in exp)
+
+
+def test_augment_images_bytes_roundtrip(spark):
+    """The emitted raw bytes decode back to the augmented pixels."""
+    import numpy as np
+
+    from jpspark import fixtures as fx
+    from jpspark.codec import image as img
+    from jpspark.ops import multimodal as mm
+
+    pdf = fx.images(4)[["image_id", "bytes", "fmt", "w", "h"]]
+    sdf = spark.createDataFrame(pdf[["image_id", "bytes", "fmt"]])
+    rows = {(r.image_id, r.op): r for r in mm.augment_images(sdf, ops=("vflip",)).collect()}
+    for _, src in pdf.iterrows():
+        px = img.decode(bytes(src["bytes"]), src["fmt"])
+        r = rows[(src["image_id"], "vflip")]
+        back = img.decode(bytes(r.bytes), "raw")
+        assert back.shape == (int(src["h"]), int(src["w"]), 3)
+        assert np.array_equal(back, px[::-1])

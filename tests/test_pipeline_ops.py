@@ -914,3 +914,91 @@ def test_shortest_paths_chain_lineage_cut(spark):
     assert out[n - 1] == expect
     assert graph.SSSP_LAST_ROUNDS >= n - 1
     dd.release_cc_spills()  # reclaim this test's cut dirs
+
+
+def test_grid_density_hand_golden(spark):
+    """3 points on a tiny grid, radius-1 triangular stencil: densities
+    checked against a hand-convolved golden (center weight 4, edge 2,
+    corner 1)."""
+    import pandas as pd
+
+    from jpspark.ops import density
+
+    # two points in cell (0,0), one in (2,0) — cell=1, origin 0
+    pts = spark.createDataFrame(
+        pd.DataFrame({"x": [0.25, 0.5, 2.5], "y": [0.25, 0.75, 0.5]})
+    )
+    out = {
+        (r.cx, r.cy): r.density
+        for r in density.grid_density(pts, cell=1.0, radius=1).collect()
+    }
+    # cell (0,0) has cnt 2, cell (2,0) cnt 1; (1,0) receives 2*2 + 1*2 = 6
+    assert out[(0, 0)] == 8  # 2*4
+    assert out[(1, 0)] == 6
+    assert out[(2, 0)] == 4  # 1*4
+    assert out[(0, 1)] == 4  # 2*2
+    assert out[(1, 1)] == 3  # 2*1 + 1*1
+    assert out[(-1, -1)] == 2  # corner of the double cell
+    assert out[(3, 1)] == 1  # corner of the single cell
+    assert sum(out.values()) == 3 * 16  # kernel mass: (1+2+1)^2 per point
+
+
+def test_grid_density_radius0_is_histogram(spark):
+    import pandas as pd
+
+    from jpspark.ops import density
+
+    pts = spark.createDataFrame(pd.DataFrame({"x": [0.1, 0.2, 1.9], "y": [0.0, 0.5, 0.5]}))
+    out = {(r.cx, r.cy): r.density for r in density.grid_density(pts, cell=1.0, radius=0).collect()}
+    assert out == {(0, 0): 2, (1, 0): 1}
+
+
+def test_stay_points_hand_golden(spark):
+    """One track: 3 dwell points, a jump, 2 dwell points — two stays;
+    a second track with a lone point filters out under min_pts=2."""
+    import pandas as pd
+
+    from jpspark.geom import linear
+
+    rows = []
+    for i, (x, t) in enumerate(
+        [(0.0, 0), (0.05, 10), (0.1, 20), (5.0, 30), (5.05, 40)]
+    ):
+        rows.append(("u1", i, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=t), x, 0.0))
+    rows.append(("u2", 99, pd.Timestamp("2024-01-01"), 7.0, 7.0))
+    pts = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "x", "y"])
+    )
+    out = linear.stay_points(pts, move_q=262144, min_pts=2).orderBy("seg").collect()
+    assert [(r.user_id, r.n_pts, r.dwell_s) for r in out] == [("u1", 3, 20), ("u1", 2, 10)]
+    # sums are PER-POINT quantized (round each coord, then add):
+    # round(0) + round(0.05*2^20) + round(0.1*2^20) = 0 + 52429 + 104858
+    assert out[0].sum_xq == 157287
+    assert out[1].sum_xq == round(5.0 * 1048576) + round(5.05 * 1048576)
+
+
+def test_inverted_index_hand_golden(spark):
+    import pandas as pd
+
+    from jpspark.ops import textstats as ts
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [3, 1, 2],
+                "text": ["b a b", "a c", "a   c c"],
+            }
+        )
+    )
+    out = {r.token: (r.df, r.postings) for r in ts.inverted_index(docs).collect()}
+    assert out == {
+        "a": (3, "1,2,3"),
+        "b": (1, "3"),
+        "c": (2, "1,2"),
+    }
+    capped = {
+        r.token: (r.df, r.postings)
+        for r in ts.inverted_index(docs, max_postings=2).collect()
+    }
+    assert capped["a"] == (3, None)  # over cap: exact df, NULL postings
+    assert capped["c"] == (2, "1,2")
