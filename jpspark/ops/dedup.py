@@ -845,7 +845,12 @@ def connected_components(
             # cut's files deleted — bounded plan, cache, and disk, all
             # deterministic.
             if _use_reliable:
-                cut = labels.checkpoint(eager=True)
+                # re-persist the checkpoint: later rounds reference the
+                # labels twice (self-join) and the convergence aggregate
+                # once more — without a cache each reference re-reads
+                # the checkpoint files
+                cut = labels.checkpoint(eager=True).persist()
+                cut.count()
                 pinned.unpersist()
                 labels = cut
                 pinned = cut

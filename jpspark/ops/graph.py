@@ -37,6 +37,7 @@ def shortest_paths(
     dst_col: str = "dst",
     w_col: str = "w",
     max_rounds: int = 200,
+    cut_plan_chars: int | None = None,
 ) -> DataFrame:
     """Single-source shortest paths over directed weighted edges
     (non-negative weights). Returns (node, dist) for every node reachable
@@ -48,21 +49,33 @@ def shortest_paths(
     union with current dist, min per node — two keyed exchanges of
     (long, double) rows. Convergence = zero improved nodes, one scalar
     per round. Raises if ``max_rounds`` is hit before convergence
-    (negative cycles are out of contract)."""
+    (negative cycles are out of contract).
+
+    ``cut_plan_chars`` sizes the lineage-cut trigger (default: the
+    shared CC threshold); 0 disables cutting entirely — the escape
+    hatch for small-diameter graphs on cluster sessions without a
+    checkpoint dir."""
     global SSSP_LAST_ROUNDS
     spark = edges.sparkSession
+    if cut_plan_chars is None:
+        cut_plan_chars = _CC_CUT_PLAN_CHARS
     # same storage discipline as connected_components: with a
     # cluster-visible checkpoint dir the lineage cut uses df.checkpoint;
     # the driver-local tempfile spill is only correct in local mode —
     # fail loud on a non-local master rather than silently scatter
     # parquet across executor disks (round-5 ADVICE on the CC twin)
     _use_reliable = spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
-    if not _use_reliable and not spark.sparkContext._jsc.sc().isLocal():
+    if (
+        cut_plan_chars
+        and not _use_reliable
+        and not spark.sparkContext._jsc.sc().isLocal()
+    ):
         raise RuntimeError(
             "shortest_paths: lineage cuts on a non-local master need a "
             "cluster-visible checkpoint dir — call "
             "spark.sparkContext.setCheckpointDir('<shared path>') first "
-            "(the driver-local parquet spill is only correct in local mode)"
+            "(the driver-local parquet spill is only correct in local mode), "
+            "or pass cut_plan_chars=0 to disable cutting for shallow graphs"
         )
     e = edges.select(
         F.col(src_col).alias("src"),
@@ -104,10 +117,14 @@ def shortest_paths(
         if improved == 0:
             break
         plan_chars = len(dist._jdf.queryExecution().analyzed().toString())
-        if plan_chars > _CC_CUT_PLAN_CHARS:
+        if cut_plan_chars and plan_chars > cut_plan_chars:
             if _use_reliable:
                 old = dist
-                dist = dist.checkpoint(eager=True)
+                # re-persist: the loop references dist three times per
+                # round (cand join, union, improved-count), and without
+                # a cache each reference re-reads the checkpoint files
+                dist = dist.checkpoint(eager=True).persist()
+                dist.count()
                 old.unpersist()
             else:
                 new_dir = _tempfile.mkdtemp(prefix="jpspark-sssp-cut-")

@@ -163,6 +163,10 @@ def augment_images(
     for o in ops:
         if o not in _AUG_OPS:
             raise ValueError(f"augment_images: unknown op {o!r}; known: {_AUG_OPS}")
+    if not 0.0 < crop_frac <= 1.0:
+        raise ValueError(
+            f"augment_images: crop_frac must be in (0, 1], got {crop_frac}"
+        )
     schema = (
         "image_id string, op string, bytes binary, w int, h int, fmt string,"
         " r_sum long, g_sum long, b_sum long"

@@ -273,16 +273,19 @@ def inverted_index(
     the engine's BM25/token-count convention so the same SQL oracle
     tokenizer applies.
 
-    Plan shape at 10^12 docs: split+explode stays in codegen, the
+    Plan shape at 10^12 docs: split+explode stays in codegen and the
     (token, doc) pairs are DISTINCT-reduced with map-side partial
-    aggregation, and ONE shuffle on token builds df + the posting array.
-    Posting lists are the scale hazard (a stopword's list is the corpus)
-    — lists longer than ``max_postings`` are returned as NULL with the
-    exact ``df`` still populated; the production layout shards those
-    tokens into (token, bucket) posting segments instead of one row.
+    aggregation. Posting lists are the scale hazard (a stopword's list
+    is the corpus), so the cap bounds the AGGREGATION BUFFER, not just
+    the output: a first count-only pass computes exact ``df`` per token
+    (fixed-width rows, no lists anywhere), a semi-join keeps only
+    under-cap tokens for the collect_list pass — a corpus-wide stopword
+    never materializes a list on any executor — and over-cap tokens
+    come back with exact ``df`` + NULL postings. The production layout
+    shards those tokens into (token, bucket) posting segments instead.
 
     Returns (token, df, postings) with postings a comma-joined sorted
-    id string (bounded by ``max_postings``), df the exact distinct-doc
+    id string (NULL past ``max_postings``), df the exact distinct-doc
     count."""
     pairs = (
         docs.select(
@@ -292,10 +295,13 @@ def inverted_index(
         .filter(F.col("token") != "")
         .distinct()
     )
-    return pairs.groupBy("token").agg(
-        F.count("*").alias("df"),
-        F.when(
-            F.count("*") <= max_postings,
-            F.array_join(F.array_sort(F.collect_list("_doc")), ","),
-        ).alias("postings"),
+    dfreq = pairs.groupBy("token").agg(F.count("*").alias("df"))
+    small = pairs.join(
+        dfreq.filter(F.col("df") <= max_postings).select("token"),
+        "token",
+        "left_semi",
     )
+    postings = small.groupBy("token").agg(
+        F.array_join(F.array_sort(F.collect_list("_doc")), ",").alias("postings")
+    )
+    return dfreq.join(postings, "token", "left").select("token", "df", "postings")

@@ -5831,7 +5831,8 @@ QUERIES = {
     # raster_band_math demoted r6 (r5-signed) for bucketed_join; raster
     # family stays in-window via raster_zonal_stats + mvt_tiles
     # tile_pyramid demoted r5 (r4-signed; zonal/rasterize/polygonize stay)
-    "json_extract": q_json_extract,
+    # json_extract demoted r6 (r5-signed) for inverted_index; entry
+    # moved below the window marker
     # mvt_tiles demoted r6 (r5-signed) for map_match; the MVT family
     # stays in-window via stream_mvt_ingest
     # Iceberg-style DML over the checkpointed manifest table

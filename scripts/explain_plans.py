@@ -142,8 +142,10 @@ SINGLE_SHUFFLE_AUDITS = {
     # round 6: histogram agg + stencil re-agg; offsets broadcast; the
     # explode fans out aggregated cells only
     "kde_heatmap": 2,
-    # round 6: (token, doc) distinct + token agg; both two-phase
-    "inverted_index": 2,
+    # round 6: (token, doc) distinct + df count + the under-cap
+    # semi-join repartition feeding collect_list (the buffer-bounding
+    # pass); postings agg and the final join reuse token partitioning
+    "inverted_index": 3,
 }
 
 NO_HEAVY_AUDITS = {

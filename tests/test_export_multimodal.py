@@ -318,3 +318,16 @@ def test_augment_images_bytes_roundtrip(spark):
         back = img.decode(bytes(r.bytes), "raw")
         assert back.shape == (int(src["h"]), int(src["w"]), 3)
         assert np.array_equal(back, px[::-1])
+
+
+def test_augment_images_rejects_bad_args(spark):
+    import pytest
+
+    from jpspark import fixtures as fx
+    from jpspark.ops import multimodal as mm
+
+    sdf = spark.createDataFrame(fx.images(2)[["image_id", "bytes", "fmt"]])
+    with pytest.raises(ValueError, match="unknown op"):
+        mm.augment_images(sdf, ops=("sepia",))
+    with pytest.raises(ValueError, match="crop_frac"):
+        mm.augment_images(sdf, crop_frac=2.0)

@@ -913,6 +913,9 @@ def test_shortest_paths_chain_lineage_cut(spark):
         expect += 1.0 + (i % 4) / 4.0
     assert out[n - 1] == expect
     assert graph.SSSP_LAST_ROUNDS >= n - 1
+    # the cut must actually have fired (a regression in the size trigger
+    # would keep distances right while the plan doubles per round)
+    assert any("jpspark-sssp-cut-" in d for d in dd._CC_CUT_DIRS)
     dd.release_cc_spills()  # reclaim this test's cut dirs
 
 
@@ -1002,3 +1005,20 @@ def test_inverted_index_hand_golden(spark):
     }
     assert capped["a"] == (3, None)  # over cap: exact df, NULL postings
     assert capped["c"] == (2, "1,2")
+
+
+def test_shortest_paths_cut_disabled(spark):
+    """cut_plan_chars=0 never spills — the escape hatch for shallow
+    graphs on cluster sessions without a checkpoint dir."""
+    import pandas as pd
+
+    from jpspark.ops import dedup as dd
+    from jpspark.ops import graph
+
+    dd.release_cc_spills()
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": [0, 1], "dst": [1, 2], "w": [1.0, 2.0]})
+    )
+    out = {r.node: r.dist for r in graph.shortest_paths(edges, source=0, cut_plan_chars=0).collect()}
+    assert out == {0: 0.0, 1: 1.0, 2: 3.0}
+    assert not any("jpspark-sssp-cut-" in d for d in dd._CC_CUT_DIRS)
