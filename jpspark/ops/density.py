@@ -43,8 +43,6 @@ def grid_density(
     live on a binary-fraction lattice and the floor is exact (the
     engine-wide determinism rule).
     """
-    if radius < 0:
-        raise ValueError(f"grid_density: radius must be >= 0, got {radius}")
     counts = (
         points.select(
             F.floor((F.col(x_col) - F.lit(x0)) / F.lit(cell)).alias("ix"),
@@ -53,8 +51,18 @@ def grid_density(
         .groupBy("ix", "iy")
         .agg(F.count("*").alias("cnt"))
     )
+    return smooth_counts(counts, radius=radius)
+
+
+def smooth_counts(counts: DataFrame, radius: int = 1) -> DataFrame:
+    """The stencil half of :func:`grid_density`, reusable over any
+    (ix, iy, cnt) cell-count frame — e.g. the state table of a streaming
+    running count (the stencil is LINEAR, so smoothing the accumulated
+    counts equals accumulating smoothed batches)."""
+    if radius < 0:
+        raise ValueError(f"smooth_counts: radius must be >= 0, got {radius}")
     k = 2 * radius + 1
-    spark = points.sparkSession
+    spark = counts.sparkSession
     offsets = spark.range(k * k).select(
         (F.col("id") % k - radius).alias("dx"),
         (F.col("id") / k).cast("long").alias("dy_raw"),

@@ -294,6 +294,10 @@ def inverted_index(
         )
         .filter(F.col("token") != "")
         .distinct()
+        # consumed by three plan subtrees (df count, semi filter, posting
+        # build) — persist so the explode+distinct runs once (the
+        # minhash-signatures rule); ids-only rows, so the cache is small
+        .persist()
     )
     dfreq = pairs.groupBy("token").agg(F.count("*").alias("df"))
     small = pairs.join(

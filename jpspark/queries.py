@@ -5740,6 +5740,114 @@ def o_image_augment() -> str:
     )
 
 
+def q_stream_kde_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming grid-density (round 6): events readStream -> codegen
+    cell index -> running count per cell (complete-mode stateful agg);
+    the 4-2-1 stencil (ops/density.smooth_counts) is applied over the
+    accumulated state — the stencil is LINEAR, so smoothing the final
+    counts equals summing smoothed batches, and the BATCH kde_heatmap
+    oracle applies verbatim. The 100-TB stream shape: per-cell partial
+    counts are the only state (bounded by occupied cells, not rows);
+    the 9-offset explode never touches the stream."""
+    import os
+    import shutil
+    import tempfile
+
+    from .ops import density
+
+    tmp = tempfile.mkdtemp(prefix="jpspark_skde_")
+    try:
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{tmp}/events.parquet")
+    except OSError:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(tmp)
+    )
+    cells = stream.select(
+        F.floor(
+            (123.0 + ((F.col("event_id") * 7) % 3968) / 128.0 - F.lit(123.0))
+            / F.lit(0.25)
+        ).alias("ix"),
+        F.floor(
+            (24.0 + (F.col("event_id") % 2816) / 128.0 - F.lit(24.0)) / F.lit(0.25)
+        ).alias("iy"),
+    )
+    agg = cells.groupBy("ix", "iy").agg(F.count("*").alias("cnt"))
+    qname = "jpspark_stream_kde"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(qname).start()
+    q.processAllAvailable()
+    q.stop()
+    return density.smooth_counts(spark.table(qname), radius=1).orderBy("cx", "cy")
+
+
+def o_stream_kde_heatmap() -> str:
+    # per-cell counts are additive across micro-batches and the stencil
+    # is linear -> the batch oracle is the streaming oracle
+    return o_kde_heatmap()
+
+
+def q_od_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination matrix (round 6): each track's first and last
+    point (by ts, event_id) land in 2-degree cells; trips aggregate per
+    (origin cell, destination cell) — the mobility-analytics rollup over
+    the reference's admin/mesh layers. ONE track-key aggregate does all
+    the endpoint work: min_by/max_by on the (ts, event_id) struct pick
+    the first/last point with map-side partial aggregation (no window,
+    no sort, no self-join — at 10^12 points the partial agg collapses
+    each track to one row before the exchange), then one cell-pair
+    aggregate. Exact floors on the binary-fraction lattice; every
+    output column integer."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct("ts", "event_id").alias("k"),
+        F.struct(
+            (123.0 + ((F.col("event_id") * 7) % 3968) / 128.0).alias("x"),
+            (24.0 + (F.col("event_id") % 2816) / 128.0).alias("y"),
+        ).alias("p"),
+    )
+    trips = ev.groupBy("user_id").agg(
+        F.min_by("p", "k").alias("o"),
+        F.max_by("p", "k").alias("d"),
+    )
+    return (
+        trips.groupBy(
+            F.floor((F.col("o.x") - 123.0) / 2.0).alias("o_ix"),
+            F.floor((F.col("o.y") - 24.0) / 2.0).alias("o_iy"),
+            F.floor((F.col("d.x") - 123.0) / 2.0).alias("d_ix"),
+            F.floor((F.col("d.y") - 24.0) / 2.0).alias("d_iy"),
+        )
+        .agg(F.count("*").alias("n_trips"))
+        .orderBy("o_ix", "o_iy", "d_ix", "d_iy")
+    )
+
+
+def o_od_matrix() -> str:
+    return """
+    WITH p AS (
+      SELECT event_id, user_id, ts,
+             123.0 + ((event_id * 7) % 3968) / 128.0 AS x,
+             24.0 + (event_id % 2816) / 128.0 AS y
+      FROM events
+    ), r AS (
+      SELECT user_id, x, y,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
+      FROM p
+    )
+    SELECT CAST(floor((o.x - 123.0) / 2.0) AS BIGINT) AS o_ix,
+           CAST(floor((o.y - 24.0) / 2.0) AS BIGINT) AS o_iy,
+           CAST(floor((d.x - 123.0) / 2.0) AS BIGINT) AS d_ix,
+           CAST(floor((d.y - 24.0) / 2.0) AS BIGINT) AS d_iy,
+           CAST(count(*) AS BIGINT) AS n_trips
+    FROM (SELECT user_id, x, y FROM r WHERE rn = 1) o
+    JOIN (SELECT user_id, x, y FROM r WHERE rd = 1) d USING (user_id)
+    GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+    """
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -5762,7 +5870,11 @@ QUERIES = {
     "simplify_dp": q_simplify,
     "cell_compact": q_cell_compact,
     # streaming
-    "stream_window_counts": q_stream_window_counts,
+    # round-6: streaming grid-density enters the window its landing
+    # round (demoted: stream_window_counts — r5-signed; the windowed
+    # streaming-count surface stays in-window via stream_kde_heatmap's
+    # stateful complete-mode agg + stream_geo_enrich)
+    "stream_kde_heatmap": q_stream_kde_heatmap,
     "stream_sessionize": q_stream_sessionize,
     "stream_geo_enrich": q_stream_geo_enrich,
     "stream_mvt_ingest": q_stream_mvt_ingest,
@@ -5821,7 +5933,10 @@ QUERIES = {
     # raster_histogram + length_quantile_filter demoted r5 (both
     # r4-signed; band_math and percentiles_approx hold their families
     # in-window)
-    "pivot_summary": q_pivot_summary,
+    # round-6: origin-destination matrix enters the window its landing
+    # round (demoted: pivot_summary — r5-signed; the reshape family
+    # stays full-gate-covered, note at its new slot)
+    "od_matrix": q_od_matrix,
     # round-6: inverted-index build enters the window its landing round
     # (demoted: json_extract — r5-signed; the semi-structured family
     # stays full-gate-covered, note at its new slot)
@@ -5927,7 +6042,11 @@ QUERIES = {
     # kde_heatmap; window_functions demoted r6 (r5-signed) for
     # stay_points; json_extract demoted r6 (r5-signed) for
     # inverted_index; image_validate demoted r6 (r5-signed) for
-    # image_augment
+    # image_augment; stream_window_counts demoted r6 (r5-signed) for
+    # stream_kde_heatmap; pivot_summary demoted r6 (r5-signed) for
+    # od_matrix
+    "stream_window_counts": q_stream_window_counts,
+    "pivot_summary": q_pivot_summary,
     "stratified_sample": q_stratified_sample,
     "window_functions": q_window_functions,
     "json_extract": q_json_extract,
@@ -6074,6 +6193,8 @@ def _build_oracles() -> dict[str, str]:
     "stay_points": o_stay_points(),
     "inverted_index": o_inverted_index(),
     "image_augment": o_image_augment(),
+    "stream_kde_heatmap": o_stream_kde_heatmap(),
+    "od_matrix": o_od_matrix(),
     "pii_scrub": o_pii_scrub(),
     "url_host_dedup": o_url_host_dedup(),
     "curation_pipeline": o_curation_pipeline(),

@@ -61,6 +61,7 @@ AUDIT = [
     "stay_points",         # expect: ONE hash exchange serves track_steps window + seg window + same-key agg
     "inverted_index",      # expect: distinct + token aggs two-phase; text pruned before any exchange
     "image_augment",       # expect: bytes stay inside the mapInPandas; only the final orderBy exchanges sums
+    "od_matrix",           # expect: one track exchange reused by both row_number windows; cell-pair agg two-phase
 ]
 
 
@@ -142,10 +143,14 @@ SINGLE_SHUFFLE_AUDITS = {
     # round 6: histogram agg + stencil re-agg; offsets broadcast; the
     # explode fans out aggregated cells only
     "kde_heatmap": 2,
-    # round 6: (token, doc) distinct + df count + the under-cap
-    # semi-join repartition feeding collect_list (the buffer-bounding
-    # pass); postings agg and the final join reuse token partitioning
-    "inverted_index": 3,
+    # round 6: the cached (token, doc) distinct + df count + the
+    # under-cap semi-join repartition + the collect_list agg (the
+    # buffer-bounding two-pass shape); the final join reuses token
+    # partitioning and the persisted pairs frame computes once
+    "inverted_index": 4,
+    # round 6: the track-key endpoint agg + the cell-pair agg, both
+    # two-phase (min_by/max_by partials collapse tracks map-side)
+    "od_matrix": 2,
 }
 
 NO_HEAVY_AUDITS = {
