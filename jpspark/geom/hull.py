@@ -1,0 +1,149 @@
+"""Convex hull — the ST_ConvexHull surface the reference's PostGIS
+consumers run over loaded layers (/root/reference/NOTES.md:96-133
+consumption pattern), as a distributed two-phase group operator.
+
+Phase 1 computes PARTIAL hulls per (group, salt) slice — a hull of a
+subset never loses a hull point of the whole, so partials are a lossless
+reduction (the classic hull-of-hulls identity) — and phase 2 merges each
+group's surviving candidates into the final hull. At 10^12 points the
+first exchange carries only per-slice hull vertices (O(salt * hull size)
+per group, not the group's rows), which is what makes a continental
+point table's per-municipality hull tractable.
+
+The kernel is Andrew's monotone chain (public algorithm) vectorized with
+numpy sorting inside Arrow batches; the oracle replays groups with
+gift wrapping — a DIFFERENT algorithm — so agreement checks the geometry,
+not the implementation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def convex_hull_xy(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Indices of the convex hull of (xs, ys) in counter-clockwise order,
+    starting from the lexicographically smallest (x, y) vertex. Collinear
+    boundary points are dropped (strict hull). Handles degenerate inputs:
+    a single point returns itself; collinear sets return the two extreme
+    endpoints."""
+    pts = np.column_stack([np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64)])
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    # dedupe exact coordinate twins (they can never both be vertices)
+    p = pts[order]
+    keep = np.ones(len(p), dtype=bool)
+    keep[1:] = (p[1:] != p[:-1]).any(axis=1)
+    order = order[keep]
+    p = p[keep]
+    n = len(p)
+    if n == 1:
+        return order[:1]
+    if n == 2:
+        return order
+
+    def half(idx_range):
+        st: list[int] = []
+        for i in idx_range:
+            while len(st) >= 2:
+                ax, ay = p[st[-2]]
+                bx, by = p[st[-1]]
+                if (bx - ax) * (p[i, 1] - ay) - (by - ay) * (p[i, 0] - ax) <= 0:
+                    st.pop()
+                else:
+                    break
+            st.append(i)
+        return st
+
+    lower = half(range(n))
+    upper = half(range(n - 1, -1, -1))
+    cycle = lower[:-1] + upper[:-1]
+    if len(cycle) < 3:  # all collinear: extremes only
+        return order[[0, n - 1]]
+    return order[np.array(cycle)]
+
+
+def _hull_rows(pdf: pd.DataFrame, key_col: str) -> pd.DataFrame:
+    key = pdf[key_col].iloc[0]
+    idx = convex_hull_xy(pdf["x"].to_numpy(), pdf["y"].to_numpy())
+    return pd.DataFrame(
+        {
+            key_col: key,
+            "x": pdf["x"].to_numpy()[idx],
+            "y": pdf["y"].to_numpy()[idx],
+        }
+    )
+
+
+def group_convex_hulls(
+    points: DataFrame,
+    key_col: str,
+    x_col: str = "x",
+    y_col: str = "y",
+    n_salt: int = 16,
+    area_scale: int = 32768,
+) -> DataFrame:
+    """Per-group convex hull summary: (key, n_vertices, area_q2,
+    perim_q) with ``area_q2`` = twice the hull area quantized to
+    ``area_scale`` units (the doubled shoelace sum of binary-fraction
+    lattice coords is exact at that scale — no float order can diverge)
+    and ``perim_q`` the perimeter quantized at 1/2^20 (the engine's step
+    convention).
+
+    Two applyInPandas phases: (key, salt) partial hulls — the salt
+    bounds any one kernel invocation to its slice, so a hot group (one
+    municipality holding 10% of the corpus) never gathers on a single
+    executor — then the final hull over each group's surviving
+    candidates (O(n_salt * hull size) rows). Degenerate groups (1-2
+    distinct points) report their actual vertex count with zero area.
+    """
+    pts = points.select(
+        F.col(key_col).alias("k"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    salted = pts.withColumn(
+        "s", F.crc32(F.concat_ws(",", F.col("x"), F.col("y"))) % n_salt
+    )
+    partial_schema = "k long, x double, y double"
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _hull_rows(pdf, "k")
+
+    partials = salted.groupBy("k", "s").applyInPandas(
+        lambda pdf: partial(pdf), partial_schema
+    )
+
+    final_schema = "k long, n_vertices int, area_q2 long, perim_q long"
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf["k"].iloc[0]
+        idx = convex_hull_xy(pdf["x"].to_numpy(), pdf["y"].to_numpy())
+        hx = pdf["x"].to_numpy()[idx]
+        hy = pdf["y"].to_numpy()[idx]
+        m = len(idx)
+        if m < 3:
+            area2 = 0.0
+        else:
+            area2 = float(
+                np.sum(hx * np.roll(hy, -1) - np.roll(hx, -1) * hy)
+            )
+        steps = np.sqrt(np.diff(np.append(hx, hx[0])) ** 2 + np.diff(np.append(hy, hy[0])) ** 2)
+        perim = float(np.sum(np.floor(steps * 1048576.0 + 0.5))) if m > 1 else 0.0
+        if m == 2:  # the degenerate two-point "hull" walks the segment twice
+            perim = float(np.floor(steps[0] * 1048576.0 + 0.5) * 2)
+        return pd.DataFrame(
+            {
+                "k": [key],
+                "n_vertices": [m],
+                "area_q2": [int(np.floor(abs(area2) * area_scale + 0.5))],
+                "perim_q": [int(perim)],
+            }
+        )
+
+    out = partials.groupBy("k").applyInPandas(lambda pdf: final(pdf), final_schema)
+    return out.select(
+        F.col("k").alias(key_col), "n_vertices", "area_q2", "perim_q"
+    )

@@ -5848,6 +5848,100 @@ def o_od_matrix() -> str:
     """
 
 
+def q_convex_hull_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed per-group convex hull (round 6): 20k deterministic
+    scatter points in 64 groups flow through geom/hull.group_convex_hulls
+    — salted partial hulls (hull-of-hulls is lossless, so a hot group
+    never gathers its raw points on one executor) then a final merge
+    over O(salt x hull-size) candidates. Outputs are cycle-invariant
+    integers: vertex count, doubled shoelace area quantized at 2^15
+    (exact — every term is a multiple of 1/16384 and the total fits 38
+    bits), per-edge-quantized perimeter (sqrt is correctly rounded per
+    IEEE, so both engines floor identical values). The oracle rebuilds
+    each hull with GIFT WRAPPING — a different algorithm — so agreement
+    checks the geometry, not the code."""
+    from .geom import hull as hull_mod
+
+    pts = spark.range(20000).select(
+        (F.col("id") % 64).alias("g"),
+        (((F.col("id") * 7919) % 4001) / 128.0).alias("x"),
+        (((F.col("id") * 104729) % 3001) / 128.0).alias("y"),
+    )
+    return (
+        hull_mod.group_convex_hulls(pts, "g", n_salt=8)
+        .orderBy("g")
+        .select("g", "n_vertices", "area_q2", "perim_q")
+    )
+
+
+def o_convex_hull_groups() -> str:
+    import numpy as np
+
+    def gift_wrap(px, py):
+        pts = np.column_stack([px, py])
+        # dedupe exact twins
+        pts = np.unique(pts, axis=0)
+        n = len(pts)
+        if n <= 2:
+            return pts
+        start = np.lexsort((pts[:, 1], pts[:, 0]))[0]
+        hull = [start]
+        cur = start
+        while True:
+            cand = 0 if cur != 0 else 1
+            for j in range(n):
+                if j == cur:
+                    continue
+                cross = (pts[cand, 0] - pts[cur, 0]) * (pts[j, 1] - pts[cur, 1]) - (
+                    pts[cand, 1] - pts[cur, 1]
+                ) * (pts[j, 0] - pts[cur, 0])
+                if cross > 0 or (
+                    cross == 0
+                    and np.hypot(pts[j, 0] - pts[cur, 0], pts[j, 1] - pts[cur, 1])
+                    > np.hypot(pts[cand, 0] - pts[cur, 0], pts[cand, 1] - pts[cur, 1])
+                ):
+                    cand = j
+            cur = cand
+            if cur == start:
+                break
+            hull.append(cur)
+        return pts[np.array(hull)]
+
+    ids = np.arange(20000, dtype=np.int64)
+    g = ids % 64
+    x = ((ids * 7919) % 4001) / 128.0
+    y = ((ids * 104729) % 3001) / 128.0
+    vals = []
+    for k in range(64):
+        m = g == k
+        h = gift_wrap(x[m], y[m])
+        nv = len(h)
+        if nv < 3:
+            area2 = 0.0
+        else:
+            hx, hy = h[:, 0], h[:, 1]
+            area2 = float(np.sum(hx * np.roll(hy, -1) - np.roll(hx, -1) * hy))
+        hx, hy = h[:, 0], h[:, 1]
+        steps = np.sqrt(
+            np.diff(np.append(hx, hx[0])) ** 2 + np.diff(np.append(hy, hy[0])) ** 2
+        )
+        if nv == 1:
+            perim = 0
+        elif nv == 2:
+            perim = int(np.floor(np.hypot(hx[1] - hx[0], hy[1] - hy[0]) * 1048576.0 + 0.5) * 2)
+        else:
+            perim = int(np.sum(np.floor(steps * 1048576.0 + 0.5)))
+        vals.append(
+            f"({k},{nv},{int(np.floor(abs(area2) * 32768 + 0.5))},{perim})"
+        )
+    return (
+        "SELECT CAST(g AS BIGINT) AS g, CAST(n_vertices AS INT) AS n_vertices,"
+        " CAST(area_q2 AS BIGINT) AS area_q2, CAST(perim_q AS BIGINT) AS perim_q"
+        f" FROM (VALUES {','.join(vals)}) AS t(g, n_vertices, area_q2, perim_q)"
+        " ORDER BY g"
+    )
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -5867,7 +5961,11 @@ QUERIES = {
     # geo_measures demoted r6 (r5-signed) for geo_haversine_nn; the
     # measures family keeps simplify_dp + geo_dissolve in-window and
     # gains its geodesic sibling
-    "simplify_dp": q_simplify,
+    # round-6: distributed per-group convex hull enters the window its
+    # landing round (demoted: simplify_dp — r5-signed; the geometry
+    # summary/generalization family stays in-window via geo_dissolve +
+    # overlay_intersection)
+    "convex_hull_groups": q_convex_hull_groups,
     "cell_compact": q_cell_compact,
     # streaming
     # round-6: streaming grid-density enters the window its landing
@@ -6044,7 +6142,9 @@ QUERIES = {
     # inverted_index; image_validate demoted r6 (r5-signed) for
     # image_augment; stream_window_counts demoted r6 (r5-signed) for
     # stream_kde_heatmap; pivot_summary demoted r6 (r5-signed) for
-    # od_matrix
+    # od_matrix; simplify_dp demoted r6 (r5-signed) for
+    # convex_hull_groups
+    "simplify_dp": q_simplify,
     "stream_window_counts": q_stream_window_counts,
     "pivot_summary": q_pivot_summary,
     "stratified_sample": q_stratified_sample,
@@ -6195,6 +6295,7 @@ def _build_oracles() -> dict[str, str]:
     "image_augment": o_image_augment(),
     "stream_kde_heatmap": o_stream_kde_heatmap(),
     "od_matrix": o_od_matrix(),
+    "convex_hull_groups": o_convex_hull_groups(),
     "pii_scrub": o_pii_scrub(),
     "url_host_dedup": o_url_host_dedup(),
     "curation_pipeline": o_curation_pipeline(),

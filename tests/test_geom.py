@@ -520,3 +520,50 @@ def test_track_steps_hand_golden(spark):
     # same-ts tie: event 3 orders after event 2, zero step
     assert out[3].step == 0.0 and out[3].dt_us == 0
     assert out[10].step is None  # other track's first point
+
+
+def test_convex_hull_xy_hand_goldens():
+    import numpy as np
+
+    from jpspark.geom.hull import convex_hull_xy
+
+    # square + interior + boundary-collinear points: strict hull = 4 corners
+    xs = np.array([0.0, 4.0, 4.0, 0.0, 2.0, 2.0, 0.0, 1.0])
+    ys = np.array([0.0, 0.0, 4.0, 4.0, 2.0, 0.0, 2.0, 1.0])
+    idx = convex_hull_xy(xs, ys)
+    assert sorted(zip(xs[idx], ys[idx])) == [(0.0, 0.0), (0.0, 4.0), (4.0, 0.0), (4.0, 4.0)]
+    # CCW orientation: doubled shoelace positive
+    hx, hy = xs[idx], ys[idx]
+    area2 = float(np.sum(hx * np.roll(hy, -1) - np.roll(hx, -1) * hy))
+    assert area2 == 32.0
+    # collinear set -> two extremes; duplicates collapse
+    idx2 = convex_hull_xy(np.array([1.0, 2.0, 3.0, 2.0]), np.array([1.0, 2.0, 3.0, 2.0]))
+    pts2 = sorted(zip(np.array([1.0, 2.0, 3.0, 2.0])[idx2], np.array([1.0, 1.0, 3.0, 2.0])[idx2]))
+    assert len(idx2) == 2
+    # single point
+    assert len(convex_hull_xy(np.array([5.0]), np.array([6.0]))) == 1
+
+
+def test_group_convex_hulls_salting_identity(spark):
+    """The salted two-phase hull equals the unsalted one — hull-of-hulls
+    is lossless — including on a hot group holding most points."""
+    import pandas as pd
+
+    from jpspark.geom.hull import group_convex_hulls
+
+    rows = []
+    # hot group 0: 500 points on a 25x20 lattice inside [0,6]x[0,5]
+    for i in range(500):
+        rows.append((0, (i % 25) * 0.25, (i // 25) * 0.25))
+    # group 1: a triangle with an interior point
+    rows += [(1, 0.0, 0.0), (1, 2.0, 0.0), (1, 0.0, 2.0), (1, 0.5, 0.5)]
+    pts = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "x", "y"]))
+    a = {r.g: (r.n_vertices, r.area_q2, r.perim_q)
+         for r in group_convex_hulls(pts, "g", n_salt=8).collect()}
+    b = {r.g: (r.n_vertices, r.area_q2, r.perim_q)
+         for r in group_convex_hulls(pts, "g", n_salt=1).collect()}
+    assert a == b
+    assert a[0][0] == 4  # lattice rectangle: 4 corners
+    assert a[0][1] == round(2 * 6.0 * 4.75 * 32768)  # 2 * w * h, exact
+    assert a[1][0] == 3
+    assert a[1][1] == round(2 * 2.0 * 32768)  # 2 * (2*2/2)
