@@ -5942,6 +5942,51 @@ def o_convex_hull_groups() -> str:
     )
 
 
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide frequent n-grams (round 6): exact top-20 bigrams by
+    count with a (count desc, bigram asc) total order — the
+    heavy-hitters pass a curation pipeline runs before boilerplate
+    stripping. Bigram explode stays in codegen (transform over a
+    guarded sequence — Spark's sequence(1,0) is DESCENDING, so sub-2-word
+    docs must short-circuit to an empty array, the engine-wide rule);
+    the count aggregate is two-phase with map-side partials, and the
+    global top-k reduces ONE fixed-width (bigram, count) row set — at
+    10^12 docs the exchange carries distinct bigrams, not occurrences,
+    and the final limit is a single-partition reduction of the already
+    tiny aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+def o_ngram_topk() -> str:
+    return r"""
+    WITH w AS (
+      SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+    ), b AS (
+      SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+      FROM w, unnest(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -5997,7 +6042,11 @@ QUERIES = {
     # stays in-window via stay_points' two window passes + track_stats)
     "stay_points": q_stay_points,
     # training-data pipeline: dedup + ANN
-    "chunk_dedup": q_chunk_dedup,
+    # round-6: corpus-wide frequent-bigram top-k enters the window its
+    # landing round (demoted: chunk_dedup — r5-signed; the chunk/corpus
+    # dedup family stays in-window via substring_dedup +
+    # dedup_cluster_keep + minhash_verified_pairs)
+    "ngram_topk": q_ngram_topk,
     # dedup_exact demoted r6 (r5-signed); the exact-dedup surface stays
     # in-window via dedup_cluster_keep + chunk_dedup
     "minhash_verified_pairs": q_minhash_verified_pairs,
@@ -6143,7 +6192,9 @@ QUERIES = {
     # image_augment; stream_window_counts demoted r6 (r5-signed) for
     # stream_kde_heatmap; pivot_summary demoted r6 (r5-signed) for
     # od_matrix; simplify_dp demoted r6 (r5-signed) for
-    # convex_hull_groups
+    # convex_hull_groups; chunk_dedup demoted r6 (r5-signed) for
+    # ngram_topk
+    "chunk_dedup": q_chunk_dedup,
     "simplify_dp": q_simplify,
     "stream_window_counts": q_stream_window_counts,
     "pivot_summary": q_pivot_summary,
@@ -6296,6 +6347,7 @@ def _build_oracles() -> dict[str, str]:
     "stream_kde_heatmap": o_stream_kde_heatmap(),
     "od_matrix": o_od_matrix(),
     "convex_hull_groups": o_convex_hull_groups(),
+    "ngram_topk": o_ngram_topk(),
     "pii_scrub": o_pii_scrub(),
     "url_host_dedup": o_url_host_dedup(),
     "curation_pipeline": o_curation_pipeline(),
