@@ -92,22 +92,28 @@ def group_convex_hulls(
     and ``perim_q`` the perimeter quantized at 1/2^20 (the engine's step
     convention).
 
-    Two applyInPandas phases: (key, salt) partial hulls — the salt
-    bounds any one kernel invocation to its slice, so a hot group (one
-    municipality holding 10% of the corpus) never gathers on a single
-    executor — then the final hull over each group's surviving
-    candidates (O(n_salt * hull size) rows). Degenerate groups (1-2
-    distinct points) report their actual vertex count with zero area.
+    Two applyInPandas phases: (key, salt) partial hulls — the salt is
+    the PHYSICAL PARTITION id folded to ``n_salt`` slices, so any one
+    kernel invocation is bounded by its input partitions' rows even when
+    a hot group is one repeated landmark coordinate (a value-derived
+    salt would send every duplicate to the same slice) — then the final
+    hull over each group's surviving candidates (O(n_salt * hull size)
+    rows). Degenerate groups (1-2 distinct points) report their actual
+    vertex count with zero area. Rows with NULL/NaN coordinates are
+    dropped up front (a single NaN poisons every cross-product
+    comparison).
     """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
     pts = points.select(
-        F.col(key_col).alias("k"),
-        F.col(x_col).cast("double").alias("x"),
-        F.col(y_col).cast("double").alias("y"),
+        F.col(key_col).alias("k"), x.alias("x"), y.alias("y")
+    ).filter(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+        & ~F.isnan("x") & ~F.isnan("y")
     )
-    salted = pts.withColumn(
-        "s", F.crc32(F.concat_ws(",", F.col("x"), F.col("y"))) % n_salt
-    )
-    partial_schema = "k long, x double, y double"
+    ktype = points.schema[key_col].dataType.simpleString()
+    salted = pts.withColumn("s", F.spark_partition_id() % n_salt)
+    partial_schema = f"k {ktype}, x double, y double"
 
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
         return _hull_rows(pdf, "k")
@@ -116,7 +122,7 @@ def group_convex_hulls(
         lambda pdf: partial(pdf), partial_schema
     )
 
-    final_schema = "k long, n_vertices int, area_q2 long, perim_q long"
+    final_schema = f"k {ktype}, n_vertices int, area_q2 long, perim_q long"
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf["k"].iloc[0]
@@ -130,10 +136,11 @@ def group_convex_hulls(
             area2 = float(
                 np.sum(hx * np.roll(hy, -1) - np.roll(hx, -1) * hy)
             )
+        # the closing edge is included for every m: at m == 2 the cycle
+        # walks the segment twice (two mirrored steps), at m == 1 the
+        # single zero-length edge contributes 0 — no special cases
         steps = np.sqrt(np.diff(np.append(hx, hx[0])) ** 2 + np.diff(np.append(hy, hy[0])) ** 2)
-        perim = float(np.sum(np.floor(steps * 1048576.0 + 0.5))) if m > 1 else 0.0
-        if m == 2:  # the degenerate two-point "hull" walks the segment twice
-            perim = float(np.floor(steps[0] * 1048576.0 + 0.5) * 2)
+        perim = float(np.sum(np.floor(steps * 1048576.0 + 0.5)))
         return pd.DataFrame(
             {
                 "k": [key],

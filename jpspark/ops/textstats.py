@@ -266,6 +266,7 @@ def inverted_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_postings: int = 10000,
+    persist_pairs: bool = False,
 ) -> DataFrame:
     """Inverted index build: token -> document frequency + the sorted
     posting list (the retrieval-side table a curation/search pipeline
@@ -294,11 +295,17 @@ def inverted_index(
         )
         .filter(F.col("token") != "")
         .distinct()
-        # consumed by three plan subtrees (df count, semi filter, posting
-        # build) — persist so the explode+distinct runs once (the
-        # minhash-signatures rule); ids-only rows, so the cache is small
-        .persist()
     )
+    if persist_pairs:
+        # three plan subtrees consume pairs (df count, semi filter,
+        # posting build); caching trades memory for one compute. The
+        # frame is CORPUS-SCALE (one row per distinct (token, doc) pair,
+        # token strings included) and the cache outlives the returned
+        # lazy frame, so this is opt-in: right for bounded corpora and
+        # interactive sessions, wrong as a default at 10^12 docs — there,
+        # either accept the re-scan (two-pass is the memory-bounding
+        # trade) or materialize pairs to a table explicitly.
+        pairs = pairs.persist()
     dfreq = pairs.groupBy("token").agg(F.count("*").alias("df"))
     small = pairs.join(
         dfreq.filter(F.col("df") <= max_postings).select("token"),

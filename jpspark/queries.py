@@ -342,23 +342,42 @@ def o_knn_flag_guard() -> str:
     """
 
 
-def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming: bounded micro-batch run of a tumbling-window
-    count over the events table (readStream -> window agg -> memory sink),
-    verified against a batch SQL oracle."""
+def _stage_events_stream(spark: SparkSession, sf_dir: str, prefix: str):
+    """The harness's micro-batch file source: symlink (or copy) the
+    events parquet into a fresh dir and open it as a schema-pinned
+    readStream. Shared by every single-source streaming query (the
+    multi-file / redelivery fixtures build their own batch layouts)."""
     import os
     import shutil
     import tempfile
 
-    tmp = tempfile.mkdtemp(prefix="jpspark_stream_")
+    tmp = tempfile.mkdtemp(prefix=prefix)
     try:
         os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{tmp}/events.parquet")
     except OSError:
         shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
+    return (
         spark.readStream.schema(schema).option("recursiveFileLookup", "true").parquet(tmp)
     )
+
+
+def _run_stream_to_memory(spark: SparkSession, df, qname: str, mode: str = "complete"):
+    """Run a bounded stream to a memory sink; stop() sits in a finally so
+    a failed processAllAvailable never leaves the query running."""
+    q = df.writeStream.outputMode(mode).format("memory").queryName(qname).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname)
+
+
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: bounded micro-batch run of a tumbling-window
+    count over the events table (readStream -> window agg -> memory sink),
+    verified against a batch SQL oracle."""
+    stream = _stage_events_stream(spark, sf_dir, "jpspark_stream_")
     # parquet carries TIMESTAMP_NTZ; watermarks need TIMESTAMP (identity
     # cast under the UTC session)
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -367,16 +386,7 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "7 days"), "event_type")
         .agg(F.count("*").alias("n"))
     )
-    qname = "jpspark_stream_counts"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(qname)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return spark.table(qname).select(
+    return _run_stream_to_memory(spark, agg, "jpspark_stream_counts").select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("week_start"),
         "event_type",
         "n",
@@ -391,21 +401,8 @@ def q_stream_geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermarked tumbling-window counts per polygon. At 10^12 rows this is
     the continuous-enrichment shape: geotag assignment keeps up with
     ingest because the stream side never exchanges."""
-    import os
-    import shutil
-    import tempfile
-
-    tmp = tempfile.mkdtemp(prefix="jpspark_sgeo_")
-    try:
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{tmp}/events.parquet")
-    except OSError:
-        shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("recursiveFileLookup", "true")
-        .parquet(tmp)
-        .withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = _stage_events_stream(spark, sf_dir, "jpspark_sgeo_").withColumn(
+        "ts", F.col("ts").cast("timestamp")
     )
     pts = stream.selectExpr("event_id", "ts", f"{_LON_EXPR} AS lon", f"{_LAT_EXPR} AS lat")
     assigned = spatial_join.pip_join_broadcast(
@@ -416,11 +413,7 @@ def q_stream_geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "7 days"), "poly_id")
         .agg(F.count("*").alias("n"))
     )
-    qname = "jpspark_stream_geo"
-    q = agg.writeStream.outputMode("complete").format("memory").queryName(qname).start()
-    q.processAllAvailable()
-    q.stop()
-    return spark.table(qname).select(
+    return _run_stream_to_memory(spark, agg, "jpspark_stream_geo").select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("week_start"),
         "poly_id",
         "n",
@@ -482,8 +475,10 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = st.sessionize(stream, gap_minutes=72 * 60, watermark_delay="1 minute")
     qname = "jpspark_stream_sessions"
     q = sess.writeStream.outputMode("append").format("memory").queryName(qname).start()
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return spark.table(qname).filter(F.col("user_id") >= 0)
 
 
@@ -539,8 +534,10 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream.dropDuplicates(["event_id"])
     qname = "jpspark_stream_dedup"
     q = deduped.writeStream.outputMode("append").format("memory").queryName(qname).start()
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return spark.table(qname)
 
 
@@ -3687,8 +3684,10 @@ def q_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc.append(pdf)
 
     q = stream.writeStream.foreachBatch(handle).start()
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     shutil.rmtree(tmp, ignore_errors=True)
     if len(acc) < 2:
         raise RuntimeError(f"expected multiple micro-batches, got {len(acc)}")
@@ -4718,8 +4717,10 @@ def q_stream_mvt_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     q = pts.writeStream.foreachBatch(handle).start()
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     shutil.rmtree(tmp, ignore_errors=True)
     merged = pd.concat(acc, ignore_index=True)
     n_batches = len(acc)
@@ -5657,7 +5658,10 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return (
-        ts.inverted_index(docs, max_postings=50)
+        # persist_pairs: the shared (token, doc) frame has three plan
+        # consumers; at gate scale (500 docs) the cache is tiny and the
+        # opt-in matches the repo's minhash-signatures precedent
+        ts.inverted_index(docs, max_postings=50, persist_pairs=True)
         .filter(F.col("df") >= 2)
         .orderBy("token")
     )
@@ -5749,23 +5753,9 @@ def q_stream_kde_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle applies verbatim. The 100-TB stream shape: per-cell partial
     counts are the only state (bounded by occupied cells, not rows);
     the 9-offset explode never touches the stream."""
-    import os
-    import shutil
-    import tempfile
-
     from .ops import density
 
-    tmp = tempfile.mkdtemp(prefix="jpspark_skde_")
-    try:
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), f"{tmp}/events.parquet")
-    except OSError:
-        shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("recursiveFileLookup", "true")
-        .parquet(tmp)
-    )
+    stream = _stage_events_stream(spark, sf_dir, "jpspark_skde_")
     cells = stream.select(
         F.floor(
             (123.0 + ((F.col("event_id") * 7) % 3968) / 128.0 - F.lit(123.0))
@@ -5776,11 +5766,8 @@ def q_stream_kde_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("iy"),
     )
     agg = cells.groupBy("ix", "iy").agg(F.count("*").alias("cnt"))
-    qname = "jpspark_stream_kde"
-    q = agg.writeStream.outputMode("complete").format("memory").queryName(qname).start()
-    q.processAllAvailable()
-    q.stop()
-    return density.smooth_counts(spark.table(qname), radius=1).orderBy("cx", "cy")
+    counts = _run_stream_to_memory(spark, agg, "jpspark_stream_kde")
+    return density.smooth_counts(counts, radius=1).orderBy("cx", "cy")
 
 
 def o_stream_kde_heatmap() -> str:
@@ -5922,15 +5909,13 @@ def o_convex_hull_groups() -> str:
             hx, hy = h[:, 0], h[:, 1]
             area2 = float(np.sum(hx * np.roll(hy, -1) - np.roll(hx, -1) * hy))
         hx, hy = h[:, 0], h[:, 1]
+        # unconditional closed-cycle sum, the same expression as the
+        # kernel (sqrt form, never hypot — rounding differs): m == 2
+        # walks the segment twice, m == 1 contributes one zero edge
         steps = np.sqrt(
             np.diff(np.append(hx, hx[0])) ** 2 + np.diff(np.append(hy, hy[0])) ** 2
         )
-        if nv == 1:
-            perim = 0
-        elif nv == 2:
-            perim = int(np.floor(np.hypot(hx[1] - hx[0], hy[1] - hy[0]) * 1048576.0 + 0.5) * 2)
-        else:
-            perim = int(np.sum(np.floor(steps * 1048576.0 + 0.5)))
+        perim = int(np.sum(np.floor(steps * 1048576.0 + 0.5)))
         vals.append(
             f"({k},{nv},{int(np.floor(abs(area2) * 32768 + 0.5))},{perim})"
         )

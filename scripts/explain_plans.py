@@ -61,7 +61,7 @@ AUDIT = [
     "stay_points",         # expect: ONE hash exchange serves track_steps window + seg window + same-key agg
     "inverted_index",      # expect: distinct + token aggs two-phase; text pruned before any exchange
     "image_augment",       # expect: bytes stay inside the mapInPandas; only the final orderBy exchanges sums
-    "od_matrix",           # expect: one track exchange reused by both row_number windows; cell-pair agg two-phase
+    "od_matrix",           # expect: min_by/max_by endpoint agg + cell-pair agg, both two-phase (no window, no sort)
 ]
 
 

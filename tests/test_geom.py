@@ -536,10 +536,11 @@ def test_convex_hull_xy_hand_goldens():
     hx, hy = xs[idx], ys[idx]
     area2 = float(np.sum(hx * np.roll(hy, -1) - np.roll(hx, -1) * hy))
     assert area2 == 32.0
-    # collinear set -> two extremes; duplicates collapse
-    idx2 = convex_hull_xy(np.array([1.0, 2.0, 3.0, 2.0]), np.array([1.0, 2.0, 3.0, 2.0]))
-    pts2 = sorted(zip(np.array([1.0, 2.0, 3.0, 2.0])[idx2], np.array([1.0, 1.0, 3.0, 2.0])[idx2]))
-    assert len(idx2) == 2
+    # collinear set -> the two extremes exactly; duplicates collapse
+    xs2 = np.array([1.0, 2.0, 3.0, 2.0])
+    ys2 = np.array([1.0, 2.0, 3.0, 2.0])
+    idx2 = convex_hull_xy(xs2, ys2)
+    assert sorted(zip(xs2[idx2], ys2[idx2])) == [(1.0, 1.0), (3.0, 3.0)]
     # single point
     assert len(convex_hull_xy(np.array([5.0]), np.array([6.0]))) == 1
 
