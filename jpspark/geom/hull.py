@@ -2,13 +2,15 @@
 consumers run over loaded layers (/root/reference/NOTES.md:96-133
 consumption pattern), as a distributed two-phase group operator.
 
-Phase 1 computes PARTIAL hulls per (group, salt) slice — a hull of a
-subset never loses a hull point of the whole, so partials are a lossless
-reduction (the classic hull-of-hulls identity) — and phase 2 merges each
-group's surviving candidates into the final hull. At 10^12 points the
-first exchange carries only per-slice hull vertices (O(salt * hull size)
-per group, not the group's rows), which is what makes a continental
-point table's per-municipality hull tractable.
+Phase 1 computes PARTIAL hulls per (group, Arrow batch) INSIDE each scan
+partition — a hull of a subset never loses a hull point of the whole, so
+partials are a lossless reduction (the classic hull-of-hulls identity) —
+and phase 2 merges each group's surviving candidates into the final
+hull. Raw points NEVER shuffle: the only exchange carries per-batch hull
+vertices (O(batches * hull size) per group, not the group's rows), and
+phase-1 memory is bounded by the Arrow batch size no matter how hot a
+group or how fat a partition — which is what makes a continental point
+table's per-municipality hull tractable at 10^12 rows.
 
 The kernel is Andrew's monotone chain (public algorithm) vectorized with
 numpy sorting inside Arrow batches; the oracle replays groups with
@@ -82,7 +84,6 @@ def group_convex_hulls(
     key_col: str,
     x_col: str = "x",
     y_col: str = "y",
-    n_salt: int = 16,
     area_scale: int = 32768,
 ) -> DataFrame:
     """Per-group convex hull summary: (key, n_vertices, area_q2,
@@ -92,15 +93,15 @@ def group_convex_hulls(
     and ``perim_q`` the perimeter quantized at 1/2^20 (the engine's step
     convention).
 
-    Two applyInPandas phases: (key, salt) partial hulls — the salt is
-    the PHYSICAL PARTITION id folded to ``n_salt`` slices, so any one
-    kernel invocation is bounded by its input partitions' rows even when
-    a hot group is one repeated landmark coordinate (a value-derived
-    salt would send every duplicate to the same slice) — then the final
-    hull over each group's surviving candidates (O(n_salt * hull size)
-    rows). Degenerate groups (1-2 distinct points) report their actual
-    vertex count with zero area. Rows with NULL/NaN coordinates are
-    dropped up front (a single NaN poisons every cross-product
+    Phase 1 is a ``mapInPandas`` over the scan partitions: each Arrow
+    batch reduces to per-key partial-hull vertices locally — the
+    map-side combine of hulls — so raw points never ride an exchange
+    and kernel memory is bounded by the batch size even when a hot
+    group is one repeated landmark coordinate. Phase 2 merges each
+    group's surviving candidates (O(batches * hull size) rows, the only
+    shuffle). Degenerate groups (1-2 distinct points) report their
+    actual vertex count with zero area. Rows with NULL/NaN coordinates
+    are dropped up front (a single NaN poisons every cross-product
     comparison).
     """
     x = F.col(x_col).cast("double")
@@ -112,15 +113,20 @@ def group_convex_hulls(
         & ~F.isnan("x") & ~F.isnan("y")
     )
     ktype = points.schema[key_col].dataType.simpleString()
-    salted = pts.withColumn("s", F.spark_partition_id() % n_salt)
     partial_schema = f"k {ktype}, x double, y double"
 
-    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _hull_rows(pdf, "k")
+    def partial(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield pd.concat(
+                    [
+                        _hull_rows(g, "k")
+                        for _, g in pdf.groupby("k", sort=False)
+                    ],
+                    ignore_index=True,
+                )
 
-    partials = salted.groupBy("k", "s").applyInPandas(
-        lambda pdf: partial(pdf), partial_schema
-    )
+    partials = pts.mapInPandas(partial, partial_schema)
 
     final_schema = f"k {ktype}, n_vertices int, area_q2 long, perim_q long"
 

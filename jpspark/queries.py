@@ -5838,9 +5838,10 @@ def o_od_matrix() -> str:
 def q_convex_hull_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed per-group convex hull (round 6): 20k deterministic
     scatter points in 64 groups flow through geom/hull.group_convex_hulls
-    — salted partial hulls (hull-of-hulls is lossless, so a hot group
-    never gathers its raw points on one executor) then a final merge
-    over O(salt x hull-size) candidates. Outputs are cycle-invariant
+    — per-Arrow-batch partial hulls inside each scan partition
+    (hull-of-hulls is lossless; raw points never shuffle and kernel
+    memory is batch-bounded) then a final merge over the surviving
+    candidates, the only exchange. Outputs are cycle-invariant
     integers: vertex count, doubled shoelace area quantized at 2^15
     (exact — every term is a multiple of 1/16384 and the total fits 38
     bits), per-edge-quantized perimeter (sqrt is correctly rounded per
@@ -5855,7 +5856,7 @@ def q_convex_hull_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((F.col("id") * 104729) % 3001) / 128.0).alias("y"),
     )
     return (
-        hull_mod.group_convex_hulls(pts, "g", n_salt=8)
+        hull_mod.group_convex_hulls(pts, "g")
         .orderBy("g")
         .select("g", "n_vertices", "area_q2", "perim_q")
     )

@@ -545,9 +545,10 @@ def test_convex_hull_xy_hand_goldens():
     assert len(convex_hull_xy(np.array([5.0]), np.array([6.0]))) == 1
 
 
-def test_group_convex_hulls_salting_identity(spark):
-    """The salted two-phase hull equals the unsalted one — hull-of-hulls
-    is lossless — including on a hot group holding most points."""
+def test_group_convex_hulls_partitioning_identity(spark):
+    """The per-partition partial-hull reduction is partitioning-invariant
+    — hull-of-hulls is lossless for ANY slicing of a group's rows —
+    including on a hot group holding most points."""
     import pandas as pd
 
     from jpspark.geom.hull import group_convex_hulls
@@ -560,9 +561,9 @@ def test_group_convex_hulls_salting_identity(spark):
     rows += [(1, 0.0, 0.0), (1, 2.0, 0.0), (1, 0.0, 2.0), (1, 0.5, 0.5)]
     pts = spark.createDataFrame(pd.DataFrame(rows, columns=["g", "x", "y"]))
     a = {r.g: (r.n_vertices, r.area_q2, r.perim_q)
-         for r in group_convex_hulls(pts, "g", n_salt=8).collect()}
+         for r in group_convex_hulls(pts.repartition(16), "g").collect()}
     b = {r.g: (r.n_vertices, r.area_q2, r.perim_q)
-         for r in group_convex_hulls(pts, "g", n_salt=1).collect()}
+         for r in group_convex_hulls(pts.coalesce(1), "g").collect()}
     assert a == b
     assert a[0][0] == 4  # lattice rectangle: 4 corners
     assert a[0][1] == round(2 * 6.0 * 4.75 * 32768)  # 2 * w * h, exact
