@@ -62,6 +62,8 @@ AUDIT = [
     "inverted_index",      # expect: distinct + token aggs two-phase; text pruned before any exchange
     "image_augment",       # expect: bytes stay inside the mapInPandas; only the final orderBy exchanges sums
     "od_matrix",           # expect: min_by/max_by endpoint agg + cell-pair agg, both two-phase (no window, no sort)
+    "ngram_topk",          # expect: codegen bigram explode -> ONE two-phase count exchange -> TakeOrdered (no range exchange)
+    "convex_hull_groups",  # expect: mapInPandas partials (zero point shuffle) -> ONE candidate exchange for the final merge
 ]
 
 
@@ -151,6 +153,12 @@ SINGLE_SHUFFLE_AUDITS = {
     # round 6: the track-key endpoint agg + the cell-pair agg, both
     # two-phase (min_by/max_by partials collapse tracks map-side)
     "od_matrix": 2,
+    # round 6: one two-phase count exchange; the global top-20 is
+    # TakeOrderedAndProject, not a range exchange
+    "ngram_topk": 1,
+    # round 6: raw points never shuffle (mapInPandas partials); the only
+    # exchange carries per-batch hull candidates to the final merge
+    "convex_hull_groups": 1,
 }
 
 NO_HEAVY_AUDITS = {
