@@ -5973,6 +5973,82 @@ def o_ngram_topk() -> str:
     """
 
 
+def q_hausdorff_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory similarity (round 6): symmetric Hausdorff distance
+    between every pair of the first 10 GPS tracks (the shape-similarity
+    measure PostGIS exposes as ST_HausdorffDistance over the reference's
+    layers). Pure Column algebra: the candidate point-pair join, the
+    per-source-point min, the per-pair directed max, and the symmetric
+    greatest all stay in codegen — distances quantized at 1/2^20 BEFORE
+    the min/max lattice, so every comparison is on integers and engines
+    cannot diverge. The two directed passes share one join.
+
+    Scale shape: pairwise track comparison is quadratic in points by
+    definition — this query bounds it to a 10-track panel (the realistic
+    ask: compare a probe track against a candidate shortlist from an
+    upstream cell-bucket/kNN stage, ops/knn.py, never all-pairs over the
+    corpus); the joins/aggs are all keyed exchanges of fixed-width
+    ints."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10).select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("pid"),
+        (123.0 + ((F.col("event_id") * 7) % 3968) / 128.0).alias("x"),
+        (24.0 + (F.col("event_id") % 2816) / 128.0).alias("y"),
+    )
+    a = ev.select(F.col("u").alias("ua"), F.col("pid").alias("pa"),
+                  F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = ev.select(F.col("u").alias("ub"), F.col("pid").alias("pb"),
+                  F.col("x").alias("xb"), F.col("y").alias("yb"))
+    j = a.join(b, F.col("ua") < F.col("ub"))
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    dq = F.floor(F.sqrt(dx * dx + dy * dy) * F.lit(1048576.0) + F.lit(0.5)).cast("long")
+    pairs = j.select("ua", "ub", "pa", "pb", dq.alias("dq"))
+    d_ab = (
+        pairs.groupBy("ua", "ub", "pa").agg(F.min("dq").alias("nn"))
+        .groupBy("ua", "ub").agg(F.max("nn").alias("d_ab"))
+    )
+    d_ba = (
+        pairs.groupBy("ua", "ub", "pb").agg(F.min("dq").alias("nn"))
+        .groupBy("ua", "ub").agg(F.max("nn").alias("d_ba"))
+    )
+    return (
+        d_ab.join(d_ba, ["ua", "ub"])
+        .select(
+            "ua", "ub",
+            F.greatest(F.col("d_ab"), F.col("d_ba")).alias("hausdorff_q"),
+        )
+        .orderBy("ua", "ub")
+    )
+
+
+def o_hausdorff_tracks() -> str:
+    return """
+    WITH p AS (
+      SELECT user_id AS u, event_id AS pid,
+             123.0 + ((event_id * 7) % 3968) / 128.0 AS x,
+             24.0 + (event_id % 2816) / 128.0 AS y
+      FROM events WHERE user_id < 10
+    ), j AS (
+      SELECT a.u AS ua, b.u AS ub, a.pid AS pa, b.pid AS pb,
+             CAST(floor(sqrt((a.x - b.x) * (a.x - b.x)
+                           + (a.y - b.y) * (a.y - b.y)) * 1048576.0 + 0.5)
+                  AS BIGINT) AS dq
+      FROM p a JOIN p b ON a.u < b.u
+    ), ab AS (
+      SELECT ua, ub, max(nn) AS d_ab FROM
+        (SELECT ua, ub, pa, min(dq) AS nn FROM j GROUP BY 1, 2, 3)
+      GROUP BY 1, 2
+    ), ba AS (
+      SELECT ua, ub, max(nn) AS d_ba FROM
+        (SELECT ua, ub, pb, min(dq) AS nn FROM j GROUP BY 1, 2, 3)
+      GROUP BY 1, 2
+    )
+    SELECT ab.ua, ab.ub, greatest(d_ab, d_ba) AS hausdorff_q
+    FROM ab JOIN ba USING (ua, ub) ORDER BY ua, ub
+    """
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -6012,7 +6088,11 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "geo_image_pipeline": q_geo_image_pipeline,
     "asof_join": q_asof_join,
-    "approx_distinct": q_approx_distinct,
+    # round-6: pairwise trajectory Hausdorff distance enters the window
+    # its landing round (demoted: approx_distinct — r5-signed; the
+    # approx-sketch family stays full-gate-covered next to
+    # percentiles_approx, note at its new slot)
+    "hausdorff_tracks": q_hausdorff_tracks,
     # round-6: smoothed grid-density heatmap enters the window its
     # landing round (demoted: stratified_sample — r5-signed; sampling
     # stays full-gate-covered, note at its new slot)
@@ -6179,7 +6259,9 @@ QUERIES = {
     # stream_kde_heatmap; pivot_summary demoted r6 (r5-signed) for
     # od_matrix; simplify_dp demoted r6 (r5-signed) for
     # convex_hull_groups; chunk_dedup demoted r6 (r5-signed) for
-    # ngram_topk
+    # ngram_topk; approx_distinct demoted r6 (r5-signed) for
+    # hausdorff_tracks
+    "approx_distinct": q_approx_distinct,
     "chunk_dedup": q_chunk_dedup,
     "simplify_dp": q_simplify,
     "stream_window_counts": q_stream_window_counts,
@@ -6334,6 +6416,7 @@ def _build_oracles() -> dict[str, str]:
     "od_matrix": o_od_matrix(),
     "convex_hull_groups": o_convex_hull_groups(),
     "ngram_topk": o_ngram_topk(),
+    "hausdorff_tracks": o_hausdorff_tracks(),
     "pii_scrub": o_pii_scrub(),
     "url_host_dedup": o_url_host_dedup(),
     "curation_pipeline": o_curation_pipeline(),
