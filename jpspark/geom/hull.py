@@ -2,15 +2,16 @@
 consumers run over loaded layers (/root/reference/NOTES.md:96-133
 consumption pattern), as a distributed two-phase group operator.
 
-Phase 1 computes PARTIAL hulls per (group, Arrow batch) INSIDE each scan
-partition — a hull of a subset never loses a hull point of the whole, so
-partials are a lossless reduction (the classic hull-of-hulls identity) —
-and phase 2 merges each group's surviving candidates into the final
-hull. Raw points NEVER shuffle: the only exchange carries per-batch hull
-vertices (O(batches * hull size) per group, not the group's rows), and
-phase-1 memory is bounded by the Arrow batch size no matter how hot a
-group or how fat a partition — which is what makes a continental point
-table's per-municipality hull tractable at 10^12 rows.
+Phase 1 folds each Arrow batch into a per-key RUNNING hull INSIDE each
+scan partition — a hull of a subset never loses a hull point of the
+whole, so partials are a lossless, associative reduction (the classic
+hull-of-hulls identity) — and phase 2 merges each group's surviving
+candidates into the final hull. Raw points NEVER shuffle: the only
+exchange carries per-partition hull vertices (O(partitions * hull size)
+per group, not the group's rows), and phase-1 memory is one Arrow batch
+plus hull-sized per-key state no matter how hot a group or how fat a
+partition — which is what makes a continental point table's
+per-municipality hull tractable at 10^12 rows.
 
 The kernel is Andrew's monotone chain (public algorithm) vectorized with
 numpy sorting inside Arrow batches; the oracle replays groups with
@@ -67,18 +68,6 @@ def convex_hull_xy(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     return order[np.array(cycle)]
 
 
-def _hull_rows(pdf: pd.DataFrame, key_col: str) -> pd.DataFrame:
-    key = pdf[key_col].iloc[0]
-    idx = convex_hull_xy(pdf["x"].to_numpy(), pdf["y"].to_numpy())
-    return pd.DataFrame(
-        {
-            key_col: key,
-            "x": pdf["x"].to_numpy()[idx],
-            "y": pdf["y"].to_numpy()[idx],
-        }
-    )
-
-
 def group_convex_hulls(
     points: DataFrame,
     key_col: str,
@@ -94,37 +83,46 @@ def group_convex_hulls(
     convention).
 
     Phase 1 is a ``mapInPandas`` over the scan partitions: each Arrow
-    batch reduces to per-key partial-hull vertices locally — the
-    map-side combine of hulls — so raw points never ride an exchange
-    and kernel memory is bounded by the batch size even when a hot
-    group is one repeated landmark coordinate. Phase 2 merges each
-    group's surviving candidates (O(batches * hull size) rows, the only
-    shuffle). Degenerate groups (1-2 distinct points) report their
-    actual vertex count with zero area. Rows with NULL/NaN coordinates
-    are dropped up front (a single NaN poisons every cross-product
-    comparison).
+    batch folds into a per-key RUNNING hull — the map-side combine of
+    hulls — so raw points never ride an exchange and kernel memory is
+    one batch plus hull-sized per-key state even when a hot group is
+    one repeated landmark coordinate. The phase-2 merge therefore
+    receives O(partitions * hull size) rows per group —
+    bounded by the cluster's partition count, not the batch count — and
+    that merge is the only shuffle. Degenerate groups (1-2 distinct
+    points) report their actual vertex count with zero area. Rows with
+    NULL keys or NULL/NaN coordinates are dropped up front (a NaN
+    poisons every cross-product comparison; NULL keys have no hull).
     """
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
     pts = points.select(
         F.col(key_col).alias("k"), x.alias("x"), y.alias("y")
     ).filter(
-        F.col("x").isNotNull() & F.col("y").isNotNull()
+        F.col("k").isNotNull()
+        & F.col("x").isNotNull() & F.col("y").isNotNull()
         & ~F.isnan("x") & ~F.isnan("y")
     )
     ktype = points.schema[key_col].dataType.simpleString()
     partial_schema = f"k {ktype}, x double, y double"
 
     def partial(batches):
+        # per-key running hull candidates for THIS partition: each batch
+        # folds into the accumulated hull (hull-of-hulls is associative),
+        # so memory per key stays hull-sized and the partition emits one
+        # candidate set per key regardless of how many batches it spans
+        acc: dict = {}
         for pdf in batches:
-            if len(pdf):
-                yield pd.concat(
-                    [
-                        _hull_rows(g, "k")
-                        for _, g in pdf.groupby("k", sort=False)
-                    ],
-                    ignore_index=True,
-                )
+            for key, g in pdf.groupby("k", sort=False):
+                xs, ys = g["x"].to_numpy(), g["y"].to_numpy()
+                if key in acc:
+                    px, py = acc[key]
+                    xs = np.concatenate([px, xs])
+                    ys = np.concatenate([py, ys])
+                idx = convex_hull_xy(xs, ys)
+                acc[key] = (xs[idx], ys[idx])
+        for key, (hx, hy) in acc.items():
+            yield pd.DataFrame({"k": key, "x": hx, "y": hy})
 
     partials = pts.mapInPandas(partial, partial_schema)
 

@@ -6003,7 +6003,9 @@ def q_hausdorff_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     dx = F.col("xa") - F.col("xb")
     dy = F.col("ya") - F.col("yb")
     dq = F.floor(F.sqrt(dx * dx + dy * dy) * F.lit(1048576.0) + F.lit(0.5)).cast("long")
-    pairs = j.select("ua", "ub", "pa", "pb", dq.alias("dq"))
+    # two aggregation subtrees (keyed on pa vs pb) consume the quadratic
+    # join — persist so the point-pair distances compute once
+    pairs = j.select("ua", "ub", "pa", "pb", dq.alias("dq")).persist()
     d_ab = (
         pairs.groupBy("ua", "ub", "pa").agg(F.min("dq").alias("nn"))
         .groupBy("ua", "ub").agg(F.max("nn").alias("d_ab"))

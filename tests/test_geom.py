@@ -569,3 +569,30 @@ def test_group_convex_hulls_partitioning_identity(spark):
     assert a[0][1] == round(2 * 6.0 * 4.75 * 32768)  # 2 * w * h, exact
     assert a[1][0] == 3
     assert a[1][1] == round(2 * 2.0 * 32768)  # 2 * (2*2/2)
+
+
+def test_group_convex_hulls_null_rows_and_batch_accumulation(spark):
+    """NULL keys and NULL/NaN coordinates are dropped by contract, and
+    the per-partition running hull accumulates across Arrow batches
+    (forced tiny batches) without changing the result."""
+    import pandas as pd
+
+    from jpspark.geom.hull import group_convex_hulls
+
+    rows = [(0, (i % 25) * 0.25, (i // 25) * 0.25) for i in range(500)]
+    rows += [(None, 1.0, 1.0), (0, None, 2.0), (0, 3.0, float("nan"))]
+    pts = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["g", "x", "y"]).astype({"x": float, "y": float})
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        out = {r.g: (r.n_vertices, r.area_q2)
+               for r in group_convex_hulls(pts.coalesce(1), "g").collect()}
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # the NULL-key row and bad-coordinate rows vanish; group 0's hull is
+    # the 6 x 4.75 lattice rectangle regardless of batch slicing
+    assert set(out) == {0}
+    assert out[0] == (4, round(2 * 6.0 * 4.75 * 32768))
