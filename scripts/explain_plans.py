@@ -64,6 +64,7 @@ AUDIT = [
     "od_matrix",           # expect: min_by/max_by endpoint agg + cell-pair agg, both two-phase (no window, no sort)
     "ngram_topk",          # expect: codegen bigram explode -> ONE two-phase count exchange -> TakeOrdered (no range exchange)
     "convex_hull_groups",  # expect: mapInPandas partials (zero point shuffle) -> ONE candidate exchange for the final merge
+    "hausdorff_tracks",    # expect: broadcast pair join over the cached pairs; 2 directed aggs + symmetric join = 4 keyed exchanges
 ]
 
 
@@ -157,8 +158,13 @@ SINGLE_SHUFFLE_AUDITS = {
     # TakeOrderedAndProject, not a range exchange
     "ngram_topk": 1,
     # round 6: raw points never shuffle (mapInPandas partials); the only
-    # exchange carries per-batch hull candidates to the final merge
+    # exchange carries per-partition hull candidates to the final merge
     "convex_hull_groups": 1,
+    # round 6: the point-pair join is a BROADCAST nested loop over the
+    # cached pairs (no hash exchange of points); the two directed
+    # min/max aggs + the symmetric-result join are 4 keyed exchanges of
+    # fixed-width ints
+    "hausdorff_tracks": 4,
 }
 
 NO_HEAVY_AUDITS = {
