@@ -6051,6 +6051,96 @@ def o_hausdorff_tracks() -> str:
     """
 
 
+def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN hotspot clustering (round 6): the density-based
+    spatial clustering a consumer runs over the reference's point layers
+    (hotspot detection on facility/event coordinates), in the
+    grid-approximation form that scales — every stage composes kernels
+    this engine already proves. Cells with >= min_pts points are CORE;
+    core cells touching in the 8-neighborhood merge into clusters via
+    the distributed connected-components kernel (labels-only exchanges,
+    pointer jumping, bounded lineage). Cluster id = min cell node id.
+
+    The 100-TB shape: the only pass over the 10^12-point fact is the
+    map-side-combined cell histogram; everything after runs on the core
+    CELL set (bounded by the grid, not the data) — the 8-offset explode,
+    the ids-only adjacency join, and CC's fixed-width exchanges.
+    Output: one row per cluster (id, n_cells, n_points), all integers.
+    """
+    from .ops import dedup
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.floor(((F.col("event_id") * 7) % 3968) / F.lit(128.0) / F.lit(0.25)).alias("ix"),
+        F.floor((F.col("event_id") % 2816) / F.lit(128.0) / F.lit(0.25)).alias("iy"),
+    )
+    core = (
+        ev.groupBy("ix", "iy")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 8)
+        .select((F.col("ix") * 1048576 + F.col("iy")).alias("node"), "cnt")
+    )
+    k = spark.range(9).select(
+        (F.col("id") % 3 - 1).alias("dx"), (F.col("id") / 3).cast("long").alias("dyr")
+    ).select("dx", (F.col("dyr") - 1).alias("dy")).filter(
+        ~((F.col("dx") == 0) & (F.col("dy") == 0))
+    )
+    nbr = core.crossJoin(F.broadcast(k)).select(
+        F.col("node").alias("id_a"),
+        (F.col("node") + F.col("dx") * 1048576 + F.col("dy")).alias("id_b"),
+    )
+    edges = nbr.join(
+        core.select(F.col("node").alias("id_b")), "id_b", "left_semi"
+    ).filter(F.col("id_a") < F.col("id_b"))
+    labels = dedup.connected_components(edges, "id_a", "id_b")
+    lab = core.join(labels, core["node"] == labels["node"], "left").select(
+        core["node"].alias("n"),
+        "cnt",
+        F.coalesce(F.col("component"), core["node"]).alias("cluster_id"),
+    )
+    return (
+        lab.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("cnt").alias("n_points"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def o_grid_dbscan() -> str:
+    return """
+    WITH RECURSIVE p AS (
+      SELECT CAST(floor(((event_id * 7) % 3968) / 128.0 / 0.25) AS BIGINT) AS ix,
+             CAST(floor((event_id % 2816) / 128.0 / 0.25) AS BIGINT) AS iy
+      FROM events
+    ), core AS (
+      SELECT ix * 1048576 + iy AS node, count(*) AS cnt
+      FROM p GROUP BY ix, iy HAVING count(*) >= 8
+    ), offs AS (
+      SELECT dx.g AS dx, dy.g AS dy
+      FROM generate_series(-1, 1) dx(g), generate_series(-1, 1) dy(g)
+      WHERE NOT (dx.g = 0 AND dy.g = 0)
+    ), ed AS (
+      SELECT c.node AS id_a, c.node + o.dx * 1048576 + o.dy AS id_b
+      FROM core c CROSS JOIN offs o
+      WHERE EXISTS (SELECT 1 FROM core b WHERE b.node = c.node + o.dx * 1048576 + o.dy)
+    ), e AS (
+      SELECT id_a AS s, id_b AS d FROM ed
+    ), r AS (
+      SELECT node, node AS lab FROM core
+      UNION
+      SELECT e.d AS node, r.lab FROM r JOIN e ON e.s = r.node
+    ), comp AS (
+      SELECT node, min(lab) AS cluster_id FROM r GROUP BY node
+    )
+    SELECT comp.cluster_id,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(core.cnt) AS BIGINT) AS n_points
+    FROM core JOIN comp USING (node)
+    GROUP BY comp.cluster_id ORDER BY comp.cluster_id
+    """
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -6119,7 +6209,11 @@ QUERIES = {
     # in-window via dedup_cluster_keep + chunk_dedup
     "minhash_verified_pairs": q_minhash_verified_pairs,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
-    "phash_neardup": q_phash_neardup,
+    # round-6: grid-DBSCAN hotspot clustering enters the window its
+    # landing round (demoted: phash_neardup — r5-signed; the image
+    # near-dup surface stays in-window via multimodal_curation, whose
+    # pipeline runs the same phash pair kernel)
+    "grid_dbscan": q_grid_dbscan,
     # ann_ivf_recall demoted r5 (r4-signed; ann_pq_recall exercises the
     # same IVF machinery + PQ codes in-window)
     # resample_ffill demoted r6 (r5-signed); the reshape/time-series
@@ -6262,7 +6356,9 @@ QUERIES = {
     # od_matrix; simplify_dp demoted r6 (r5-signed) for
     # convex_hull_groups; chunk_dedup demoted r6 (r5-signed) for
     # ngram_topk; approx_distinct demoted r6 (r5-signed) for
-    # hausdorff_tracks
+    # hausdorff_tracks; phash_neardup demoted r6 (r5-signed) for
+    # grid_dbscan
+    "phash_neardup": q_phash_neardup,
     "approx_distinct": q_approx_distinct,
     "chunk_dedup": q_chunk_dedup,
     "simplify_dp": q_simplify,
@@ -6419,6 +6515,7 @@ def _build_oracles() -> dict[str, str]:
     "convex_hull_groups": o_convex_hull_groups(),
     "ngram_topk": o_ngram_topk(),
     "hausdorff_tracks": o_hausdorff_tracks(),
+    "grid_dbscan": o_grid_dbscan(),
     "pii_scrub": o_pii_scrub(),
     "url_host_dedup": o_url_host_dedup(),
     "curation_pipeline": o_curation_pipeline(),
