@@ -6141,6 +6141,76 @@ def o_grid_dbscan() -> str:
     """
 
 
+def q_geo_image_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal image statistics (round 6): the graft's two axes in one
+    rollup — 150 geotagged payload-table rows decode on the executors
+    (ops/multimodal.channel_sums: exact int64 per-channel sums, ~40 B
+    crossing the exchange per image) and aggregate per floor-grid region
+    of their GPS position. At 10^12 images this is "mean image color by
+    municipality": the payload table flows through one Arrow kernel, the
+    geotag join is on the compact image id, and the final exchange
+    carries one row per region. Oracle: per-image VALUES baked straight
+    from the deterministic pixel pattern + the same floor arithmetic —
+    for lossless formats that path never touches our codecs, so it
+    independently checks encode -> executor decode -> zonal rollup."""
+    from . import fixtures as fx
+    from .ops import multimodal as mm
+
+    pdf = fx.images(150)
+    sums = mm.channel_sums(spark.createDataFrame(pdf[["image_id", "bytes", "fmt"]]))
+    geo = spark.createDataFrame(pdf[["image_id", "lon", "lat"]]).select(
+        "image_id",
+        (
+            F.floor((F.col("lon") - F.lit(122.0)) / F.lit(4.0))
+            + 8 * F.floor((F.col("lat") - F.lit(20.0)) / F.lit(3.25))
+        ).cast("long").alias("poly_id"),
+    )
+    return (
+        sums.join(geo, "image_id")
+        .groupBy("poly_id")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("n_px").alias("sum_px"),
+            F.sum("r_sum").alias("r_sum"),
+            F.sum("g_sum").alias("g_sum"),
+            F.sum("b_sum").alias("b_sum"),
+        )
+        .orderBy("poly_id")
+    )
+
+
+def o_geo_image_zonal() -> str:
+    import math
+
+    import numpy as np
+
+    from . import fixtures as fx
+    from .codec import image as img
+
+    pdf = fx.images(150)
+    vals = []
+    for row in pdf.itertuples(index=False):
+        i = int(row.image_id[3:])
+        px = fx.pixel_pattern(i, int(row.w), int(row.h))
+        if row.fmt == "qlossy":
+            px = img.decode(img.encode(px, "qlossy"), "qlossy")
+        s = px.astype(np.int64).reshape(-1, 3).sum(axis=0)
+        poly = int(
+            math.floor((float(row.lon) - 122.0) / 4.0)
+            + 8 * math.floor((float(row.lat) - 20.0) / 3.25)
+        )
+        vals.append(
+            f"({poly},{int(row.w) * int(row.h)},{int(s[0])},{int(s[1])},{int(s[2])})"
+        )
+    return (
+        "SELECT poly_id, CAST(count(*) AS BIGINT) AS n_images,"
+        " CAST(sum(px) AS BIGINT) AS sum_px, CAST(sum(r) AS BIGINT) AS r_sum,"
+        " CAST(sum(g) AS BIGINT) AS g_sum, CAST(sum(b) AS BIGINT) AS b_sum"
+        f" FROM (VALUES {','.join(vals)}) AS t(poly_id, px, r, g, b)"
+        " GROUP BY poly_id ORDER BY poly_id"
+    )
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -6165,7 +6235,11 @@ QUERIES = {
     # summary/generalization family stays in-window via geo_dissolve +
     # overlay_intersection)
     "convex_hull_groups": q_convex_hull_groups,
-    "cell_compact": q_cell_compact,
+    # round-6: zonal image statistics (payload x geo in one rollup)
+    # enters the window its landing round (demoted: cell_compact —
+    # r5-signed; the cell surface stays in-window via every geo query's
+    # encode path + jis_mesh_rollup)
+    "geo_image_zonal": q_geo_image_zonal,
     # streaming
     # round-6: streaming grid-density enters the window its landing
     # round (demoted: stream_window_counts — r5-signed; the windowed
@@ -6357,7 +6431,9 @@ QUERIES = {
     # convex_hull_groups; chunk_dedup demoted r6 (r5-signed) for
     # ngram_topk; approx_distinct demoted r6 (r5-signed) for
     # hausdorff_tracks; phash_neardup demoted r6 (r5-signed) for
-    # grid_dbscan
+    # grid_dbscan; cell_compact demoted r6 (r5-signed) for
+    # geo_image_zonal
+    "cell_compact": q_cell_compact,
     "phash_neardup": q_phash_neardup,
     "approx_distinct": q_approx_distinct,
     "chunk_dedup": q_chunk_dedup,
@@ -6516,6 +6592,7 @@ def _build_oracles() -> dict[str, str]:
     "ngram_topk": o_ngram_topk(),
     "hausdorff_tracks": o_hausdorff_tracks(),
     "grid_dbscan": o_grid_dbscan(),
+    "geo_image_zonal": o_geo_image_zonal(),
     "pii_scrub": o_pii_scrub(),
     "url_host_dedup": o_url_host_dedup(),
     "curation_pipeline": o_curation_pipeline(),
