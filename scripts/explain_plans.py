@@ -65,6 +65,8 @@ AUDIT = [
     "ngram_topk",          # expect: codegen bigram explode -> ONE two-phase count exchange -> TakeOrdered (no range exchange)
     "convex_hull_groups",  # expect: mapInPandas partials (zero point shuffle) -> ONE candidate exchange for the final merge
     "hausdorff_tracks",    # expect: broadcast pair join over the cached pairs; 2 directed aggs + symmetric join = 4 keyed exchanges
+    "geo_image_zonal",     # expect: bytes stay inside the channel_sums kernel; joins/aggs exchange sums + ids only
+    "grid_dbscan",         # iterative CC over core cells: labels-only exchanges (plan dump; see COVERAGE.md)
 ]
 
 
@@ -189,6 +191,8 @@ NO_HEAVY_AUDITS = {
     "image_augment": ("bytes",),
     # round 6: raw text pruned before the (token, doc) distinct exchange
     "inverted_index": ("text",),
+    # round 6: image bytes never leave the channel_sums kernel
+    "geo_image_zonal": ("bytes",),
 }
 
 
