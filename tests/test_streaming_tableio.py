@@ -21,11 +21,14 @@ def test_stream_ingest_micro_batches(spark, tmp_path):
         [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
     )
     # first drop
-    spark.range(100).withColumn("v", F.col("id") * 1.0).write.parquet(src + "/f1.parquet")
+    # coalesce(1): each drop must appear ATOMICALLY to the running
+    # stream's own triggers — a multi-part write can be half-listed by a
+    # trigger landing mid-write, committing a prefix as its own epoch
+    spark.range(100).withColumn("v", F.col("id") * 1.0).coalesce(1).write.parquet(src + "/f1.parquet")
     q = streaming.stream_ingest(spark, src, out, schema)
     q.processAllAvailable()
     # second drop while the stream is live
-    spark.range(100, 250).withColumn("v", F.col("id") * 1.0).write.parquet(src + "/f2.parquet")
+    spark.range(100, 250).withColumn("v", F.col("id") * 1.0).coalesce(1).write.parquet(src + "/f2.parquet")
     q.processAllAvailable()
     q.stop()
     back = streaming.read_ingested(spark, out)
@@ -91,7 +94,7 @@ def test_stream_kill_and_restart_exactly_once(spark, tmp_path):
     q2 = streaming.stream_ingest(spark, src, out, schema)
     q2.processAllAvailable()
     # third drop proves the stream is healthy after recovery
-    spark.range(250, 300).withColumn("v", F.col("id") * 1.0).write.parquet(src + "/f3.parquet")
+    spark.range(250, 300).withColumn("v", F.col("id") * 1.0).coalesce(1).write.parquet(src + "/f3.parquet")
     q2.processAllAvailable()
     q2.stop()
 
