@@ -6211,6 +6211,60 @@ def o_geo_image_zonal() -> str:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC between table versions (round 6): a checkpointed
+    table takes one DELETE (copy-on-write, file-pruned), one UPDATE, and
+    one APPEND, and manifest.snapshot_diff reconstructs the exact
+    insert/delete/update row set between version 1 and the live head —
+    the general companion to read_incremental that survives rewrites.
+    One co-partitioned key join of two pruned time-travel scans; all
+    output columns integers/strings, so the diff is bit-checkable. The
+    oracle replays the DML closed-form from the same construction."""
+    import shutil
+    import tempfile
+
+    from . import manifest as mf
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1200).select(
+        "event_id", ((F.col("event_id") * 13) % 101).cast("long").alias("v")
+    )
+    tmp = tempfile.mkdtemp(prefix="jpspark_snapdiff_")
+    try:
+        mf.write_checkpointed(ev, tmp, num_partitions=8, lineage="snapshot_diff base")
+        mf.delete_where(spark, tmp, [("event_id", "<", 100)])
+        mf.update_where(spark, tmp, [("event_id", ">=", 900)], {"v": F.col("v") + 1000})
+        ins = spark.range(50).select(
+            (F.col("id") + 100000).alias("event_id"), F.lit(7).cast("long").alias("v")
+        )
+        mf.write_checkpointed(ins, tmp, num_partitions=1, mode="append",
+                              lineage="snapshot_diff insert batch")
+        out = mf.snapshot_diff(spark, tmp, 1, key_cols=("event_id",))
+        # materialize before the tmp dir disappears
+        pdf = out.orderBy("op", "event_id").toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        pdf, "event_id long, op string, old_v long, new_v long"
+    ).orderBy("op", "event_id")
+
+
+def o_snapshot_diff() -> str:
+    return """
+    WITH base AS (
+      SELECT event_id, CAST((event_id * 13) % 101 AS BIGINT) AS v
+      FROM events WHERE event_id < 1200
+    )
+    SELECT event_id, 'delete' AS op, v AS old_v, CAST(NULL AS BIGINT) AS new_v
+    FROM base WHERE event_id < 100
+    UNION ALL
+    SELECT event_id, 'update', v, v + 1000 FROM base WHERE event_id >= 900
+    UNION ALL
+    SELECT 100000 + t.i, 'insert', CAST(NULL AS BIGINT), CAST(7 AS BIGINT)
+    FROM range(50) t(i)
+    ORDER BY op, event_id
+    """
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -6338,7 +6392,11 @@ QUERIES = {
     # stays in-window via the new bloom_prune_scan and delete_snapshot)
     # delete_snapshot demoted r6 (r5-signed) for sssp_grid; DML family
     # stays in-window via merge_upsert + bloom_prune_scan
-    "bloom_prune_scan": q_bloom_prune_scan,
+    # round-6: row-level snapshot CDC enters the window its landing
+    # round (demoted: bloom_prune_scan — r5-signed; the pruned-scan/DML
+    # family stays in-window via merge_upsert + http_store_roundtrip +
+    # snapshot_diff's own time-travel scans)
+    "snapshot_diff": q_snapshot_diff,
     # round-6: MERGE INTO completes the DML triad in-window
     # (knn_flag_guard demoted — r5-signed; the guard contract stays
     # pytest-covered + full-gate green)
@@ -6432,7 +6490,9 @@ QUERIES = {
     # ngram_topk; approx_distinct demoted r6 (r5-signed) for
     # hausdorff_tracks; phash_neardup demoted r6 (r5-signed) for
     # grid_dbscan; cell_compact demoted r6 (r5-signed) for
-    # geo_image_zonal
+    # geo_image_zonal; bloom_prune_scan demoted r6 (r5-signed) for
+    # snapshot_diff
+    "bloom_prune_scan": q_bloom_prune_scan,
     "cell_compact": q_cell_compact,
     "phash_neardup": q_phash_neardup,
     "approx_distinct": q_approx_distinct,
@@ -6593,6 +6653,7 @@ def _build_oracles() -> dict[str, str]:
     "hausdorff_tracks": o_hausdorff_tracks(),
     "grid_dbscan": o_grid_dbscan(),
     "geo_image_zonal": o_geo_image_zonal(),
+    "snapshot_diff": o_snapshot_diff(),
     "pii_scrub": o_pii_scrub(),
     "url_host_dedup": o_url_host_dedup(),
     "curation_pipeline": o_curation_pipeline(),

@@ -1300,3 +1300,35 @@ def test_bucketed_colocated_join_no_shuffle(spark):
         bucketing.assert_colocated_plan(plain)
     spark.sql("DROP TABLE IF EXISTS t_bkt_left")
     spark.sql("DROP TABLE IF EXISTS t_bkt_right")
+
+
+def test_snapshot_diff_classifies_ops(spark, tmp_path):
+    """snapshot_diff: insert/delete/update classified per key, unchanged
+    rows dropped, NULL-safe value compare, schema-evolution column shows
+    up as an update."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from jpspark import manifest as mf
+
+    out = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 3, 4], "v": [10.0, None, 30.0, 40.0]})
+    )
+    mf.write_checkpointed(base, out, num_partitions=2)
+    mf.delete_where(spark, out, [("id", "=", 1)])
+    mf.update_where(spark, out, [("id", "=", 3)], {"v": F.lit(99.0)})
+    mf.write_checkpointed(
+        spark.createDataFrame(pd.DataFrame({"id": [5], "v": [50.0]})),
+        out, num_partitions=1, mode="append",
+    )
+    rows = {r.id: r for r in mf.snapshot_diff(spark, out, 1, key_cols=("id",)).collect()}
+    assert set(rows) == {1, 3, 5}  # id=2 (NULL==NULL) and id=4 unchanged
+    assert rows[1].op == "delete" and rows[1].old_v == 10.0 and rows[1].new_v is None
+    assert rows[3].op == "update" and (rows[3].old_v, rows[3].new_v) == (30.0, 99.0)
+    assert rows[5].op == "insert" and rows[5].new_v == 50.0
+    # missing key column raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="key column"):
+        mf.snapshot_diff(spark, out, 1, key_cols=("nope",))
