@@ -6265,6 +6265,88 @@ def o_snapshot_diff() -> str:
     """
 
 
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data discipline (round 6): an append-mode
+    tumbling-window count where a micro-batch delivers rows for a window
+    the watermark has ALREADY finalized — the rows must be dropped, not
+    double-counted (exactly the semantics a 10^12-row continuous ingest
+    relies on to bound state). Four single-file micro-batches
+    (maxFilesPerTrigger=1, mtime-ordered — the engine's deterministic
+    stateful-streaming fixture): (1) five on-time day-windows, (2) a
+    watermark-advancing row whose batch EVICTS and emits those windows
+    (eviction happens at batch end, so the driver must land one batch
+    BEFORE the late rows — late rows sharing the eviction batch still
+    merge into live state, measured), (3) LATE rows for the first
+    window plus two fresh windows, (4) a far-future sentinel that
+    finalizes the rest. Fully deterministic, so the oracle is a
+    closed-form VALUES of the finalized windows: the late rows change
+    nothing, and the sentinel's own window never finalizes (absent)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    tmp = tempfile.mkdtemp(prefix="jpspark_slate_")
+    base = "2024-01-01"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(int(u), f"{base[:8]}{d:02d} 12:00:00") for u, d in rows],
+            "user_id long, ts_s string",
+        ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+
+    b1 = [(u, 1 + (u % 5)) for u in range(100)]
+    b2 = [(999, 25)]
+    b3 = [(1000 + u, 1) for u in range(10)] + [(2000 + u, 26 + (u % 2)) for u in range(20)]
+    # day 30: far enough that the post-batch watermark (day 29) passes
+    # day 27's window end, so the final no-data flush emits days 26-27
+    b4 = [(9999, 30)]
+    os.makedirs(f"{tmp}/in")
+    now = _time.time()
+    for i, rows in enumerate([b1, b2, b3, b4]):
+        mk(rows).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/b{i}")
+        f = f"{tmp}/in/{i:03d}_batch.parquet"
+        shutil.copy(glob.glob(f"{tmp}/b{i}/part-*.parquet")[0], f)
+        os.utime(f, (now + i * 10, now + i * 10))
+    schema = spark.read.parquet(f"{tmp}/in/000_batch.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count("*").alias("n"))
+    )
+    qname = "jpspark_stream_late"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(qname).select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("day"),
+        "n",
+    ).orderBy("day")
+
+
+def o_stream_late_data() -> str:
+    # finalized windows only: days 01-05 hold 20 on-time rows each (the
+    # 10 LATE rows for day 01 arrive after its window finalized ->
+    # dropped), day 25 the watermark driver, days 26-27 ten each from
+    # batch 2; the day-30 sentinel never finalizes (absent)
+    vals = ",".join(
+        ["('2024-01-%02d',20)" % d for d in range(1, 6)]
+        + ["('2024-01-25',1)", "('2024-01-26',10)", "('2024-01-27',10)"]
+    )
+    return (
+        "SELECT day, CAST(n AS BIGINT) AS n"
+        f" FROM (VALUES {vals}) AS t(day, n) ORDER BY day"
+    )
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -6300,7 +6382,11 @@ QUERIES = {
     # streaming-count surface stays in-window via stream_kde_heatmap's
     # stateful complete-mode agg + stream_geo_enrich)
     "stream_kde_heatmap": q_stream_kde_heatmap,
-    "stream_sessionize": q_stream_sessionize,
+    # round-6: watermark late-data discipline enters the window its
+    # landing round (demoted: stream_sessionize — r5-signed; the
+    # stateful-streaming surface stays in-window via stream_late_data's
+    # append-mode finalization + stream_kde_heatmap's running state)
+    "stream_late_data": q_stream_late_data,
     "stream_geo_enrich": q_stream_geo_enrich,
     "stream_mvt_ingest": q_stream_mvt_ingest,
     "stream_asof_enrich": q_stream_asof_enrich,
@@ -6491,7 +6577,9 @@ QUERIES = {
     # hausdorff_tracks; phash_neardup demoted r6 (r5-signed) for
     # grid_dbscan; cell_compact demoted r6 (r5-signed) for
     # geo_image_zonal; bloom_prune_scan demoted r6 (r5-signed) for
-    # snapshot_diff
+    # snapshot_diff; stream_sessionize demoted r6 (r5-signed) for
+    # stream_late_data
+    "stream_sessionize": q_stream_sessionize,
     "bloom_prune_scan": q_bloom_prune_scan,
     "cell_compact": q_cell_compact,
     "phash_neardup": q_phash_neardup,
@@ -6654,6 +6742,7 @@ def _build_oracles() -> dict[str, str]:
     "grid_dbscan": o_grid_dbscan(),
     "geo_image_zonal": o_geo_image_zonal(),
     "snapshot_diff": o_snapshot_diff(),
+    "stream_late_data": o_stream_late_data(),
     "pii_scrub": o_pii_scrub(),
     "url_host_dedup": o_url_host_dedup(),
     "curation_pipeline": o_curation_pipeline(),
