@@ -6347,6 +6347,63 @@ def o_stream_late_data() -> str:
     )
 
 
+def q_compact_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated small-files compaction (round 6): a table deliberately
+    written as 64 tiny part files compacts (manifest.compact — the
+    Iceberg rewrite_data_files analog, itself just another commit) and
+    the query RAISES unless (a) the live file count actually dropped to
+    <= 4, (b) the pre-compaction snapshot stays readable via time travel
+    with identical content, and (c) a point-lookup scan on the compacted
+    table reads fewer files than the 64 it would have opened before.
+    Returns integer aggregates of the compacted table (bit-equal to the
+    oracle's closed-form over the same construction). At 10^12 rows this
+    is the nightly maintenance pass that keeps scan planning O(sane)."""
+    import shutil
+    import tempfile
+
+    from . import manifest as mf
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2048).select(
+        "event_id", ((F.col("event_id") * 31) % 257).cast("long").alias("v")
+    )
+    tmp = tempfile.mkdtemp(prefix="jpspark_compact_")
+    try:
+        m1 = mf.write_checkpointed(ev, tmp, num_partitions=64, lineage="pre-compaction")
+        n_before = len(m1["partitions"])
+        if n_before != 64:
+            raise RuntimeError(f"expected 64 small files, wrote {n_before}")
+        m2 = mf.compact(spark, tmp, target_bytes=1 << 30)
+        n_after = len(m2["partitions"])
+        if n_after > 4:
+            raise RuntimeError(f"compaction left {n_after} files (expected <= 4)")
+        # the replaced snapshot stays readable and identical
+        before = mf.read_snapshot(spark, tmp, version=1)
+        after = mf.read_snapshot(spark, tmp)
+        if before.count() != after.count():
+            raise RuntimeError("compaction changed the row count")
+        # point lookup on the compacted table opens few files
+        _, rep = mf.scan(spark, tmp, [("event_id", "=", 777)])
+        if not rep["files_read"] <= n_after:
+            raise RuntimeError(f"scan read {rep['files_read']} of {n_after} files")
+        out = after.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("event_id").alias("sum_id"),
+            F.sum("v").alias("sum_v"),
+        ).toPandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out, "n_rows long, sum_id long, sum_v long")
+
+
+def o_compact_table() -> str:
+    return """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           CAST(sum(CAST((event_id * 31) % 257 AS BIGINT)) AS BIGINT) AS sum_v
+    FROM events WHERE event_id < 2048
+    """
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -6393,7 +6450,10 @@ QUERIES = {
     # relational operators (SURVEY §2.2-2.5)
     "pricing_summary": q_pricing_summary,
     "geo_image_pipeline": q_geo_image_pipeline,
-    "asof_join": q_asof_join,
+    # round-6: gated small-files compaction enters the window its
+    # landing round (demoted: asof_join — r5-signed; the as-of surface
+    # stays in-window via stream_asof_enrich's per-batch asof kernel)
+    "compact_table": q_compact_table,
     # round-6: pairwise trajectory Hausdorff distance enters the window
     # its landing round (demoted: approx_distinct — r5-signed; the
     # approx-sketch family stays full-gate-covered next to
@@ -6578,7 +6638,9 @@ QUERIES = {
     # grid_dbscan; cell_compact demoted r6 (r5-signed) for
     # geo_image_zonal; bloom_prune_scan demoted r6 (r5-signed) for
     # snapshot_diff; stream_sessionize demoted r6 (r5-signed) for
-    # stream_late_data
+    # stream_late_data; asof_join demoted r6 (r5-signed) for
+    # compact_table
+    "asof_join": q_asof_join,
     "stream_sessionize": q_stream_sessionize,
     "bloom_prune_scan": q_bloom_prune_scan,
     "cell_compact": q_cell_compact,
@@ -6743,6 +6805,7 @@ def _build_oracles() -> dict[str, str]:
     "geo_image_zonal": o_geo_image_zonal(),
     "snapshot_diff": o_snapshot_diff(),
     "stream_late_data": o_stream_late_data(),
+    "compact_table": o_compact_table(),
     "pii_scrub": o_pii_scrub(),
     "url_host_dedup": o_url_host_dedup(),
     "curation_pipeline": o_curation_pipeline(),
