@@ -2011,7 +2011,9 @@ def snapshot_diff(
     (old only), or ``update`` (present in both with any value column
     differing, NULL-safe); unchanged rows are dropped. Output columns:
     key columns, ``op``, then ``old_<c>``/``new_<c>`` for every value
-    column.
+    column. ``key_cols`` must uniquely identify rows in EACH snapshot —
+    row-level CDC is keyed by definition; a duplicated key makes the
+    full-outer join emit a cross product of contradictory rows.
 
     Scale shape: one co-partitioned key join of two pruned snapshot
     scans; at 10^12 rows the join is the honest cost of a row-level diff
@@ -2029,10 +2031,17 @@ def snapshot_diff(
             raise ValueError(f"snapshot_diff: key column {k!r} missing from a snapshot")
     vals = [c for c in a.columns if c not in keys]
     vals += [c for c in b.columns if c not in keys and c not in vals]
+    # a column absent from one version fills as a TYPED null (the other
+    # side's dtype) — an untyped lit(None) would make the output column
+    # VOID, which parquet sinks reject
+    dtypes = {f.name: f.dataType for f in b.schema.fields}
+    dtypes.update({f.name: f.dataType for f in a.schema.fields if f.name not in dtypes})
     left = a.select(
         *keys,
         *[
-            (F.col(c) if c in a.columns else F.lit(None)).alias(f"old_{c}")
+            (
+                F.col(c) if c in a.columns else F.lit(None).cast(dtypes[c])
+            ).alias(f"old_{c}")
             for c in vals
         ],
         F.lit(True).alias("_in_old"),
@@ -2040,7 +2049,9 @@ def snapshot_diff(
     right = b.select(
         *keys,
         *[
-            (F.col(c) if c in b.columns else F.lit(None)).alias(f"new_{c}")
+            (
+                F.col(c) if c in b.columns else F.lit(None).cast(dtypes[c])
+            ).alias(f"new_{c}")
             for c in vals
         ],
         F.lit(True).alias("_in_new"),

@@ -6302,31 +6302,31 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     # day 30: far enough that the post-batch watermark (day 29) passes
     # day 27's window end, so the final no-data flush emits days 26-27
     b4 = [(9999, 30)]
-    os.makedirs(f"{tmp}/in")
-    now = _time.time()
-    for i, rows in enumerate([b1, b2, b3, b4]):
-        mk(rows).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/b{i}")
-        f = f"{tmp}/in/{i:03d}_batch.parquet"
-        shutil.copy(glob.glob(f"{tmp}/b{i}/part-*.parquet")[0], f)
-        os.utime(f, (now + i * 10, now + i * 10))
-    schema = spark.read.parquet(f"{tmp}/in/000_batch.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{tmp}/in")
-    )
-    agg = (
-        stream.withWatermark("ts", "1 day")
-        .groupBy(F.window("ts", "1 day"))
-        .agg(F.count("*").alias("n"))
-    )
-    qname = "jpspark_stream_late"
-    q = agg.writeStream.outputMode("append").format("memory").queryName(qname).start()
     try:
-        q.processAllAvailable()
+        os.makedirs(f"{tmp}/in")
+        now = _time.time()
+        for i, rows in enumerate([b1, b2, b3, b4]):
+            mk(rows).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/b{i}")
+            f = f"{tmp}/in/{i:03d}_batch.parquet"
+            shutil.copy(glob.glob(f"{tmp}/b{i}/part-*.parquet")[0], f)
+            os.utime(f, (now + i * 10, now + i * 10))
+        schema = spark.read.parquet(f"{tmp}/in/000_batch.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+        )
+        agg = (
+            stream.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day"))
+            .agg(F.count("*").alias("n"))
+        )
+        # the memory sink holds materialized rows, so the staged files
+        # can be reclaimed as soon as the bounded run finishes
+        sunk = _run_stream_to_memory(spark, agg, "jpspark_stream_late", mode="append")
     finally:
-        q.stop()
-    return spark.table(qname).select(
+        shutil.rmtree(tmp, ignore_errors=True)
+    return sunk.select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("day"),
         "n",
     ).orderBy("day")
@@ -6352,12 +6352,13 @@ def q_compact_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     written as 64 tiny part files compacts (manifest.compact — the
     Iceberg rewrite_data_files analog, itself just another commit) and
     the query RAISES unless (a) the live file count actually dropped to
-    <= 4, (b) the pre-compaction snapshot stays readable via time travel
-    with identical content, and (c) a point-lookup scan on the compacted
-    table reads fewer files than the 64 it would have opened before.
-    Returns integer aggregates of the compacted table (bit-equal to the
-    oracle's closed-form over the same construction). At 10^12 rows this
-    is the nightly maintenance pass that keeps scan planning O(sane)."""
+    <= 4 and (b) the pre-compaction snapshot stays readable via time
+    travel with IDENTICAL content (exceptAll both directions, not just a
+    row count). Returns integer aggregates of the compacted table
+    (bit-equal to the oracle's closed-form over the same construction).
+    At 10^12 rows this is the nightly maintenance pass that keeps scan
+    planning O(sane); point-lookup pruning has its own gates
+    (bloom_prune_scan, spatial_prune_scan)."""
     import shutil
     import tempfile
 
@@ -6376,15 +6377,13 @@ def q_compact_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_after = len(m2["partitions"])
         if n_after > 4:
             raise RuntimeError(f"compaction left {n_after} files (expected <= 4)")
-        # the replaced snapshot stays readable and identical
+        # the replaced snapshot stays readable and BIT-identical: a
+        # compaction bug that substitutes values while preserving
+        # cardinality must fail this gate, so compare content, not count
         before = mf.read_snapshot(spark, tmp, version=1)
         after = mf.read_snapshot(spark, tmp)
-        if before.count() != after.count():
-            raise RuntimeError("compaction changed the row count")
-        # point lookup on the compacted table opens few files
-        _, rep = mf.scan(spark, tmp, [("event_id", "=", 777)])
-        if not rep["files_read"] <= n_after:
-            raise RuntimeError(f"scan read {rep['files_read']} of {n_after} files")
+        if before.exceptAll(after).count() or after.exceptAll(before).count():
+            raise RuntimeError("compaction changed the table content")
         out = after.agg(
             F.count("*").alias("n_rows"),
             F.sum("event_id").alias("sum_id"),

@@ -1332,3 +1332,17 @@ def test_snapshot_diff_classifies_ops(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="key column"):
         mf.snapshot_diff(spark, out, 1, key_cols=("nope",))
+    # schema evolution: overwrite with an extra column -> every surviving
+    # key reads as an update (old_w is a TYPED null, so the diff frame
+    # can be persisted — an untyped VOID column would break parquet)
+    evolved = spark.createDataFrame(
+        pd.DataFrame({"id": [2, 4], "v": [None, 40.0], "w": [7.0, 8.0]})
+    )
+    mf.write_checkpointed(evolved, out, num_partitions=1)
+    d2 = mf.snapshot_diff(spark, out, 1, key_cols=("id",))
+    assert dict(d2.dtypes)["old_w"] == "double"
+    rows2 = {r.id: r for r in d2.collect()}
+    assert rows2[2].op == "update" and rows2[2].old_w is None and rows2[2].new_w == 7.0
+    assert rows2[4].op == "update" and rows2[4].new_w == 8.0
+    assert rows2[1].op == "delete" and rows2[3].op == "delete"
+    d2.write.mode("overwrite").parquet(str(tmp_path / "cdc_out"))  # persistable

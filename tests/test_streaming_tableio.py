@@ -73,7 +73,7 @@ def test_stream_kill_and_restart_exactly_once(spark, tmp_path):
     q.processAllAvailable()
     assert committed_epochs == [0]
     # second drop triggers the injected crash post-commit, pre-ack
-    spark.range(100, 250).withColumn("v", F.col("id") * 1.0).write.parquet(src + "/f2.parquet")
+    spark.range(100, 250).withColumn("v", F.col("id") * 1.0).coalesce(1).write.parquet(src + "/f2.parquet")
     with pytest.raises(Exception, match="injected crash"):
         q.processAllAvailable()
         q.awaitTermination()
