@@ -218,6 +218,37 @@ def run_bench(master: str | None, sf_dir: str, cpus: int):
     pts.mapInPandas(lambda it: it, pts.schema).count()
     n_assigned = spatial_stages(pts, n_points, AMPLIFY, timings, extras)
 
+    if not spatial_only:
+        # round 6: smoothed grid density (pure JVM — the only pass over
+        # the points is the map-side-combined cell histogram; the 4-2-1
+        # stencil explodes the AGGREGATED cells) and per-group convex
+        # hulls (Arrow per-batch running partial hulls; raw points never
+        # shuffle — the only exchange carries candidate vertices)
+        from jpspark.geom import hull as hull_ops
+        from jpspark.ops import density as density_ops
+
+        n_cells = timed(
+            "grid_density",
+            lambda: density_ops.grid_density(
+                pts, "lon", "lat", x0=122.0, y0=20.0, cell=0.125, radius=1
+            ).count(),
+            timings,
+        )
+        extras["density_rows_per_sec"] = round(n_points / timings["grid_density"], 1)
+        extras["density_cells"] = int(n_cells)
+
+        hull_pts = pts.withColumn("g", F.col("point_id") % 500)
+
+        def hull_fn():
+            r = hull_ops.group_convex_hulls(
+                hull_pts, "g", x_col="lon", y_col="lat"
+            ).agg(F.sum("n_vertices").alias("nv"), F.count("*").alias("ng")).collect()[0]
+            assert int(r.ng) == 500, r.ng
+            return int(r.nv)
+
+        timed("convex_hull", hull_fn, timings)
+        extras["hull_rows_per_sec"] = round(n_points / timings["convex_hull"], 1)
+
     def _gate_summary():
         if not gated:
             return None

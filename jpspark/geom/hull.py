@@ -107,21 +107,34 @@ def group_convex_hulls(
     partial_schema = f"k {ktype}, x double, y double"
 
     def partial(batches):
-        # per-key running hull candidates for THIS partition: each batch
-        # folds into the accumulated hull (hull-of-hulls is associative),
-        # so memory per key stays hull-sized and the partition emits one
-        # candidate set per key regardless of how many batches it spans
-        acc: dict = {}
+        # per-key running hull candidates for THIS partition, BUFFERED:
+        # points accumulate per key and fold into a hull only when the
+        # buffer passes ~4096 points (and once at exhaustion) — the fold
+        # is associative (hull-of-hulls), so the result is identical to
+        # folding every batch, but tiny per-batch groups stop paying a
+        # monotone-chain call each. Memory per key stays bounded by the
+        # fold threshold; the partition emits one candidate set per key.
+        bufs: dict = {}
+        counts: dict = {}
+
+        def fold(key):
+            chunks = bufs[key]
+            xs = np.concatenate([c[0] for c in chunks])
+            ys = np.concatenate([c[1] for c in chunks])
+            idx = convex_hull_xy(xs, ys)
+            bufs[key] = [(xs[idx], ys[idx])]
+            counts[key] = len(idx)
+
         for pdf in batches:
             for key, g in pdf.groupby("k", sort=False):
                 xs, ys = g["x"].to_numpy(), g["y"].to_numpy()
-                if key in acc:
-                    px, py = acc[key]
-                    xs = np.concatenate([px, xs])
-                    ys = np.concatenate([py, ys])
-                idx = convex_hull_xy(xs, ys)
-                acc[key] = (xs[idx], ys[idx])
-        for key, (hx, hy) in acc.items():
+                bufs.setdefault(key, []).append((xs, ys))
+                counts[key] = counts.get(key, 0) + len(xs)
+                if counts[key] > 4096:
+                    fold(key)
+        for key in bufs:
+            fold(key)
+            hx, hy = bufs[key][0]
             yield pd.DataFrame({"k": key, "x": hx, "y": hy})
 
     partials = pts.mapInPandas(partial, partial_schema)
