@@ -315,4 +315,9 @@ def inverted_index(
     postings = small.groupBy("token").agg(
         F.array_join(F.array_sort(F.collect_list("_doc")), ",").alias("postings")
     )
-    return dfreq.join(postings, "token", "left").select("token", "df", "postings")
+    out = dfreq.join(postings, "token", "left").select("token", "df", "postings")
+    # expose the persisted handle so a caller that materializes the result
+    # can release the corpus-scale pairs cache (round-7 advice fix); None
+    # when persist_pairs was off
+    out._jpspark_pairs = pairs if persist_pairs else None
+    return out

@@ -5657,14 +5657,21 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops import textstats as ts
 
     docs = _t(spark, sf_dir, "documents")
-    return (
-        # persist_pairs: the shared (token, doc) frame has three plan
-        # consumers; at gate scale (500 docs) the cache is tiny and the
-        # opt-in matches the repo's minhash-signatures precedent
-        ts.inverted_index(docs, max_postings=50, persist_pairs=True)
-        .filter(F.col("df") >= 2)
+    # persist_pairs: the shared (token, doc) frame has three plan
+    # consumers; at gate scale (500 docs) the cache is tiny and the
+    # opt-in matches the repo's minhash-signatures precedent
+    idx = ts.inverted_index(docs, max_postings=50, persist_pairs=True)
+    out = (
+        idx.filter(F.col("df") >= 2)
         .orderBy("token")
+        # materialize, then release the pairs cache instead of leaking it
+        # for the rest of the session (round-7 advice fix)
+        .localCheckpoint(eager=True)
     )
+    pairs = getattr(idx, "_jpspark_pairs", None)
+    if pairs is not None:
+        pairs.unpersist()
+    return out.orderBy("token")
 
 
 def o_inverted_index() -> str:
@@ -6014,14 +6021,19 @@ def q_hausdorff_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("ua", "ub", "pb").agg(F.min("dq").alias("nn"))
         .groupBy("ua", "ub").agg(F.max("nn").alias("d_ba"))
     )
-    return (
+    out = (
         d_ab.join(d_ba, ["ua", "ub"])
         .select(
             "ua", "ub",
             F.greatest(F.col("d_ab"), F.col("d_ba")).alias("hausdorff_q"),
         )
-        .orderBy("ua", "ub")
+        # materialize the 45-row panel result so the quadratic point-pair
+        # cache can be released immediately instead of occupying executor
+        # memory for the rest of the session (round-7 advice fix)
+        .localCheckpoint(eager=True)
     )
+    pairs.unpersist()
+    return out.orderBy("ua", "ub")
 
 
 def o_hausdorff_tracks() -> str:
@@ -6239,13 +6251,15 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         mf.write_checkpointed(ins, tmp, num_partitions=1, mode="append",
                               lineage="snapshot_diff insert batch")
         out = mf.snapshot_diff(spark, tmp, 1, key_cols=("event_id",))
-        # materialize before the tmp dir disappears
-        pdf = out.orderBy("op", "event_id").toPandas()
+        # materialize before the tmp dir disappears. localCheckpoint (not a
+        # pandas round trip): toPandas degrades nullable long columns to
+        # float64, and under an Arrow-off session createDataFrame's row
+        # verifier rejects the NaN-degraded floats for LongType (the round-6
+        # driver-harness failure) — the checkpoint keeps the typed NULLs.
+        out = out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
-        pdf, "event_id long, op string, old_v long, new_v long"
-    ).orderBy("op", "event_id")
+    return out.orderBy("op", "event_id")
 
 
 def o_snapshot_diff() -> str:
