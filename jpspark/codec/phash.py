@@ -26,21 +26,26 @@ def _dct_matrix(n: int) -> np.ndarray:
 
 
 _DCT = _dct_matrix(_N)
+# bit weights are shape-independent; building them per call cost more
+# than the DCT itself on thumbnail-sized inputs (round 7)
+_BIT_WEIGHTS = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
 
 
 def dct2(a: np.ndarray) -> np.ndarray:
     return _DCT @ a @ _DCT.T
 
 
-def phash64(px: np.ndarray) -> np.int64:
-    """HxWx3 uint8 -> int64 pHash."""
-    g = gray_f64(px.astype(np.float64))
+def phash64(px: np.ndarray, gray: np.ndarray | None = None) -> np.int64:
+    """HxWx3 uint8 -> int64 pHash. ``gray`` short-circuits the luma pass
+    when the caller already holds gray_f64(px) (bit-identical: uint8
+    inputs upcast exactly to float64 inside the luma multiply, so the
+    former px.astype(float64) pre-pass changed nothing)."""
+    g = gray_f64(px) if gray is None else gray
     small = resize_area_mean(g, _N, _N)
     coef = dct2(small)[:8, :8].ravel()
     med = np.median(coef[1:])
     bits = coef > med
-    weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
-    return np.int64(np.uint64(np.sum(weights[bits])))
+    return np.int64(np.uint64(np.sum(_BIT_WEIGHTS[bits])))
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

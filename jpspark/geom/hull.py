@@ -32,7 +32,17 @@ def convex_hull_xy(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     starting from the lexicographically smallest (x, y) vertex. Collinear
     boundary points are dropped (strict hull). Handles degenerate inputs:
     a single point returns itself; collinear sets return the two extreme
-    endpoints."""
+    endpoints.
+
+    Round 7 (guide §4.2): the monotone-chain stack loop runs over plain
+    Python floats (identical IEEE doubles, ~8x less per-iteration cost
+    than NumPy scalar indexing), and inputs past 256 points first pass an
+    Akl–Toussaint prefilter — points strictly inside the octagon of the 8
+    directional extremes can never be hull vertices, and the 8 half-plane
+    tests are one vectorized pass — so the stack loop sees O(boundary)
+    candidates instead of every point. Bit-identical output by
+    construction (differential-tested against the round-6 kernel over
+    random/collinear/duplicate/circle inputs)."""
     pts = np.column_stack([np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64)])
     order = np.lexsort((pts[:, 1], pts[:, 0]))
     # dedupe exact coordinate twins (they can never both be vertices)
@@ -46,26 +56,56 @@ def convex_hull_xy(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
         return order[:1]
     if n == 2:
         return order
+    sub = np.arange(n)
+    if n > 256:
+        px, py = p[:, 0], p[:, 1]
+        s = px + py
+        d = px - py
+        ext = np.unique(np.array([
+            0, n - 1, np.argmin(py), np.argmax(py),
+            np.argmin(s), np.argmax(s), np.argmin(d), np.argmax(d),
+        ]))
+        ex, ey = px[ext], py[ext]
+        cx, cy = ex.mean(), ey.mean()
+        oa = np.argsort(np.arctan2(ey - cy, ex - cx))
+        ox, oy = ex[oa], ey[oa]
+        inside = np.ones(n, dtype=bool)
+        m_oct = len(ox)
+        for i in range(m_oct):
+            ax, ay = ox[i], oy[i]
+            bx, by = ox[(i + 1) % m_oct], oy[(i + 1) % m_oct]
+            # strict > keeps boundary points: only STRICT interior drops
+            inside &= (bx - ax) * (py - ay) - (by - ay) * (px - ax) > 0
+        sub = np.flatnonzero(~inside)
+        if len(sub) < 3:  # degenerate octagon (collinear layer)
+            sub = np.arange(n)
+    lx = p[sub, 0].tolist()
+    ly = p[sub, 1].tolist()
+    m = len(lx)
 
     def half(idx_range):
         st: list[int] = []
         for i in idx_range:
+            xi = lx[i]
+            yi = ly[i]
             while len(st) >= 2:
-                ax, ay = p[st[-2]]
-                bx, by = p[st[-1]]
-                if (bx - ax) * (p[i, 1] - ay) - (by - ay) * (p[i, 0] - ax) <= 0:
+                j = st[-1]
+                k2 = st[-2]
+                ax = lx[k2]
+                ay = ly[k2]
+                if (lx[j] - ax) * (yi - ay) - (ly[j] - ay) * (xi - ax) <= 0:
                     st.pop()
                 else:
                     break
             st.append(i)
         return st
 
-    lower = half(range(n))
-    upper = half(range(n - 1, -1, -1))
+    lower = half(range(m))
+    upper = half(range(m - 1, -1, -1))
     cycle = lower[:-1] + upper[:-1]
     if len(cycle) < 3:  # all collinear: extremes only
         return order[[0, n - 1]]
-    return order[np.array(cycle)]
+    return order[sub[np.array(cycle)]]
 
 
 def group_convex_hulls(
@@ -93,16 +133,22 @@ def group_convex_hulls(
     points) report their actual vertex count with zero area. Rows with
     NULL keys or NULL/NaN coordinates are dropped up front (a NaN
     poisons every cross-product comparison; NULL keys have no hull).
+    Float-typed keys additionally drop NaN keys explicitly (round-7
+    advice fix): the phase-1 grouping previously lost NaN-keyed rows as
+    a pandas-groupby side effect — now it is a documented contract, a
+    NaN key has no well-defined group.
     """
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
+    key_filter = (
+        F.col(key_col).isNotNull()
+        & F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
+    if points.schema[key_col].dataType.simpleString() in ("float", "double"):
+        key_filter = key_filter & ~F.isnan(F.col(key_col))
     pts = points.select(
         F.col(key_col).alias("k"), x.alias("x"), y.alias("y")
-    ).filter(
-        F.col("k").isNotNull()
-        & F.col("x").isNotNull() & F.col("y").isNotNull()
-        & ~F.isnan("x") & ~F.isnan("y")
-    )
+    ).filter(key_filter & ~F.isnan("x") & ~F.isnan("y"))
     ktype = points.schema[key_col].dataType.simpleString()
     partial_schema = f"k {ktype}, x double, y double"
 
@@ -114,6 +160,10 @@ def group_convex_hulls(
         # folding every batch, but tiny per-batch groups stop paying a
         # monotone-chain call each. Memory per key stays bounded by the
         # fold threshold; the partition emits one candidate set per key.
+        # Round 7: batches group via one stable argsort + boundary scan
+        # (pure NumPy) instead of pandas groupby — same chunks in the
+        # same order (stable sort preserves within-key row order), at a
+        # fraction of the per-batch cost for many-key batches.
         bufs: dict = {}
         counts: dict = {}
 
@@ -126,10 +176,18 @@ def group_convex_hulls(
             counts[key] = len(idx)
 
         for pdf in batches:
-            for key, g in pdf.groupby("k", sort=False):
-                xs, ys = g["x"].to_numpy(), g["y"].to_numpy()
-                bufs.setdefault(key, []).append((xs, ys))
-                counts[key] = counts.get(key, 0) + len(xs)
+            kk = pdf["k"].to_numpy()
+            xx = pdf["x"].to_numpy()
+            yy = pdf["y"].to_numpy()
+            order = np.argsort(kk, kind="stable")
+            ks = kk[order]
+            cuts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            ends = np.r_[cuts[1:], len(ks)]
+            for s, e in zip(cuts, ends):
+                key = ks[s]
+                idx = order[s:e]
+                bufs.setdefault(key, []).append((xx[idx], yy[idx]))
+                counts[key] = counts.get(key, 0) + (e - s)
                 if counts[key] > 4096:
                     fold(key)
         for key in bufs:

@@ -68,27 +68,34 @@ _FNV_PRIME = np.uint64(0x100000001B3)
 
 
 def _fnv_over_slices(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """FNV-1a 64 of N byte slices of ``flat``, evaluated column-at-a-time
-    over a zero-padded gather matrix: iteration count = longest slice,
-    work per iteration = one SIMD pass over the whole batch, so total
-    work is O(total bytes) at NumPy rate. Updates past a slice's own
-    length are masked, so a slice's hash is independent of the batch it
-    rides in. Splitmix finalizer (+ length mix) restores high-bit
-    diffusion for SimHash bit-voting; PYTHONHASHSEED-proof."""
+    """FNV-1a 64 of N byte slices of ``flat``, evaluated column-at-a-time:
+    iteration count = longest slice, work per iteration = one SIMD pass
+    over the slices still live, so total work is O(total bytes) at NumPy
+    rate. Round 7: slices are processed in descending-length order so the
+    live set at column j is a contiguous PREFIX — each pass is a plain
+    gather + two uint64 ops on h[:cnt], with no per-column mask matrices
+    (the former (n x w) valid/idx/byte matrices dominated the kernel's
+    cost) and no dead-lane work. A slice's hash only depends on its own
+    bytes, so the reorder cannot change values; the result is scattered
+    back through the sort permutation. Splitmix finalizer (+ length mix)
+    restores high-bit diffusion for SimHash bit-voting;
+    PYTHONHASHSEED-proof."""
     n = len(starts)
+    if not n:
+        return np.empty(0, dtype=np.uint64)
+    order = np.argsort(-lens, kind="stable")
+    st = starts[order]
+    ln = lens[order]
+    w = int(ln[0])
     h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
-    w = int(lens.max()) if n else 0
-    if w:
-        valid = np.arange(w)[None, :] < lens[:, None]
-        idx = starts[:, None] + np.arange(w)[None, :]
-        mat = np.zeros((n, w), dtype=np.uint8)
-        mat[valid] = flat[idx[valid]]
-        with np.errstate(over="ignore"):
-            for j in range(w):
-                h2 = (h ^ mat[:, j].astype(np.uint64)) * _FNV_PRIME
-                h = np.where(valid[:, j], h2, h)
     with np.errstate(over="ignore"):
-        return _hash_u64(h ^ lens.astype(np.uint64))
+        for j in range(w):
+            cnt = int(np.searchsorted(-ln, -j, side="left"))  # slices with len > j
+            c = flat[st[:cnt] + j].astype(np.uint64)
+            h[:cnt] = (h[:cnt] ^ c) * _FNV_PRIME
+        out = np.empty(n, dtype=np.uint64)
+        out[order] = _hash_u64(h ^ ln.astype(np.uint64))
+    return out
 
 
 def _hash_str_batch(strs: list[str]) -> np.ndarray:
@@ -118,6 +125,12 @@ _UNICODE_WS = tuple(
         "\u2007\u2008\u2009\u200a\u2028\u2029\u202f\u205f\u3000"
     )
 )
+# UTF-8 lead bytes of the sequences above (0xC2, 0xE1, 0xE2, 0xE3): a
+# batch with NONE of them cannot contain non-ASCII whitespace, so the
+# 19-substring scan is gated behind one vectorized table gather (round 7
+# \u2014 the sequential bytes.find calls re-walked the blob 19 times)
+_UWS_LEAD = np.zeros(256, dtype=bool)
+_UWS_LEAD[[u[0] for u in _UNICODE_WS]] = True
 
 
 def _word_hashes_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
@@ -132,12 +145,12 @@ def _word_hashes_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     n = len(texts)
     bs = [(t or "").encode("utf-8") for t in texts]
     blob = b"\n".join(bs)
-    if any(blob.find(u) >= 0 for u in _UNICODE_WS):
+    flat = np.frombuffer(b"\n" + blob + b"\n", dtype=np.uint8)
+    if _UWS_LEAD[flat].any() and any(blob.find(u) >= 0 for u in _UNICODE_WS):
         words_per = [(t or "").split() for t in texts]
         wcounts = np.fromiter(map(len, words_per), dtype=np.int64, count=n)
         return _hash_str_batch([w for ws in words_per for w in ws]), wcounts
     lens = np.fromiter(map(len, bs), dtype=np.int64, count=n)
-    flat = np.frombuffer(b"\n" + blob + b"\n", dtype=np.uint8)
     ws = _ASCII_WS[flat]
     w_starts = np.where(~ws[1:] & ws[:-1])[0] + 1
     w_ends = np.where(~ws[:-1] & ws[1:])[0] + 1

@@ -228,11 +228,21 @@ def mvt_tiles_points(
 
     100-TB shape: tile assignment is pure codegen column math, then ONE
     hash exchange on the tile key and every tile serializes independently
-    inside ``applyInPandas`` — no driver gather, no cross-tile state, so
-    the sink parallelizes to however many tiles exist (quadtree keys are
-    uniform; a genuinely hot tile is capped by its own point count, and
-    callers shed it by raising ``z``). Contrast write_flatgeobuf, which is
-    a bounded single-writer export by design.
+    — no driver gather, no cross-tile state, so the sink parallelizes to
+    however many tiles exist (quadtree keys are uniform; a genuinely hot
+    tile is capped by its own point count, and callers shed it by raising
+    ``z``). Contrast write_flatgeobuf, which is a bounded single-writer
+    export by design.
+
+    Round 7 (guide §4.1): the per-tile ``applyInPandas`` became a
+    ``repartition + sortWithinPartitions + mapInPandas`` stream — the
+    same exchange and the same within-partition sort the grouped form
+    already paid, but the Python boundary now moves full-size Arrow
+    batches instead of one tiny batch per tile (thousands of tiles x
+    ~1 ms of per-group conversion overhead at z=10). Tiles arrive
+    contiguously, so kernel memory stays one tile's rows, exactly like
+    the grouped form. Feature order inside a tile remains
+    shuffle-arrival order (unchanged; consumers aggregate after decode).
 
     Quantization (y DOWN, MVT screen axes): qx = floor((lon-lon0)/sx*extent),
     qy = floor((lat_top-lat)/sy*extent), both clamped to extent-1 — exact
@@ -313,8 +323,45 @@ def mvt_tiles_points(
             }
         )
 
-    return src.groupBy("tile_x", "tile_y").applyInPandas(
-        build, schema="tile_z int, tile_x long, tile_y long, n_features long, bytes binary"
+    out_schema = "tile_z int, tile_x long, tile_y long, n_features long, bytes binary"
+
+    def build_stream(batches):
+        buf: list[pd.DataFrame] = []
+        cur = None
+        done: list[pd.DataFrame] = []
+
+        def flush():
+            if not buf:
+                return
+            pdf = pd.concat(buf, ignore_index=True) if len(buf) > 1 else buf[0]
+            done.append(build(pdf))
+            buf.clear()
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            txa = pdf["tile_x"].to_numpy()
+            tya = pdf["tile_y"].to_numpy()
+            change = np.flatnonzero((txa[1:] != txa[:-1]) | (tya[1:] != tya[:-1])) + 1
+            starts = np.r_[0, change]
+            ends = np.r_[change, len(pdf)]
+            for s, e in zip(starts, ends):
+                key = (txa[s], tya[s])
+                if cur is not None and key != cur:
+                    flush()
+                cur = key
+                buf.append(pdf.iloc[int(s):int(e)])
+            if len(done) >= 256:
+                yield pd.concat(done, ignore_index=True)
+                done = []
+        flush()
+        if done:
+            yield pd.concat(done, ignore_index=True)
+
+    return (
+        src.repartition("tile_x", "tile_y")
+        .sortWithinPartitions("tile_x", "tile_y")
+        .mapInPandas(build_stream, schema=out_schema)
     )
 
 

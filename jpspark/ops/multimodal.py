@@ -50,9 +50,10 @@ def decode_stats(images: DataFrame) -> DataFrame:
                 pdf["image_id"].to_numpy(), pdf["bytes"].to_numpy(), pdf["fmt"].to_numpy()
             ):
                 px = img.decode(bytes(buf), fmt)
+                g = img.gray_f64(px)  # one luma pass feeds mean AND pHash
                 rows.append(
                     (iid, px.shape[1], px.shape[0], fmt,
-                     float(img.gray_f64(px).mean()), int(phash64(px)))
+                     float(g.mean()), int(phash64(px, gray=g)))
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
