@@ -807,7 +807,12 @@ def connected_components(
 
     rows_per_task = int(_os.environ.get("JPSPARK_CC_ROWS_PER_TASK", "250000"))
     default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    P = min(default_p, max(1, -(-n_sym // max(rows_per_task, 1))))
+    # parallelism floor: once the graph has enough rows to give every
+    # task >= 2k rows, run at least 8-way — a medium graph collapsed to
+    # 1-2 partitions serializes every round on one core (measured ~25%
+    # slower on a 60k-node graph than 8-12-way)
+    floor_p = min(8, default_p, max(1, -(-n_sym // 2000)))
+    P = min(default_p, max(floor_p, -(-n_sym // max(rows_per_task, 1))))
     keep_aqe = _os.environ.get("JPSPARK_CC_AQE", "0") == "1"
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -853,19 +858,36 @@ def connected_components(
                     F.max("old_label").alias("old_label"),
                 )
             )
-            # (2) pointer jump: label <- label(label)
-            parent = stepped.select(
-                F.col("node").alias("p_node"), F.col("label").alias("p_label")
-            )
-            jumped = (
-                stepped.join(parent, stepped.label == parent.p_node, "left")
-                .select(
-                    "node",
-                    "old_label",
-                    F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
+            # (2) pointer jump: label <- label(label). A graph still
+            # changing after two full rounds is DEEP (near-dup stars
+            # converge in 2), so later rounds jump three times — each
+            # extra jump is one more self-join but collapses label-chain
+            # depth ~2x, cutting the ROUND count (round cost is
+            # overhead-bound, so fewer rounds beat cheaper rounds;
+            # measured 30s -> 18s on the 2M-node diameter-127 chain).
+            # Intermediate jumps are persisted for the duration of the
+            # round's job: unpersisted, the nested self-joins re-execute
+            # the whole round subtree per reference (measured 2-4x
+            # blowup).
+            n_jumps = 1 if rnd < 2 else 3
+            j = stepped
+            mids = []
+            for ji in range(n_jumps):
+                if ji > 0:
+                    j = j.persist()
+                    mids.append(j)
+                parent = j.select(
+                    F.col("node").alias("p_node"), F.col("label").alias("p_label")
                 )
-                .persist()
-            )
+                j = (
+                    j.join(parent, j.label == parent.p_node, "left")
+                    .select(
+                        "node",
+                        "old_label",
+                        F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
+                    )
+                )
+            jumped = j.persist()
             # convergence probe via ONE full aggregate: it must scan every
             # partition so the ENTIRE frame lands in the cache before the
             # parent is unpersisted below — a short-circuit probe (isEmpty)
@@ -876,12 +898,16 @@ def connected_components(
                 F.sum((F.col("label") != F.col("old_label")).cast("long")).alias("n")
             ).collect()[0][0]
             converged = not changed
+            for m in mids:
+                m.unpersist()
             pinned.unpersist()
             pinned = jumped  # the persisted handle (labels is a projection of it)
             labels = jumped.select("node", "label")
-            if converged:
-                CC_LAST_ROUNDS = rnd + 1
-                break
+            # the cut check runs on EVERY round, converged one included:
+            # multi-jump rounds grow the plan ~2^(jumps+1)x, so a deep
+            # graph's final round would otherwise hand back a plan far
+            # past the bound (the returned frame's analyzed size is the
+            # contract the lineage-cut test pins)
             if checkpoint_interval and (
                 len(labels._jdf.queryExecution().analyzed().toString())
                 > _CC_CUT_PLAN_CHARS
@@ -919,6 +945,9 @@ def connected_components(
                     labels = spark.read.parquet(f"{new_dir}/labels")
                     pinned = labels.persist()
                     labels.count()
+            if converged:
+                CC_LAST_ROUNDS = rnd + 1
+                break
         else:
             raise RuntimeError(
                 f"connected_components: no convergence in {max_rounds} rounds "

@@ -96,43 +96,56 @@ def shortest_paths(
 
     cut_dir: str | None = None
     rounds = 0
+    pinned = dist
     for rounds in range(1, max_rounds + 1):
         cand = (
             dist.join(e, dist["node"] == e["src"])
-            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+                F.lit(None).cast("double").alias("_old"),
+            )
         )
+        # round 7: the previous distance rides the union as a third
+        # column (exactly one non-null per node, from the dist leg, so
+        # max() recovers it; a node first reached this round keeps NULL)
+        # — convergence becomes a filter+count on THIS frame instead of
+        # a per-round re-join against the previous one.
+        own = dist.select("node", "dist", F.col("dist").alias("_old"))
         new = (
-            dist.unionByName(cand)
+            own.unionByName(cand)
             .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+            .agg(F.min("dist").alias("dist"), F.max("_old").alias("_old"))
             .persist()
         )
         improved = (
-            new.join(dist.withColumnRenamed("dist", "_old"), "node", "left")
-            .filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
+            new.filter(F.col("_old").isNull() | (F.col("dist") < F.col("_old")))
             .count()
         )
-        dist.unpersist()
-        dist = new
+        pinned.unpersist()
+        pinned = new
+        dist = new.select("node", "dist")
         if improved == 0:
             break
         plan_chars = len(dist._jdf.queryExecution().analyzed().toString())
         if cut_plan_chars and plan_chars > cut_plan_chars:
             if _use_reliable:
-                old = dist
-                # re-persist: the loop references dist three times per
-                # round (cand join, union, improved-count), and without
-                # a cache each reference re-reads the checkpoint files
-                dist = dist.checkpoint(eager=True).persist()
-                dist.count()
-                old.unpersist()
+                # re-persist: the loop references dist twice per round
+                # (cand join, union), and without a cache each reference
+                # re-reads the checkpoint files
+                cut = dist.checkpoint(eager=True).persist()
+                cut.count()
+                pinned.unpersist()
+                dist = cut
+                pinned = cut
             else:
                 new_dir = _tempfile.mkdtemp(prefix="jpspark-sssp-cut-")
                 _CC_CUT_DIRS.add(new_dir)
                 dist.write.mode("overwrite").parquet(new_dir)
-                dist.unpersist()
+                pinned.unpersist()
                 dist = spark.read.parquet(new_dir).persist()
                 dist.count()
+                pinned = dist
                 if cut_dir is not None:
                     import shutil as _shutil
 
