@@ -516,8 +516,11 @@ def ngram_contamination(
     ``contamination`` (hit ratio, round 4), ``n_train_docs`` (distinct
     train docs sharing at least one n-gram).
 
-    100-TB shape: both sides explode to (id, md5(n-gram)) — fixed-width
-    16-byte keys, never raw text — dedup per doc map-side, then ONE
+    100-TB shape: both sides explode to (id, xxhash64(n-gram words)) —
+    fixed-width 8-byte keys, never raw text (round 7: hashing the word
+    slice directly replaces the former md5-over-joined-string key — the
+    same containment identity at half the key payload and none of the
+    per-window string building) — dedup per doc map-side, then ONE
     shuffle hash join on the n-gram key followed by a keyed two-phase
     aggregate. Train-side n-grams are pre-deduped per (train_doc, gram)
     so the join fan-out is bounded by true containment, not term
@@ -526,20 +529,19 @@ def ngram_contamination(
     def _grams(df: DataFrame) -> DataFrame:
         words = F.split(F.trim(F.col(text_col)), r"\s+")
         base = df.select(F.col(id_col).alias("_id"), words.alias("_w"))
-        grams = F.expr(
-            f"CASE WHEN size(_w) < {int(n)} THEN CAST(array() AS ARRAY<STRING>)"
-            f" ELSE transform(sequence(1, size(_w) - {int(n)} + 1),"
-            f" i -> array_join(slice(_w, i, {int(n)}), ' ')) END"
-        )
+        grams = F.when(
+            F.size("_w") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - n + 1),
+                lambda i: F.xxhash64(F.slice("_w", i, n)),
+            ),
+        ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
         # explode_outer: a doc with < n words keeps one null-gram row so
         # it still appears in the output (n_ngrams = 0) instead of being
         # silently dropped; countDistinct and the equi-join both ignore
         # the null
         return (
-            base.select("_id", F.explode_outer(grams).alias("_g"))
-            # unhex: 16-byte binary keys, not 32-char hex strings — halves
-            # the gram exchange's payload
-            .select("_id", F.unhex(F.md5(F.col("_g"))).alias("gram"))
+            base.select("_id", F.explode_outer(grams).alias("gram"))
             .distinct()
         )
 
@@ -1067,9 +1069,13 @@ def strip_duplicated_substrings(
     The only place text meets the span list is the final per-id join; at
     scale a corpus bucketed by id keeps the text in place (span lists are
     tiny relative to text and hash to the same buckets), and at test SF
-    AQE broadcasts the aggregated span side — either way text never rides
-    a shuffle. Word filtering is a codegen higher-order filter with the
-    positional lambda index; no Python."""
+    AQE broadcasts the aggregated span side. Round 7: the doc side joins
+    as RAW text and splits AFTER the join — when the join does shuffle
+    (sort-merge at bench scale), the exchange and its sort move one flat
+    string per doc instead of a per-word array (hundreds of offset-length
+    framed elements in the UnsafeRow), and the split runs once instead of
+    being serialized. Word filtering is a codegen higher-order filter
+    with the positional lambda index; no Python."""
     spans = duplicated_substring_spans(docs, k=k, text_col=text_col, id_col=id_col)
     per_doc = spans.groupBy(id_col).agg(
         F.array_sort(
@@ -1079,15 +1085,18 @@ def strip_duplicated_substrings(
         F.sum(F.col("span_end") - F.col("span_start")).alias("dup_words"),
     )
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = docs.select(F.col(id_col), words.alias("_w"))
-    joined = base.join(per_doc, id_col, "left").select(
-        F.col(id_col),
-        "_w",
-        F.coalesce(
-            "ivs", F.expr("CAST(array() AS ARRAY<STRUCT<s INT, e INT>>)")
-        ).alias("ivs"),
-        F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
-        F.coalesce("dup_words", F.lit(0).cast("long")).alias("dup_words"),
+    joined = (
+        docs.select(F.col(id_col), F.col(text_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            words.alias("_w"),
+            F.coalesce(
+                "ivs", F.expr("CAST(array() AS ARRAY<STRUCT<s INT, e INT>>)")
+            ).alias("ivs"),
+            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+            F.coalesce("dup_words", F.lit(0).cast("long")).alias("dup_words"),
+        )
     )
     kept = F.filter(
         "_w",
