@@ -190,10 +190,26 @@ def group_convex_hulls(
                 counts[key] = counts.get(key, 0) + (e - s)
                 if counts[key] > 4096:
                     fold(key)
+        # one output frame per partition (round 7): yielding per key sent
+        # one ~hull-sized Arrow batch per (key, partition) — thousands of
+        # micro-batches across a job — where a single concat costs one.
+        keys_out = []
+        xs_out = []
+        ys_out = []
         for key in bufs:
             fold(key)
             hx, hy = bufs[key][0]
-            yield pd.DataFrame({"k": key, "x": hx, "y": hy})
+            keys_out.append(np.full(len(hx), key))
+            xs_out.append(hx)
+            ys_out.append(hy)
+        if keys_out:
+            yield pd.DataFrame(
+                {
+                    "k": np.concatenate(keys_out),
+                    "x": np.concatenate(xs_out),
+                    "y": np.concatenate(ys_out),
+                }
+            )
 
     partials = pts.mapInPandas(partial, partial_schema)
 
