@@ -761,10 +761,17 @@ def connected_components(
             "or pass checkpoint_interval=0 to disable cutting for "
             "small-diameter graphs"
         )
-    sym = (
-        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
+    # NOTE: the symmetric edge set is deduped AFTER the dst repartition
+    # below — hash partitioning on dst co-locates every (src, dst) twin,
+    # so the dropDuplicates aggregate runs on the repartition exchange's
+    # output without a second full-edge exchange (round 7; the former
+    # distinct-then-repartition shape paid two). The spill (when it
+    # fires) therefore writes the raw union including duplicates — fine
+    # for the pair tables that reach this operator (already deduped);
+    # n_sym below is correspondingly an upper bound, which only sizes
+    # partitions.
+    sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).union(
+        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
     cut_dir: str | None = None
     # cut the EDGE lineage up front when it is worth cutting: sym is
@@ -823,7 +830,11 @@ def connected_components(
         if not keep_aqe:
             spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", str(P))
-        sym = sym0.repartition(P, "dst").persist()
+        sym = (
+            sym0.repartition(P, "dst")
+            .dropDuplicates(["src", "dst"])
+            .persist()
+        )
         sym.count()
         sym0.unpersist()
         labels = pinned = (
