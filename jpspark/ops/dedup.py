@@ -837,8 +837,13 @@ def connected_components(
         )
         sym.count()
         sym0.unpersist()
+        # labels init from DST, not src: sym is symmetric (both directions
+        # present), so distinct node sets are equal either way — but sym
+        # is hash-partitioned by dst, so the dst distinct satisfies its
+        # clustering requirement and plans with ZERO additional exchange
+        # (the src form paid one; round 7)
         labels = pinned = (
-            sym.select(F.col("src").alias("node"))
+            sym.select(F.col("dst").alias("node"))
             .distinct()
             .withColumn("label", F.col("node"))
             .persist()
