@@ -835,8 +835,6 @@ def connected_components(
             .dropDuplicates(["src", "dst"])
             .persist()
         )
-        sym.count()
-        sym0.unpersist()
         # labels init from DST, not src: sym is symmetric (both directions
         # present), so distinct node sets are equal either way — but sym
         # is hash-partitioned by dst, so the dst distinct satisfies its
@@ -848,7 +846,11 @@ def connected_components(
             .withColumn("label", F.col("node"))
             .persist()
         )
+        # one materialization pass: the distinct scans EVERY sym partition,
+        # so this count fills both caches — a separate sym.count() job
+        # would re-walk the edge set for nothing
         labels.count()
+        sym0.unpersist()
         label_t = labels.schema["label"].dataType
         for rnd in range(max_rounds):
             # (1) closed-neighborhood min in ONE keyed aggregation (round
