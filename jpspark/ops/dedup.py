@@ -811,7 +811,10 @@ def connected_components(
     # exchanges that planning overhead buys nothing, so it is disabled
     # INSIDE the loop by default (JPSPARK_CC_AQE=1 restores it, e.g. for
     # clusters that want runtime skew-splitting of a giant component's
-    # label partition) and always restored afterwards.
+    # label partition) and always restored afterwards. The conf toggle is
+    # session-scoped: a driver running OTHER queries concurrently with a
+    # CC call (this engine's harnesses never do) would see the loop's
+    # AQE/partition settings for the loop's duration.
     import os as _os
 
     rows_per_task = int(_os.environ.get("JPSPARK_CC_ROWS_PER_TASK", "250000"))
