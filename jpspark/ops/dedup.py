@@ -286,9 +286,16 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs (id_a < id_b) from banded LSH + estimated
     Jaccard = fraction of matching signature positions.
 
-    Shuffle shape: the band exchange carries ONLY (id, band, bucket) — the
+    Shuffle shape: the band exchange carries ONLY (id, bucket) — the
     full k-long signatures never ride the 2*bands-way explode (at 10^12
-    docs that would be ~16 KB of avoidable shuffle per doc). Signatures are
+    docs that would be ~16 KB of avoidable shuffle per doc). The band
+    index is folded into the bucket hash as a salt (round 7): buckets of
+    different bands land in disjoint hash spaces, so the join keys on the
+    single 8-byte bucket instead of (band, bucket), and the bucket itself
+    is a native ``xxhash64`` over the band's long slots — no per-band
+    string casting/concat on the explode leg. Equality classes are
+    unchanged (same band + same 4 slots <=> same bucket, modulo the same
+    2^-64 hash-collision tail the string form had). Signatures are
     re-joined once per side by id AFTER the candidate pairs are deduped,
     so each signature crosses the wire once per surviving pair side.
 
@@ -301,24 +308,19 @@ def minhash_lsh_pairs(
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",", *[F.col("sig")[b * rows_per_band + r].cast("string")
-                                       for r in range(rows_per_band)]
-                            )
-                        ).alias("bucket"),
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+        ).alias("bucket"),
+    )
+    a = banded.select(F.col("id").alias("id_a"), "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "bucket")
     pairs = (
-        a.join(b, ["band", "bucket"])
+        a.join(b, ["bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
@@ -459,6 +461,45 @@ def simhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
     return hamming_block_pairs(hashes, "simhash", max_hamming)
 
 
+def _jaccard_pairs_batch(ta: list, tb: list, shingle_n: int) -> np.ndarray:
+    """Exact shingle-set Jaccard for a batch of (text_a, text_b) pairs.
+
+    Round 7: the batch's pair texts are FACTORIZED, so each distinct doc
+    is gram-hashed and sorted-uniqued once per batch (candidate lists
+    repeat a doc once per surviving pair, and exact-dup corpora repeat
+    whole texts verbatim), and the set intersection runs once per
+    distinct (text_a, text_b) pair. Equal-text pairs short-circuit to
+    jaccard 1.0 (inter == union by identity — exactly the division the
+    per-pair form computed). Values stay bit-identical to the round-3
+    per-pair kernel: the same unique-hash sets feed the same
+    exact-int division. NULL texts gram like empty strings (the ``t or
+    ""`` the per-pair form applied inside the hash kernel)."""
+    n = len(ta)
+    if not n:
+        return np.empty(0)
+    texts = np.array(
+        [t if t is not None else "" for t in ta + tb], dtype=object
+    )
+    codes, uniq = pd.factorize(texts)
+    hs, cnts = _gram_hashes_batch(uniq.tolist(), shingle_n)
+    offs = np.zeros(len(uniq) + 1, dtype=np.int64)
+    np.cumsum(cnts, out=offs[1:])
+    sets = [np.unique(hs[offs[i] : offs[i + 1]]) for i in range(len(uniq))]
+    pair_key = codes[:n].astype(np.int64) * len(uniq) + codes[n:]
+    up, inv = np.unique(pair_key, return_inverse=True)
+    vals = np.empty(len(up))
+    for k, pk in enumerate(up):
+        i, j = divmod(int(pk), len(uniq))
+        if i == j:
+            vals[k] = 1.0
+            continue
+        sa, sb = sets[i], sets[j]
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        vals[k] = inter / union if union else 1.0
+    return vals[inv]
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, candidates: DataFrame, shingle_n: int = 3, min_jaccard: float = 0.7,
     text_col: str = "text", id_col: str = "doc_id",
@@ -474,23 +515,7 @@ def ngram_jaccard_pairs(
 
     @F.pandas_udf(T.DoubleType())
     def jac_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        # both pair sides hashed in ONE vectorized batch (round 3); the
-        # per-pair work left is a sorted-unique intersect on small arrays
-        n = len(ta)
-        ha, ca = _gram_hashes_batch(ta.tolist(), shingle_n)
-        hb, cb = _gram_hashes_batch(tb.tolist(), shingle_n)
-        sa_off = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(ca, out=sa_off[1:])
-        sb_off = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(cb, out=sb_off[1:])
-        out = np.empty(n)
-        for i in range(n):
-            sa = np.unique(ha[sa_off[i] : sa_off[i + 1]])
-            sb = np.unique(hb[sb_off[i] : sb_off[i + 1]])
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            out[i] = inter / union if union else 1.0
-        return pd.Series(out)
+        return pd.Series(_jaccard_pairs_batch(ta.tolist(), tb.tolist(), shingle_n))
 
     return (
         joined.withColumn("jaccard", jac_udf("txt_a", "txt_b"))
