@@ -405,8 +405,9 @@ def hamming_block_pairs(
     to trade explode factor for exponentially finer buckets; the guarantee
     holds for any key_blocks <= n_blocks - max_hamming.
 
-    Shuffle shape: one explode -> single equi-join on (combo_id, key_hash);
-    each side carries only (id, 8-byte hash, 12-byte key).
+    Shuffle shape: one explode -> single equi-join on one 8-byte key hash
+    (combo index salted into the hash); each side carries only (id, 8-byte
+    hash, 8-byte key).
     """
     n_blocks = n_blocks or (max_hamming + key_blocks)
     if key_blocks > n_blocks - max_hamming:
@@ -426,26 +427,26 @@ def hamming_block_pairs(
         for i in range(n_blocks)
     ]
     combos = list(combinations(range(n_blocks), key_blocks))
-    # xxhash64 over the combo's block values: collisions only ADD candidates
-    # (removed by the popcount filter), never lose true pairs
+    # xxhash64 over (combo index, block values): collisions only ADD
+    # candidates (removed by the popcount filter), never lose true pairs.
+    # The combo index rides INSIDE the hash as a salt (round 7), so
+    # different combos occupy disjoint key spaces and the join keys on the
+    # single 8-byte kv instead of (combo, kv) — one fewer key column on
+    # the explode exchange and the join.
     keys = F.array(
         *[
-            F.struct(
-                F.lit(ci).alias("combo"),
-                F.xxhash64(*[block_vals[j] for j in combo]).alias("kv"),
-            )
+            F.xxhash64(F.lit(ci), *[block_vals[j] for j in combo])
             for ci, combo in enumerate(combos)
         ]
     )
     h = (
         hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("hsh"))
-        .select("id", "hsh", F.explode(keys).alias("bb"))
-        .select("id", "hsh", F.col("bb.combo").alias("combo"), F.col("bb.kv").alias("kv"))
+        .select("id", "hsh", F.explode(keys).alias("kv"))
     )
-    a = h.select(F.col("id").alias("id_a"), F.col("hsh").alias("h_a"), "combo", "kv")
-    b = h.select(F.col("id").alias("id_b"), F.col("hsh").alias("h_b"), "combo", "kv")
+    a = h.select(F.col("id").alias("id_a"), F.col("hsh").alias("h_a"), "kv")
+    b = h.select(F.col("id").alias("id_b"), F.col("hsh").alias("h_b"), "kv")
     cand = (
-        a.join(b, ["combo", "kv"])
+        a.join(b, ["kv"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "h_a", "h_b")
         .dropDuplicates(["id_a", "id_b"])
@@ -614,33 +615,36 @@ def embedding_neardup_lsh(
     1-(1-p^r)^b LSH curve (measured against brute force in pytest).
 
     Shuffle shape mirrors minhash_lsh_pairs: the band exchange carries
-    only (id, band, value); vectors re-join by id after pair dedup.
+    only (id, composite band key); vectors re-join by id after pair dedup.
     """
     from .similarity import hyperplane_sketch
 
     n_bands = n_bits // band_bits
     mask = (1 << band_bits) - 1
     sk = hyperplane_sketch(emb, n_bits, id_col=id_col, vec_col=vec_col)
+    # single EXACT composite key band*2^band_bits + bval (round 7): the
+    # band index occupies disjoint high bits, so the join keys on one long
+    # instead of (band, bval) with provably identical equality classes —
+    # no hash, no collision tail, one fewer key column on the exchange
     banded = sk.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("band"),
+                    (
                         F.shiftrightunsigned(F.col("sketch"), i * band_bits)
                         .bitwiseAND(F.lit(mask))
-                        .alias("bval"),
-                    )
+                        + F.lit(i * (mask + 1))
+                    ).alias("bkey")
                     for i in range(n_bands)
                 ]
             )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
-    a = banded.select(F.col("id").alias("id_a"), "band", "bval")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bval")
+        ).alias("bkey"),
+    )
+    a = banded.select(F.col("id").alias("id_a"), "bkey")
+    b = banded.select(F.col("id").alias("id_b"), "bkey")
     pairs = (
-        a.join(b, ["band", "bval"])
+        a.join(b, ["bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
