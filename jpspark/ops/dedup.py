@@ -19,7 +19,7 @@ import tempfile as _tempfile
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -939,64 +939,80 @@ def connected_components(
                         F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
                     )
                 )
-            jumped = j.persist()
-            # convergence probe via ONE full aggregate: it must scan every
-            # partition so the ENTIRE frame lands in the cache before the
-            # parent is unpersisted below — a short-circuit probe (isEmpty)
-            # leaves unvisited partitions uncached and every later scan
-            # recomputes the full round lineage recursively (measured
-            # blowup: 5s/round -> 55s by round 4)
-            changed = jumped.agg(
-                F.sum((F.col("label") != F.col("old_label")).cast("long")).alias("n")
-            ).collect()[0][0]
-            converged = not changed
-            for m in mids:
-                m.unpersist()
-            pinned.unpersist()
-            pinned = jumped  # the persisted handle (labels is a projection of it)
-            labels = jumped.select("node", "label")
             # the cut check runs on EVERY round, converged one included:
             # multi-jump rounds grow the plan ~2^(jumps+1)x, so a deep
             # graph's final round would otherwise hand back a plan far
             # past the bound (the returned frame's analyzed size is the
-            # contract the lineage-cut test pins)
-            if checkpoint_interval and (
-                len(labels._jdf.queryExecution().analyzed().toString())
+            # contract the lineage-cut test pins). Checking the size every
+            # round is cheap by induction — the plan never exceeds ~2x the
+            # threshold before a cut fires — while tiny-diameter graphs
+            # over flat edge frames (the near-dup common case) never pay a
+            # spill at all.
+            cut_now = checkpoint_interval and (
+                len(j._jdf.queryExecution().analyzed().toString())
                 > _CC_CUT_PLAN_CHARS
-            ):
-                # lineage cut, SIZE-triggered: spill (node, label) to parquet
-                # and restart the plan from a flat scan. The plan doubles per
-                # round (pointer-jump self-join), so checking its analyzed
-                # size every round is cheap by induction — it never exceeds
-                # ~2x the threshold before a cut fires — while tiny-diameter
-                # graphs over flat edge frames (the near-dup common case)
-                # never pay a spill at all. The write reads the round's cache
-                # (just materialized by the convergence aggregate), so no
-                # recompute; the cache is then released and the PREVIOUS
-                # cut's files deleted — bounded plan, cache, and disk, all
-                # deterministic.
-                if _use_reliable:
-                    # re-persist the checkpoint: later rounds reference the
-                    # labels twice (self-join) and the convergence aggregate
-                    # once more — without a cache each reference re-reads
-                    # the checkpoint files
+            )
+            _changed_agg = F.sum(
+                (F.col("label") != F.col("old_label")).cast("long")
+            ).alias("n")
+            if cut_now and not _use_reliable:
+                # lineage cut, SIZE-triggered: spill (node, label) to
+                # parquet and restart the plan from a flat scan. Round 7:
+                # the convergence scalar rides the spill write as an
+                # observed metric (CollectMetrics), so a cut round runs
+                # ONE compute job (write + changed-count) plus the
+                # re-read's cache-fill count — the former shape paid a
+                # separate aggregate job to materialize the round cache
+                # and then wrote from it. The previous cut's files are
+                # deleted once the new cut lands — bounded plan, cache,
+                # and disk, all deterministic.
+                obs = Observation()
+                new_dir = _tempfile.mkdtemp(prefix="jpspark_cc_cut_")
+                _CC_CUT_DIRS.add(new_dir)
+                (
+                    j.observe(obs, _changed_agg)
+                    .select("node", "label")
+                    .write.mode("overwrite")
+                    .parquet(f"{new_dir}/labels")
+                )
+                changed = obs.get["n"]
+                for m in mids:
+                    m.unpersist()
+                pinned.unpersist()
+                if cut_dir is not None:
+                    _shutil.rmtree(cut_dir, ignore_errors=True)
+                    _CC_CUT_DIRS.discard(cut_dir)
+                cut_dir = new_dir
+                labels = spark.read.parquet(f"{new_dir}/labels")
+                pinned = labels.persist()
+                labels.count()
+            else:
+                jumped = j.persist()
+                # convergence probe via ONE full aggregate: it must scan
+                # every partition so the ENTIRE frame lands in the cache
+                # before the parent is unpersisted below — a short-circuit
+                # probe (isEmpty) leaves unvisited partitions uncached and
+                # every later scan recomputes the full round lineage
+                # recursively (measured blowup: 5s/round -> 55s by round 4)
+                changed = jumped.agg(_changed_agg).collect()[0][0]
+                for m in mids:
+                    m.unpersist()
+                pinned.unpersist()
+                pinned = jumped  # persisted handle (labels projects it)
+                labels = jumped.select("node", "label")
+                if cut_now:
+                    # reliable-checkpoint mode (cluster): same shape as
+                    # before — checkpoint from the round cache, then
+                    # re-persist it (later rounds reference the labels
+                    # twice via the self-join and the convergence
+                    # aggregate once more; without a cache each reference
+                    # re-reads the checkpoint files)
                     cut = labels.checkpoint(eager=True).persist()
                     cut.count()
                     pinned.unpersist()
                     labels = cut
                     pinned = cut
-                else:
-                    new_dir = _tempfile.mkdtemp(prefix="jpspark_cc_cut_")
-                    labels.write.mode("overwrite").parquet(f"{new_dir}/labels")
-                    pinned.unpersist()
-                    _CC_CUT_DIRS.add(new_dir)
-                    if cut_dir is not None:
-                        _shutil.rmtree(cut_dir, ignore_errors=True)
-                        _CC_CUT_DIRS.discard(cut_dir)
-                    cut_dir = new_dir
-                    labels = spark.read.parquet(f"{new_dir}/labels")
-                    pinned = labels.persist()
-                    labels.count()
+            converged = not changed
             if converged:
                 CC_LAST_ROUNDS = rnd + 1
                 break
