@@ -1100,27 +1100,35 @@ def duplicated_substring_spans(
     from pyspark.sql import Window
 
     w_gram = Window.partitionBy("gram")
+    # e = s + k is strictly monotone in s, so the span merge never needs
+    # an explicit end column on the wire (round 7): max(e) over any set
+    # == max(s) + k, and the break test s > prev_max_e rewrites to
+    # s > prev_max_s + k — the per-doc exchange carries (_id, s) only
     hits = (
         anchors.withColumn("cnt", F.count("*").over(w_gram))
         .filter(F.col("cnt") > 1)
-        .select("_id", "s", (F.col("s") + F.lit(int(k))).alias("e"))
+        .select("_id", "s")
     )
 
     w_doc = Window.partitionBy("_id").orderBy("s")
-    prev_max_e = F.max("e").over(
+    prev_max_s = F.max("s").over(
         w_doc.rowsBetween(Window.unboundedPreceding, -1)
     )
     flagged = hits.withColumn(
         "brk",
-        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), F.lit(1)).otherwise(
-            F.lit(0)
-        ),
+        F.when(
+            prev_max_s.isNull() | (F.col("s") > prev_max_s + F.lit(int(k))),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
     ).withColumn(
         "grp", F.sum("brk").over(w_doc.rowsBetween(Window.unboundedPreceding, 0))
     )
     return (
         flagged.groupBy("_id", "grp")
-        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .agg(
+            F.min("s").alias("span_start"),
+            (F.max("s") + F.lit(int(k))).alias("span_end"),
+        )
         .select(F.col("_id").alias(id_col), "span_start", "span_end")
     )
 
