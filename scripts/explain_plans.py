@@ -25,8 +25,8 @@ AUDIT = [
     "first_wins_dedup",   # expect: single shuffle for window
     # round 3: minhash_lsh_pairs became the superset AUDIT query; the band
     # exchange now rides inside minhash_verified_pairs (the pipeline)
-    "minhash_verified_pairs",  # expect: band exchange carries (id, band, bucket) ONLY — no sig
-    "embedding_neardup_lsh",  # expect: band exchange carries (id, band, bval) ONLY — no vectors
+    "minhash_verified_pairs",  # expect: band exchange carries (id, bucket) ONLY — no sig, band salted into the hash
+    "embedding_neardup_lsh",  # expect: band exchange carries (id, bkey) ONLY — no vectors, band in the key's high bits
     # round 3 raster<->vector + tiling surface
     "raster_zonal_stats",  # expect: tile scan -> MapInArrow partials -> ONE small exchange
     "polygonize",          # expect: mapInArrow chain; exchanges never carry bytes/geom
@@ -90,8 +90,9 @@ def audit_no_heavy_exchange(plan: str, markers: tuple[str, ...]) -> str:
 
 def audit_band_exchange(plan: str, heavy_marker: str, key_col: str) -> str:
     """Assert the band-join exchanges don't carry the heavy payload column
-    (VERDICT r01 item 4: 16x signature shuffle weight). Returns a comment
-    line for PLANS.md."""
+    (VERDICT r01 item 4: 16x signature shuffle weight), and that the band
+    index is folded INTO the single key column (round 7) rather than
+    riding as its own column. Returns a comment line for PLANS.md."""
     blocks = plan.split("\n\n")
     # both physical strategies count: BroadcastExchange (small side at
     # test SF) and shuffle Exchange (hashpartitioning at scale / AQE)
@@ -99,20 +100,21 @@ def audit_band_exchange(plan: str, heavy_marker: str, key_col: str) -> str:
     band_exchanges = [
         b for head, b in heads
         if (") Exchange" in head or ") BroadcastExchange" in head)
-        and "band#" in b and f"{key_col}#" in b
+        and f"{key_col}#" in b
     ]
     assert band_exchanges, "no band exchange found in plan"
     for b in band_exchanges:
         assert heavy_marker not in b, f"{heavy_marker} rides the band exchange:\n{b}"
+        assert "band#" not in b, f"separate band column rides the band exchange:\n{b}"
     return (
-        f"AUDIT: {len(band_exchanges)} band exchange(s) carry (id, band, {key_col}) only — "
-        f"{heavy_marker}* re-joins after pair dedup. PASS"
+        f"AUDIT: {len(band_exchanges)} band exchange(s) carry (id, {key_col}) only — "
+        f"band index folded into the key; {heavy_marker}* re-joins after pair dedup. PASS"
     )
 
 
 BAND_AUDITS = {
     "minhash_verified_pairs": ("sig", "bucket"),
-    "embedding_neardup_lsh": ("embedding", "bval"),
+    "embedding_neardup_lsh": ("embedding", "bkey"),
 }
 
 def audit_single_shuffle(plan: str, max_shuffles: int = 1) -> str:

@@ -61,6 +61,51 @@ def test_ngram_jaccard_verifies_candidates(spark, docs_with_dups):
     assert (exact["jaccard"] == 1.0).all()
 
 
+def test_jaccard_pairs_batch_matches_per_pair_reference():
+    """The factorized verify kernel (round 7: each distinct doc gram-hashed
+    once per batch, distinct pairs intersected once, equal-text pairs
+    short-circuited) must be bit-identical to the straightforward per-pair
+    form on adversarial batches: repeated docs across pairs, identical
+    pairs, equal texts, None/empty/short texts, unicode whitespace."""
+    from jpspark.ops.dedup import _gram_hashes_batch, _jaccard_pairs_batch
+
+    def per_pair_reference(ta, tb, shingle_n):
+        out = np.empty(len(ta))
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            hx, _ = _gram_hashes_batch([x if x is not None else ""], shingle_n)
+            hy, _ = _gram_hashes_batch([y if y is not None else ""], shingle_n)
+            sa, sb = np.unique(hx), np.unique(hy)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            out[i] = inter / union if union else 1.0
+        return out
+
+    docs = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "totally different words here entirely",
+        "",
+        None,
+        "short one",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of [0]
+        "a b",  # fewer words than shingle_n
+        "tab\tand　ideographic space separated tokens",
+    ]
+    rng = np.random.default_rng(7)
+    # 60 pairs sampling docs with replacement: repeats in both roles,
+    # self-pairs (equal text via same index AND via distinct equal copies)
+    ia = rng.integers(0, len(docs), size=60)
+    ib = rng.integers(0, len(docs), size=60)
+    ta = [docs[i] for i in ia] + [docs[0], docs[0]]
+    tb = [docs[i] for i in ib] + [docs[0], docs[6]]
+    for n in (3, 5):
+        got = _jaccard_pairs_batch(ta, tb, n)
+        exp = per_pair_reference(ta, tb, n)
+        np.testing.assert_array_equal(got, exp)
+    # the two appended self/equal pairs verify at exactly 1.0
+    assert got[-1] == 1.0 and got[-2] == 1.0
+
+
 def test_simhash_finds_planted(spark, docs_with_dups):
     hashes = dedup.simhash64(docs_with_dups)
     pairs = dedup.simhash_neardup_pairs(hashes, max_hamming=6).toPandas()
