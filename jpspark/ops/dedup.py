@@ -847,6 +847,7 @@ def connected_components(
     import os as _os
 
     rows_per_task = int(_os.environ.get("JPSPARK_CC_ROWS_PER_TASK", "250000"))
+    _cc_deep_jumps = max(1, int(_os.environ.get("JPSPARK_CC_DEEP_JUMPS", "5")))
     default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # parallelism floor: once the graph has enough rows to give every
     # task >= 2k rows, run at least 8-way — a medium graph collapsed to
@@ -912,16 +913,23 @@ def connected_components(
             )
             # (2) pointer jump: label <- label(label). A graph still
             # changing after two full rounds is DEEP (near-dup stars
-            # converge in 2), so later rounds jump three times — each
-            # extra jump is one more self-join but collapses label-chain
-            # depth ~2x, cutting the ROUND count (round cost is
-            # overhead-bound, so fewer rounds beat cheaper rounds;
-            # measured 30s -> 18s on the 2M-node diameter-127 chain).
+            # converge in 2), so later rounds jump five times by default
+            # (`JPSPARK_CC_DEEP_JUMPS`) — each extra jump is one more
+            # self-join but collapses label-chain depth ~2x, cutting the
+            # ROUND count (round cost is overhead-bound, so fewer rounds
+            # beat cheaper rounds; on the 2M-node diameter-127 chain,
+            # 3 jumps measured 30s -> 18s/5 rounds vs the round-6 loop,
+            # and 5 jumps 4 rounds/~16s; 4 jumps still needs 5 rounds,
+            # >=6 stays at 4 rounds while paying extra exchanges, and an
+            # escalating 1,1,3,5,7 schedule also still needs 5 rounds —
+            # all measured, so 5 is the plateau point. Near-dup graphs
+            # never reach round 2, so the deep-jump choice costs flat
+            # graphs nothing).
             # Intermediate jumps are persisted for the duration of the
             # round's job: unpersisted, the nested self-joins re-execute
             # the whole round subtree per reference (measured 2-4x
             # blowup).
-            n_jumps = 1 if rnd < 2 else 3
+            n_jumps = 1 if rnd < 2 else _cc_deep_jumps
             j = stepped
             mids = []
             for ji in range(n_jumps):

@@ -440,6 +440,30 @@ def test_connected_components_convergence_guard(spark):
     assert set(cc["component"]) == {"a"}
 
 
+def test_connected_components_jump_schedule_invariant(spark, monkeypatch):
+    """Labels must be independent of the deep-round pointer-jump count
+    (`JPSPARK_CC_DEEP_JUMPS`, round-7 default 5): any schedule converges
+    to the same per-component min label, only the round count differs.
+    Pinned on a diameter-499 path — deep enough that every setting takes
+    multiple deep rounds."""
+    n = 500
+    chain = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(chain, ["id_a", "id_b"])
+    results = {}
+    for jumps in ("1", "3", "5"):
+        monkeypatch.setenv("JPSPARK_CC_DEEP_JUMPS", jumps)
+        got = (
+            dedup.connected_components(edges, max_rounds=40)
+            .toPandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        results[jumps] = got
+        assert (got["component"] == 0).all() and len(got) == n
+    pd.testing.assert_frame_equal(results["1"], results["3"])
+    pd.testing.assert_frame_equal(results["3"], results["5"])
+
+
 def test_asof_join_reserved_column_guard(spark):
     """Round-4 ADVICE: inputs that already carry a working/output name
     (_k/_t/_side/_rid/_rrow/asof) would be silently clobbered by
